@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The engine is a library of operators-as-named-DataFrame-programs
+  * (SURVEY §7.1): each entry is `(SparkSession, sfDir) => DataFrame`,
+  * fully declarative so Catalyst/AQE owns the physical plan. Modules:
+  *   - [[graft.operators.Relational]]  — scans/joins/aggs/windows/set-ops (SURVEY §2.2)
+  *   - [[graft.sources]]               — reference-parity ingest (SURVEY §2.1)
+  *   - Dedup / Similarity / TextAnalysis / Multimodal / Streaming — M2/M3
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1 analog: scan→filter→agg→sort end-to-end (SURVEY §7.2). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextAnalysis.queries ++ Multimodal.queries ++ StreamingOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops
+    * (d02 minhash-LSH, d03 simhash, s02 ann-lsh → rows-only check +
+    * ScalaTest property coverage instead). */
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      TextAnalysis.oracle ++ Multimodal.oracle ++ StreamingOps.oracle
 }

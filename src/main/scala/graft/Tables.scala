@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish fixture tables
+  * (`/root/repo/TESTDATA.md`). One parquet file per table under
+  * `\$sfDir/`. Schema is footer-inferred, mirroring the reference's
+  * dynamic-schema stance (`/root/reference/src/main.rs:56`) — no
+  * user-declared schemas anywhere.
+  *
+  * Scale notes: these are plain `spark.read.parquet` scans, so Catalyst
+  * pushes filters/projections into the scan (`PushedFilters`/`ReadSchema`)
+  * and partition planning follows `spark.sql.files.maxPartitionBytes` —
+  * at 100 TB each table is a directory of many files and the same call
+  * parallelizes across executors unchanged.
+  */
+object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.LongType
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as a long of epoch-nanos
+    * (legacy conf) and floor-truncate to a microsecond TimestampType —
+    * the same truncation DuckDB applies when it reads TIMESTAMP_NS,
+    * so oracle comparisons stay exact.
+    */
+  private def eventsNormalized(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    // integral `div`, not `/`: epoch-nanos (~1.7e18) overflow double's
+    // 53-bit mantissa, so floating division would corrupt microseconds.
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = eventsNormalized(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

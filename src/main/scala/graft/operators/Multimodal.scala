@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, and per-batch feature extraction. No image/audio
+  * codec ships in this container, so the DECODE step is a clearly
+  * marked deterministic stub ([[fakeDecode]]) — but everything Spark
+  * cares about is real: the binary column representation, the schema
+  * of the feature struct, the `mapPartitions` batch shape (the Scala
+  * analog of `mapInPandas` — one iterator per partition, vectorizable
+  * per batch), and the partitioning.
+  *
+  * At 100 TB: binary payloads ride in parquet alongside metadata;
+  * feature extraction is a narrow per-partition pass (no shuffle), and
+  * the partition count — not driver memory — bounds parallelism.
+  */
+object Multimodal {
+
+  /** STUB — stands in for a real image/audio decoder. Deterministic
+    * pure function of the bytes so tests and the oracle can check the
+    * plumbing: "width/height" are derived from byte statistics the way
+    * a real decoder would derive them from the media header. */
+  def fakeDecode(bytes: Array[Byte]): (Int, Int, Double) = {
+    val n = bytes.length
+    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xFF))
+    val width = (sum % 640).toInt + 1
+    val height = (n % 480) + 1
+    val brightness = if (n == 0) 0.0 else sum.toDouble / n
+    (width, height, brightness)
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("brightness", DoubleType)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Binary-column plumbing, SQL-expressible end: text → utf8 bytes as
+    // the stand-in payload, plus typed metadata struct fields. Proves
+    // the binary representation round-trips through parquet + oracle.
+    "m01_binary_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8").cast(BinaryType))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          col("source").as("media_source"))
+        .orderBy("doc_id")),
+
+    // Feature extraction over binary payloads via mapPartitions — the
+    // batched-UDF shape. The decode is the stub above; the Spark-side
+    // schema/batching/partitioning is the real article.
+    "m02_media_features" -> ((s, d) => {
+      val spark = s
+      val withPayload = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").cast(BinaryType).as("payload"))
+      val rdd = withPayload.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, bright) = fakeDecode(bytes)
+        // HALF_UP to match SQL ROUND semantics (rint would be half-even)
+        Row(id, bytes.length, w, h,
+          BigDecimal(bright).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      })
+      spark.createDataFrame(rdd, featureSchema).orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // md5(text) == md5 of the utf8 payload bytes (DuckDB's md5 hashes
+    // the string's utf8 encoding; it has no BLOB overload).
+    "m01_binary_meta" -> """
+      SELECT doc_id,
+        octet_length(encode(text)) AS n_bytes,
+        md5(text) AS payload_md5,
+        source AS media_source
+      FROM documents ORDER BY doc_id""",
+
+    // m02's decode stub is reproducible in SQL too: the fixture text is
+    // pure ASCII (verified over sf0.1), so utf8 byte values == ascii
+    // codepoints and the byte-sum can be expressed with ascii(substr).
+    "m02_media_features" -> """
+      WITH s AS (
+        SELECT doc_id, length(text) AS n_bytes,
+          list_sum(list_transform(range(1, length(text) + 1),
+            i -> ascii(substr(text, CAST(i AS INT), 1)))) AS byte_sum
+        FROM documents)
+      SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes,
+        CAST(byte_sum % 640 + 1 AS INT) AS width,
+        CAST(n_bytes % 480 + 1 AS INT) AS height,
+        ROUND(CAST(byte_sum AS DOUBLE) / n_bytes, 6) AS brightness
+      FROM s ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Similarity search over the `embeddings` fixture (vec_id,
+  * embedding: array<float>, label).
+  *
+  * Two paths, per the scale playbook:
+  *   - s01: brute-force exact cosine top-k for a bounded query set —
+  *     broadcast the queries, stream the corpus once. Linear in
+  *     |corpus|×|queries|; the right baseline and the recall oracle.
+  *   - s02: LSH (sign-random-projection) bucketed ANN — candidates
+  *     share a signature band, so the join is on small equality keys
+  *     and the corpus is never exhaustively compared. This is the
+  *     100 TB path: band join ≈ O(n · bucket_occupancy), all shuffle-
+  *     friendly.
+  *
+  * Vector math is built-in higher-order functions (zip_with/aggregate)
+  * — codegen'd, no UDF, no shuffle. Elements are cast float→double
+  * (exact) before arithmetic so results are engine-portable.
+  */
+object Similarity {
+
+  /** Exact cosine similarity of two double arrays: left-fold dot and
+    * norms, matching the oracle's list_sum(list_transform(...)) shape. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDoubleVec(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  private val NumPlanes = 16 // LSH signature bits
+  private val NumBands = 4   // 4 bands × 4 bits
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight
+    * derived from a 64-bit avalanche of (p, d) — same planes on every
+    * run/executor with no RNG state to ship. */
+  private def planeWeight(p: Column, dEl: Column): Column =
+    (xxhash64(p * 1000 + dEl).cast(DoubleType) / lit(Long.MaxValue.toDouble))
+
+  /** vec_id, v (double vec), 16-bit LSH signature + band keys. */
+  private def signed(df: DataFrame): DataFrame = {
+    val v = col("v")
+    val sigBits = transform(sequence(lit(0), lit(NumPlanes - 1)), p => {
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeWeight(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, 1).otherwise(0)
+    })
+    df.withColumn("sig", sigBits)
+      .withColumn("bands", array((0 until NumBands).map { b =>
+        struct(lit(b).as("band_idx"),
+          concat_ws("", (0 until NumPlanes / NumBands)
+            .map(i => col("sig")(b * (NumPlanes / NumBands) + i)): _*).as("band_key"))
+      }: _*))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force exact top-5 neighbors for query vectors (vec_id<10).
+    // Queries broadcast; corpus scanned once; per-query ranking via
+    // window on the (tiny) candidate set.
+    "s01_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // ANN via sign-random-projection LSH: same 10 queries, but
+    // candidates limited to vectors sharing ≥1 signature band. Exact
+    // cosine re-rank on candidates only. (Recall vs s01 is asserted in
+    // SimilaritySpec; no SQL oracle — LSH banding isn't expressible.)
+    "s02_ann_lsh_topk" -> ((s, d) => {
+      val emb = signed(Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
+      val exploded = emb.select(col("vec_id"), col("v"),
+        explode(col("bands")).as("band"))
+        .select(col("vec_id"), col("v"),
+          col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+      val q = exploded.filter(col("vec_id") < 10)
+        .select(col("band_idx"), col("band_key"),
+          col("vec_id").as("q_id"), col("v").as("qv"))
+      val cands = exploded.join(q, Seq("band_idx", "band_key"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("qv"), col("vec_id"), col("v"))
+        .distinct() // a pair may share several bands
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+      cands.withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("q_id", "rk")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s01_cosine_topk" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) /
+          (SQRT(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+           SQRT(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT q_id, rk, neighbor_id, ROUND(cos, 6) AS cos_sim
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
+  )
+}

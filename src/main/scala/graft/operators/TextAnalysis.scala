@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, content fingerprinting. All
+  * per-row scalar pipelines built from codegen'd built-ins — they
+  * parallelize embarrassingly (no shuffle except final ordering /
+  * aggregation), which is exactly what a 100 TB text-cleaning pass
+  * needs.
+  */
+object TextAnalysis {
+
+  /** Marker-word char-mass score: how much of the (space-padded) text
+    * is covered by a language's marker words. replace()-based counting
+    * keeps the logic byte-identical between Spark and the oracle. */
+  private def markerScore(padded: Column, words: Seq[String]): Column =
+    words.map(w => length(padded) - length(replace(padded, lit(w), lit(""))))
+      .reduce(_ + _)
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "zh" -> Seq("的", "是"))
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Language ID (n-gram/marker heuristic) → confusion matrix against
+    // the labeled `lang` column. Deterministic argmax with fixed
+    // precedence (en,es,fr,de,zh).
+    "t01_langid" -> ((s, d) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val scored = Tables.documents(s, d)
+        .withColumns(LangMarkers.map { case (l, ws) => s"s_$l" -> markerScore(padded, ws) }.toMap)
+      val Seq(en, es, fr, de, zh) = LangMarkers.map { case (l, _) => col(s"s_$l") }
+      val all = greatest(en, es, fr, de, zh)
+      val pred = when(all === 0, "und")
+        .when(en === all, "en").when(es === all, "es")
+        .when(fr === all, "fr").when(de === all, "de")
+        .otherwise("zh")
+      scored.withColumn("pred_lang", pred)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Quality scoring: token stats, stopword ratio, length prior.
+    "t02_quality_score" -> ((s, d) => {
+      val toks = split(lower(col("text")), "\\s+")
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_stop",
+          size(filter(toks, t => t.isInCollection(StopWords))))
+        .withColumn("avg_token_len",
+          length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / col("n_tokens"))
+        .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+        .withColumn("quality_score",
+          round(col("stop_ratio") * 0.5 + least(col("n_tokens").cast(DoubleType) / lit(100.0), lit(1.0)) * 0.5, 6))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("stop_ratio"), 6).as("stop_ratio"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens vs BPE-ish regex tokens
+    // (letter runs / digit runs / single other chars).
+    "t03_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(lower(col("text")), "\\s+")).as("ws_tokens"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .as("re_tokens"),
+          length(col("text")).as("n_chars_computed"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    // Document fingerprinting: full-content digest + 60-bit numeric
+    // fingerprint + min/max shingle hashes (rolling-hash style, the
+    // building block of winnowing).
+    "t04_fingerprint" -> ((s, d) => {
+      val toks = split(lower(col("text")), "\\s+")
+      val grams = when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3), i =>
+          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+        .otherwise(array(lower(col("text"))))
+      val gramHash = (g: Column) =>
+        conv(substring(md5(g), 1, 15), 16, 10).cast(LongType)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("content_md5"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType).as("fp60"),
+          array_min(transform(grams, gramHash)).as("min_shingle_hash"),
+          array_max(transform(grams, gramHash)).as("max_shingle_hash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private def oracleMarkerScore(words: Seq[String]): String =
+    words.map(w => s"(length(p) - length(replace(p, '$w', '')))").mkString(" + ")
+
+  val oracle: Map[String, String] = {
+    val scoreCols = LangMarkers.map { case (l, ws) => s"${oracleMarkerScore(ws)} AS s_$l" }.mkString(", ")
+    Map(
+      "t01_langid" -> s"""
+        WITH padded AS (
+          SELECT lang, concat(' ', lower(text), ' ') AS p FROM documents),
+        scored AS (SELECT lang, $scoreCols FROM padded),
+        pred AS (
+          SELECT lang, CASE
+            WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+            WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+            ELSE 'zh' END AS pred_lang
+          FROM scored)
+        SELECT lang, pred_lang, COUNT(*) AS n_docs
+        FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
+
+      "t02_quality_score" -> s"""
+        WITH t AS (
+          SELECT doc_id, text,
+            string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, text, len(toks) AS n_tokens,
+            len(list_filter(toks, x -> x IN (${StopWords.map(w => s"'$w'").mkString(",")}))) AS n_stop
+          FROM t)
+        SELECT doc_id, n_tokens, n_stop,
+          ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+          ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+          ROUND((CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 +
+                least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5, 6) AS quality_score
+        FROM c ORDER BY doc_id""",
+
+      "t03_token_count" -> """
+        SELECT doc_id,
+          len(string_split_regex(lower(text), '\s+')) AS ws_tokens,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+          length(text) AS n_chars_computed,
+          n_chars
+        FROM documents ORDER BY doc_id""",
+
+      "t04_fingerprint" -> """
+        WITH t AS (
+          SELECT doc_id, text, md5(text) AS content_md5,
+            string_split_regex(lower(text), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, content_md5,
+            CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+              ELSE [lower(text)] END AS grams
+          FROM t)
+        SELECT doc_id, content_md5,
+          CAST(concat('0x', substr(content_md5, 1, 15)) AS BIGINT) AS fp60,
+          list_aggregate(list_transform(grams,
+            x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)), 'min') AS min_shingle_hash,
+          list_aggregate(list_transform(grams,
+            x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)), 'max') AS max_shingle_hash
+        FROM g ORDER BY doc_id"""
+    )
+  }
+}

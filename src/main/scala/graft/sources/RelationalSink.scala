@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Relational sink — the reference's whole reason to exist
+  * (`/root/reference/src/main.rs:120-151`): batched, concurrent
+  * `INSERT`s into Postgres.
+  *
+  * The reference shape: ≤10 concurrent insert tasks (semaphore,
+  * `src/main.rs:68`), 1000-row multi-row INSERT statements
+  * (`src/main.rs:74,126-149`), pooled connections (`src/main.rs:65`).
+  * Spark's JDBC writer preserves exactly that shape distributed:
+  * one connection per partition (`numPartitions` = the semaphore),
+  * `batchsize` rows per prepared-statement batch, `CREATE TABLE`
+  * emitted from the dialect mapping. At cluster scale the same call
+  * fans out over executors; the DB-side concurrency cap stays
+  * `numPartitions`, which is the knob that matters at 1000 executors.
+  *
+  * No Postgres JDBC driver jar ships in this offline image (SURVEY
+  * §7.1), so the JDBC path is exercised only when a URL is reachable;
+  * tests use [[ParquetSink]] through the same trait.
+  */
+trait RelationalSink {
+  def write(df: DataFrame, table: String, mode: SaveMode = SaveMode.Append): Unit
+}
+
+/** Postgres/JDBC sink with the reference's knobs as defaults:
+  * batch 1000 (`src/main.rs:74`), fan-out 10 (`src/main.rs:68`).
+  */
+final class JdbcSink(url: String, props: java.util.Properties,
+                     batchSize: Int = 1000, numPartitions: Int = 10)
+    extends RelationalSink {
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit = {
+    // repartition caps concurrent DB connections exactly like the
+    // reference's Semaphore::new(10) capped in-flight inserts.
+    val out = if (df.rdd.getNumPartitions > numPartitions)
+      df.coalesce(numPartitions) else df
+    out.write
+      .mode(mode)
+      .option("batchsize", batchSize.toString)
+      .option("createTableColumnTypes",
+        SchemaMapper.createTableColumnTypes(df.schema))
+      .jdbc(url, table, props)
+  }
+}
+
+/** Test/offline sink: same trait, parquet directory instead of a DB. */
+final class ParquetSink(baseDir: String) extends RelationalSink {
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    df.write.mode(mode).parquet(s"$baseDir/$table")
+}

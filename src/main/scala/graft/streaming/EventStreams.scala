@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` fixture. The
+  * reference has no streaming at all (its batch loop is bounded file
+  * iteration, `/root/reference/src/main.rs:75` — SURVEY §2.2), so this
+  * is pure extension: watermarked tumbling/sliding/session windows.
+  *
+  * Design: each windowed aggregation is defined ONCE as a DataFrame
+  * transform that works on either a batch or a streaming source —
+  * batch mode feeds the DuckDB oracle (graft.operators.StreamingOps),
+  * streaming mode (readStream + watermark + memory sink) is exercised
+  * in StreamingSpec. That "one definition, two modes" shape is exactly
+  * how Structured Streaming is meant to be used, and it means the
+  * correctness gate covers the same plan the stream runs.
+  */
+object EventStreams {
+
+  /** Schema for streaming reads (streams can't infer): ts arrives as
+    * epoch-nanos int64 (the fixture's TIMESTAMP(NANOS) physical type,
+    * which Spark reads via nanosAsLong — see graft.Tables). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def normalize(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Open the events fixture as an unbounded file stream. */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize(spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** Tumbling 1-hour counts/sums per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Per-user session windows with a 30-minute inactivity gap. */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"))
+      .select(col("w.start").as("session_start"), col("user_id"),
+        col("n_events"), col("last_ts"))
+
+  /** Watermarked variant for true streaming runs: drop events >2 hours
+    * late before windowing (append-mode compatible). */
+  def tumblingCountsStreaming(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "2 hours"))
+
+  def sessionStatsStreaming(events: DataFrame): DataFrame =
+    sessionStats(events.withWatermark("ts", "2 hours"))
+}
