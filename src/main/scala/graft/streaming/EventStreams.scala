@@ -33,12 +33,16 @@ object EventStreams {
   def normalize(raw: DataFrame): DataFrame =
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
-  /** Open the events fixture as an unbounded file stream. */
+  /** Open the events fixture as an unbounded file stream. The file
+    * source wants a directory, so stream the sf dir with a glob filter
+    * — also the realistic shape: new event files landing in a
+    * directory is exactly how a 100 TB stream arrives. */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalize(spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$sfDir/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir))
   }
 
   /** Tumbling 1-hour counts/sums per event type. */

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Operator-level invariants at sf0.001 (fast); exact value parity vs
+  * DuckDB is the driver's Verify gate — these specs assert semantic
+  * properties that the oracle can't (idempotence, bounds, recall).
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val d = TestSpark.sf0001
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(s).count() > 0)
+  }
+
+  test("every registered query runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q01 groups by (returnflag, linestatus) with positive aggregates") {
+    val rows = Relational.queries("q01_pricing_summary")(s, d).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(r => r.getAs[Double]("sum_qty") > 0))
+  }
+
+  test("q02 top-k is ordered descending") {
+    val prices = Relational.queries("q02_topk_orders")(s, d)
+      .collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length === 10)
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("q07 anti-join: no customer with orders appears") {
+    val noOrders = Relational.queries("q07_customers_no_orders")(s, d)
+      .agg(coalesce(sum("n_customers"), lit(0L))).collect()(0).getLong(0)
+    val c = Tables.customer(s, d).count()
+    val withOrders = Tables.customer(s, d).join(Tables.orders(s, d),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(noOrders === c - withOrders)
+  }
+
+  test("d01 exact dedup partitions the corpus: copies sum to total docs") {
+    val out = Dedup.queries("d01_dedup_exact")(s, d)
+    val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total === Tables.documents(s, d).count())
+  }
+
+  test("d01 dedup is idempotent: dedup of kept docs keeps them all") {
+    val kept = Dedup.queries("d01_dedup_exact")(s, d).select(col("keep_id"))
+    val docs = Tables.documents(s, d)
+    val keptDocs = docs.join(kept, docs("doc_id") === kept("keep_id"), "left_semi")
+    val again = keptDocs.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+    assert(again.filter(col("n") > 1).count() === 0)
+  }
+
+  test("d02 minhash estimates are valid jaccard fractions over candidate pairs") {
+    val rows = Dedup.queries("d02_dedup_minhash")(s, d).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val j = r.getAs[Double]("est_jaccard"); j >= 0.0 && j <= 1.0 &&
+        r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")
+    })
+  }
+
+  test("d03 simhash pairs respect the hamming threshold") {
+    val rows = Dedup.queries("d03_dedup_simhash")(s, d).collect()
+    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("s01 exact top-k: 5 neighbors per query, ranked by descending cosine") {
+    val rows = Similarity.queries("s01_cosine_topk")(s, d).collect()
+    assert(rows.length === 50)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, g) =>
+      val sims = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+  }
+
+  test("s02 ANN returns a subset ranking consistent with exact search") {
+    val exact = Similarity.queries("s01_cosine_topk")(s, d).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.queries("s02_ann_lsh_topk")(s, d).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // deterministic planes -> deterministic recall; just require signal.
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.0, s"ANN recall collapsed to zero (|ann|=${ann.size})")
+  }
+
+  test("t02 quality metrics are bounded") {
+    val rows = TextAnalysis.queries("t02_quality_score")(s, d).collect()
+    assert(rows.forall { r =>
+      val sr = r.getAs[Double]("stop_ratio"); sr >= 0 && sr <= 1 &&
+        r.getAs[Double]("quality_score") <= 1.0
+    })
+  }
+
+  test("m02 media features: one row per doc, stub decode is deterministic") {
+    val out = Multimodal.queries("m02_media_features")(s, d)
+    assert(out.count() === Tables.documents(s, d).count())
+    val (w1, h1, b1) = Multimodal.fakeDecode("hello world".getBytes("UTF-8"))
+    val (w2, h2, b2) = Multimodal.fakeDecode("hello world".getBytes("UTF-8"))
+    assert((w1, h1, b1) === (w2, h2, b2))
+    assert(w1 >= 1 && w1 <= 640 && h1 >= 1 && h1 <= 480)
+  }
+}
