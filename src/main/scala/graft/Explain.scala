@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan (and optionally row
+  * counts of intermediate interest) for named queries.
+  * Usage: runMain graft.Explain <sfDir> <query...>
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.drop(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach {
+      case "dev_d02_buckets" =>
+        // histogram of LSH band-bucket sizes (skew diagnosis)
+        import org.apache.spark.sql.functions._
+        val banded = operators.Dedup.bandedKeys(Tables.documents(spark, sfDir))
+        banded.groupBy("band_idx", "band_hash").count()
+          .groupBy("count").agg(count(lit(1)).as("n_buckets"))
+          .orderBy(col("count").desc).show(20, false)
+      case n =>
+        println(s"===== $n =====")
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.explain("formatted")
+        val t0 = System.nanoTime()
+        val cnt = df.count()
+        println(s"rows=$cnt in ${(System.nanoTime() - t0) / 1e9}s")
+    }
+    spark.stop()
+  }
+}

@@ -25,13 +25,21 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Exact cosine similarity of two double arrays: left-fold dot and
-    * norms, matching the oracle's list_sum(list_transform(...)) shape. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Left-fold dot product, matching the oracle's
+    * list_sum(list_transform(...)) evaluation order exactly. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm — precompute this ONCE per vector row; recomputing norms
+    * per candidate pair triples the (interpreted) array math. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Exact cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine given precomputed norms (the pair-scored hot path). */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   private def asDoubleVec(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
@@ -69,11 +77,12 @@ object Similarity {
     "s01_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+        .withColumn("nv", norm(col("v")))
       val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
       val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("cos", cosinePre(col("qv"), col("v"), col("nq"), col("nv")))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -89,19 +98,19 @@ object Similarity {
     "s02_ann_lsh_topk" -> ((s, d) => {
       val emb = signed(Tables.embeddings(s, d)
         .select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
-      val exploded = emb.select(col("vec_id"), col("v"),
-        explode(col("bands")).as("band"))
-        .select(col("vec_id"), col("v"),
+      val exploded = emb.withColumn("nv", norm(col("v")))
+        .select(col("vec_id"), col("v"), col("nv"), explode(col("bands")).as("band"))
+        .select(col("vec_id"), col("v"), col("nv"),
           col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
       val q = exploded.filter(col("vec_id") < 10)
         .select(col("band_idx"), col("band_key"),
-          col("vec_id").as("q_id"), col("v").as("qv"))
+          col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
       val cands = exploded.join(q, Seq("band_idx", "band_key"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("qv"), col("vec_id"), col("v"))
+        .select(col("q_id"), col("qv"), col("nq"), col("vec_id"), col("v"), col("nv"))
         .distinct() // a pair may share several bands
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-      cands.withColumn("cos", cosine(col("qv"), col("v")))
+      cands.withColumn("cos", cosinePre(col("qv"), col("v"), col("nq"), col("nv")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
