@@ -185,15 +185,11 @@ object Dedup {
       val dbl = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val withNorm = dbl.withColumn("nv", Similarity.norm(col("v")))
-      val a = withNorm.select(col("label"), col("vec_id").as("id_a"),
-        col("v").as("va"), col("nv").as("na"))
-      val b = withNorm.select(col("label"), col("vec_id").as("id_b"),
-        col("v").as("vb"), col("nv").as("nb"))
+      val a = dbl.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = dbl.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cos",
-          Similarity.cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
         .filter(col("cos") > 0.3)
         .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
         .orderBy("id_a", "id_b")

@@ -30,16 +30,23 @@ object Similarity {
   def dot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
-  /** L2 norm — precompute this ONCE per vector row; recomputing norms
-    * per candidate pair triples the (interpreted) array math. */
+  /** L2 norm. */
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Exact cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Exact cosine similarity of two double arrays — the native
+    * codegen'd one-pass expression (graft.functions.CosineSimilarity);
+    * bit-identical to the dot/norm composition above and the oracle. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
-  /** Cosine given precomputed norms (the pair-scored hot path). */
+  /** Cosine given precomputed norms — retained for callers that
+    * already carry norms; the one-pass native expression makes the
+    * precompute unnecessary, so this just delegates. */
   def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+    cosine(a, b)
 
   private def asDoubleVec(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
@@ -77,12 +84,11 @@ object Similarity {
     "s01_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-        .withColumn("nv", norm(col("v")))
       val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosinePre(col("qv"), col("v"), col("nq"), col("nv")))
+        .withColumn("cos", cosine(col("qv"), col("v")))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -98,19 +104,19 @@ object Similarity {
     "s02_ann_lsh_topk" -> ((s, d) => {
       val emb = signed(Tables.embeddings(s, d)
         .select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
-      val exploded = emb.withColumn("nv", norm(col("v")))
-        .select(col("vec_id"), col("v"), col("nv"), explode(col("bands")).as("band"))
-        .select(col("vec_id"), col("v"), col("nv"),
+      val exploded = emb
+        .select(col("vec_id"), col("v"), explode(col("bands")).as("band"))
+        .select(col("vec_id"), col("v"),
           col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
       val q = exploded.filter(col("vec_id") < 10)
         .select(col("band_idx"), col("band_key"),
-          col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+          col("vec_id").as("q_id"), col("v").as("qv"))
       val cands = exploded.join(q, Seq("band_idx", "band_key"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("qv"), col("nq"), col("vec_id"), col("v"), col("nv"))
+        .select(col("q_id"), col("qv"), col("vec_id"), col("v"))
         .distinct() // a pair may share several bands
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-      cands.withColumn("cos", cosinePre(col("qv"), col("v"), col("nq"), col("nv")))
+      cands.withColumn("cos", cosine(col("qv"), col("v")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
