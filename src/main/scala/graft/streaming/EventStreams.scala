@@ -77,4 +77,48 @@ object EventStreams {
 
   def sessionStatsStreaming(events: DataFrame): DataFrame =
     sessionStats(events.withWatermark("ts", "2 hours"))
+
+  /** Custom arbitrary state: per-user running totals via
+    * flatMapGroupsWithState — the escape hatch for stateful logic the
+    * built-in windows can't express (here: lifetime event count, value
+    * sum, and last-seen timestamp emitted per micro-batch). State is
+    * partitioned by user_id, so it scales with the key space across
+    * executors, and the emitted snapshot converges to the batch
+    * groupBy aggregate once the stream is drained.
+    */
+  def userTotalsStreaming(events: DataFrame): org.apache.spark.sql.Dataset[UserTotals] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[UserTotals]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey((r: Row) => r.getAs[Long]("user_id"))(longEnc)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Row], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0, Long.MinValue))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            val micros = r.getAs[java.sql.Timestamp]("ts").getTime * 1000L
+            UserTotals(userId, acc.n_events + 1,
+              // cents-exact accumulation (value has 2dp) so the final
+              // snapshot is order-independent
+              math.rint(acc.sum_value * 100 + r.getAs[Double]("value") * 100) / 100,
+              math.max(acc.last_seen_ms, micros / 1000))
+          }
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Batch equivalent of the final state of [[userTotalsStreaming]]. */
+  def userTotalsBatch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(14, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType)).as("sum_value"),
+        (unix_millis(max(col("ts")))).as("last_seen_ms"))
 }
+
+/** State/output record for the stateful stream. */
+case class UserTotals(user_id: Long, n_events: Long, sum_value: Double,
+                      last_seen_ms: Long)
