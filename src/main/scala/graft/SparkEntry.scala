@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      StreamingOps.queries
+      StreamingOps.queries ++ Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops
@@ -32,5 +32,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
-      StreamingOps.oracle
+      StreamingOps.oracle ++ Sketches.oracle
 }

@@ -148,9 +148,14 @@ object Dedup {
     // source, nearby ids) — the oracle-checkable exact-math variant;
     // the unbounded-scale variant is d02 (LSH generates candidates).
     "d04_ngram_jaccard" -> ((s, d) => {
+      // grams are carried as 64-bit hashes: set sizes (and therefore
+      // the Jaccard ratio) are identical to the string form the oracle
+      // computes, but the per-pair intersect/union walks longs, not
+      // strings.
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          array_distinct(shingles(tokens(col("text")))).as("grams"),
+          array_distinct(transform(shingles(tokens(col("text"))), g => xxhash64(g)))
+            .as("grams"),
           size(tokens(col("text"))).as("n_toks"))
         .filter(col("n_toks") >= 3)
         // exchange barrier: materialize grams ONCE PER DOC here —

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Sketches, Skew}
+
+class SkewAndSketchSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val d = TestSpark.sf0001
+
+  test("salted join equals the plain equi-join") {
+    val o = Tables.orders(s, d).withColumnRenamed("o_custkey", "c_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val plain = o.join(c, Seq("c_custkey"))
+      .select("o_orderkey", "c_mktsegment").orderBy("o_orderkey")
+    val salted = Skew.saltedJoin(o, c, "c_custkey", 8)
+      .select("o_orderkey", "c_mktsegment").orderBy("o_orderkey")
+    assert(salted.collect().map(_.toSeq).toSeq === plain.collect().map(_.toSeq).toSeq)
+  }
+
+  test("deterministic salted join equals the plain equi-join") {
+    val o = Tables.orders(s, d).withColumnRenamed("o_custkey", "c_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+    val plain = o.join(c, Seq("c_custkey")).count()
+    val salted = Skew.saltedJoinDeterministic(o, c, "c_custkey",
+      Seq(col("o_orderkey")), 4).count()
+    assert(salted === plain)
+  }
+
+  test("approx sketches are within published error bounds of exact values") {
+    val rows = Sketches.queries("a01_approx_sketches")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_customers").toDouble
+      val exact = r.getAs[Long]("exact_customers").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"HLL estimate $approx vs exact $exact out of bounds")
+      assert(r.getAs[Double]("approx_median") > 0)
+    }
+  }
+}
