@@ -18,6 +18,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // The fixtures are single-digit-MB but CPU-dense (hashing,
+      // signatures, array math), so byte-based coalescing to ~1
+      // partition would serialize the compute; let AQE keep small
+      // partitions. At cluster scale shuffles are GBs and this floor
+      // is inert.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")

@@ -11,49 +11,68 @@ import graft.Tables
   *
   * Scale stance (100 TB): every variant is expressed as hash/band keys
   * + shuffle-friendly groupBy/join — never an unbanded cross join, no
-  * driver-side state. All signature math uses built-in higher-order
-  * array functions (transform/aggregate/zip_with), which evaluate
-  * per-row inside codegen with zero extra shuffles: the only shuffles
-  * are the final candidate-pair groupBy/joins on band keys.
+  * driver-side state. Signature math runs row-wise under whole-stage
+  * codegen (posexplode → window → hash-aggregate); the shuffles are the
+  * per-doc clustering and the candidate-pair joins on band keys, all
+  * linear in the data.
   */
 object Dedup {
 
-  /** Whitespace tokens, lowercased. */
-  private def tokens(c: Column): Column = split(lower(c), "\\s+")
-
-  /** Word 3-gram shingles (the unit for MinHash and Jaccard). Docs with
-    * <3 tokens shingle to the whole text so they still get a signature. */
-  private def shingles(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-      .otherwise(array(concat_ws(" ", toks)))
+  import org.apache.spark.sql.expressions.Window
 
   private val NumHashes = 32 // MinHash signature length
   private val Bands = 8      // LSH bands → rows per band r = 32/8 = 4
 
+  /** One row per word-3-gram shingle hash: (doc_id, source, sh, full3).
+    *
+    * Row-based on purpose. An earlier array-space version built shingle
+    * strings with an interpreted higher-order `transform` whose lambda
+    * re-evaluated `split(lower(text))` for every `element_at` — ~150
+    * regex splits per document once CollapseProject inlined it, all on
+    * the scan's single input partition. Here the `posexplode` generator
+    * evaluates the split ONCE per document, every per-token expression
+    * (xxhash64, lead) is codegen'd, and the window shuffle on doc_id is
+    * the same clustering the downstream signature groupBy needs, so no
+    * second exchange appears. Shingle identity = xxhash64 of the three
+    * consecutive token hashes — bijective with the token triple (and
+    * the gram string: tokens contain no whitespace) modulo negligible
+    * 64-bit collisions, which exact-gram set math already tolerates.
+    *
+    * Docs with <3 tokens contribute one fallback shingle (full3=false)
+    * so fuzzy dedup still signs them; exact-gram ops filter on full3.
+    */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("th", xxhash64(col("tok")))
+      .withColumn("t1", lead("th", 1).over(w))
+      .withColumn("t2", lead("th", 2).over(w))
+      .filter(col("t2").isNotNull || col("pos") === 0)
+      .select(col("doc_id"), col("source"),
+        when(col("t2").isNotNull, xxhash64(col("th"), col("t1"), col("t2")))
+          .otherwise(xxhash64(col("th"), coalesce(col("t1"), lit(0L)), lit(0L)))
+          .as("sh"),
+        col("t2").isNotNull.as("full3"))
+  }
+
   /** doc_id + minhash signature (array of 32 longs).
     *
-    * Shape chosen for codegen and scale: explode shingles to rows,
-    * derive the 32 hash families from TWO base hashes per shingle
-    * (Carter–Wegman h_i = h1 + i·h2 — one string hash pass instead of
-    * 32), then 32 plain `min` aggregates in one hash-aggregation over
-    * doc_id. Everything whole-stage-codegen'd; the only shuffle is the
-    * doc_id groupBy. (A first cut used array-space higher-order
-    * functions — interpreted, 100ms/doc; this is ~100× faster.)
+    * The 32 hash families derive from the two 31-bit halves of the
+    * shingle hash (Carter–Wegman h_i = h1 + i·h2 — no further hashing),
+    * then 32 plain `min` aggregates in one hash-aggregation over
+    * doc_id. Masking to 31 bits keeps h1 + 31·h2 < 2^36, so the family
+    * can never overflow long arithmetic.
     */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
-      // mask to 31 bits: h1 + 31·h2 then stays < 2^36, so the hash
-      // family can never overflow ANSI long arithmetic
+    val rows = shingleRows(docs)
       .select(col("doc_id"),
-        xxhash64(col("s"), lit(1)).bitwiseAND(lit(0x7FFFFFFFL)).as("h1"),
-        xxhash64(col("s"), lit(2)).bitwiseAND(lit(0x7FFFFFFFL)).as("h2"))
+        col("sh").bitwiseAND(lit(0x7FFFFFFFL)).as("h1"),
+        shiftrightunsigned(col("sh"), 32).bitwiseAND(lit(0x7FFFFFFFL)).as("h2"))
     val mins = (0 until NumHashes).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
-    exploded.groupBy("doc_id")
+    rows.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
@@ -117,8 +136,14 @@ object Dedup {
       // fingerprint folds the 64 agg columns with literal shifts — no
       // interpreted lambdas anywhere, one shuffle on doc_id.
       val exploded = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("t"))
         .select(col("doc_id"), xxhash64(col("t")).as("h"))
+        // Re-cluster token rows by doc_id BEFORE the partial aggregate:
+        // the 64 per-bit vote sums are the dominant compute, and this
+        // puts them on all cores even when the input is one parquet
+        // split; the groupBy below then needs no further exchange.
+        .repartition(col("doc_id"))
       val bitCnt = (0 until 64).map(i =>
         sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"c$i"))
       val aggCols = count(lit(1)).as("n") +: bitCnt
@@ -151,17 +176,12 @@ object Dedup {
       // grams are carried as 64-bit hashes: set sizes (and therefore
       // the Jaccard ratio) are identical to the string form the oracle
       // computes, but the per-pair intersect/union walks longs, not
-      // strings.
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          array_distinct(transform(shingles(tokens(col("text"))), g => xxhash64(g)))
-            .as("grams"),
-          size(tokens(col("text"))).as("n_toks"))
-        .filter(col("n_toks") >= 3)
-        // exchange barrier: materialize grams ONCE PER DOC here —
-        // without it CollapseProject inlines the (interpreted) shingle
-        // construction past the join and recomputes it per pair
-        .repartition(col("source"))
+      // strings. The aggregate is the exchange barrier, so grams are
+      // materialized once per doc, never recomputed per pair.
+      val docs = shingleRows(Tables.documents(s, d))
+        .filter(col("full3")) // oracle scopes to docs with >= 3 tokens
+        .groupBy(col("source"), col("doc_id"))
+        .agg(collect_set(col("sh")).as("grams"))
       // Band the "id within 50" range predicate into equi-join buckets
       // (bucket = doc_id div 50; a partner is in my bucket or the
       // next), so the join key is (source, bucket) and candidate

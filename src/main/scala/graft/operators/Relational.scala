@@ -455,7 +455,7 @@ object Relational {
 
     "q16_json_extract" -> """
       SELECT event_type, COUNT(*) AS n_events,
-        SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
       FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
       GROUP BY event_type ORDER BY event_type""",
 
