@@ -26,5 +26,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Headroom for the per-query generated classes of a 45-query run;
+  // the default 240m is enough but leaves little margin once JIT'd
+  // application code piles on top. (Huge-method handling is done the
+  // Spark way instead: spark.sql.codegen.hugeMethodLimit=8000 in the
+  // session config — forcing HotSpot to compile 8000+-bytecode
+  // monsters with -XX:-DontCompileHugeMethods stalls the C2 queue for
+  // minutes and everything behind it runs interpreted.)
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GRAFT_JVMLOG").toSeq.map(f =>
+  s"-Xlog:safepoint=info:file=$f:time,uptime"
+) ++ Seq(
+  // local[32] is driver+executors in ONE JVM: size the heap like the
+  // sum of a small cluster's executors, not like a driver. 8g caused
+  // cross-query full-GC drag in long Bench runs (341s -> ~100s total).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

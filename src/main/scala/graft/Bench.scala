@@ -16,23 +16,57 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE OFF for the local 45-query single-JVM benchmark, ON for a
+      // real cluster. AQE re-optimizes and re-CODEGENS every query
+      // stage: across 45 heterogeneous queries that multiplies the
+      // distinct generated classes ~4x, and the class churn flushes
+      // HotSpot inline caches (observed: ICBufferFull safepoint storms,
+      // shared Spark hot paths deoptimized to the interpreter, the
+      // same query 5s or 150s depending on where in the run it fell —
+      // full-suite totals 460-860s vs 154s with AQE off). Locally AQE
+      // also has nothing left to decide: join strategies are hinted
+      // explicitly (broadcast()/shuffle_hash), partitions are fixed at
+      // core count, and fixture-scale skew is nil. On a 1000-executor
+      // cluster the codegen cost amortizes over GB-scale stages and
+      // skew/coalescing matter — set SPARK_GRAFT_AQE=true there.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // AQE partition coalescing targets 64 MB partitions BY BYTES.
       // The fixtures are single-digit-MB but CPU-dense (hashing,
-      // signatures, array math), so byte-based coalescing to ~1
-      // partition would serialize the compute; let AQE keep small
-      // partitions. At cluster scale shuffles are GBs and this floor
-      // is inert.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // signatures, similarity math), so coalescing collapses every
+      // shuffle to 1-2 partitions and serializes the compute on a
+      // 32-core box (observed: the same query 5s or 45s depending on
+      // which side of the stats threshold a run landed). Keep the
+      // shuffle at spark.sql.shuffle.partitions = cores locally; on a
+      // real cluster with GB-scale shuffles coalescing earns its keep
+      // and would stay on.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // 4m, deliberately BELOW Spark's 10m default: a broadcast hash
+      // relation is built on ONE thread, so a "small" 600k-row side
+      // that sneaks under a fat threshold serializes the whole stage
+      // (observed: q04 28s from broadcasting projected lineitem).
+      // True dims (region/nation/customer/part/supplier) are far under
+      // 4m at any bench SF; genuinely-small intermediates are hinted
+      // with broadcast() at the query site instead.
+      .config("spark.sql.autoBroadcastJoinThreshold", "4m")
+      // Align whole-stage-codegen fallback with HotSpot's 8000-bytecode
+      // JIT ceiling (DontCompileHugeMethods): a fused method over this
+      // size would never be JIT-compiled and runs interpreted at 10-50x.
+      // Falling back to per-operator execution keeps codegen'd
+      // projections AND JIT-able method sizes. SPARK-21871's knob.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // dev-only: SPARK_GRAFT_EVENTLOG=true dumps per-stage metrics
+      .config("spark.eventLog.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.dir", "/tmp/spark-events")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the JVM/codegen once on the smallest SF so per-query numbers
     // measure the plan, not first-call JIT + classloading.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true") == "true")
+      try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
     // optional args = subset of query names to time (dev loop)
     val selected = if (args.isEmpty) SparkEntry.queries

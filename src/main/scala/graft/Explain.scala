@@ -15,8 +15,15 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "4m")
+      // Align whole-stage-codegen fallback with HotSpot's 8000-bytecode
+      // JIT ceiling (DontCompileHugeMethods): a fused method over this
+      // size would never be JIT-compiled and runs interpreted at 10-50x.
+      // Falling back to per-operator execution keeps codegen'd
+      // projections AND JIT-able method sizes. SPARK-21871's knob.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

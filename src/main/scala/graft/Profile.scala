@@ -13,15 +13,25 @@ object Profile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.eventLog.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.dir", "/tmp/spark-events")
+      .config("spark.sql.autoBroadcastJoinThreshold", "4m")
+      // Align whole-stage-codegen fallback with HotSpot's 8000-bytecode
+      // JIT ceiling (DontCompileHugeMethods): a fused method over this
+      // size would never be JIT-compiled and runs interpreted at 10-50x.
+      // Falling back to per-operator execution keeps codegen'd
+      // projections AND JIT-able method sizes. SPARK-21871's knob.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    for (name <- names; run <- 1 to 2) {
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    for (name <- names; run <- 1 to runs) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[profile] $name%-24s run$run ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")

@@ -11,6 +11,18 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Same join-planning knobs as Bench, so the plans the oracle
+      // verifies are the plans the bench measures.
+      .config("spark.sql.autoBroadcastJoinThreshold", "4m")
+      // see Bench.scala: AQE off locally (codegen-class churn), on for clusters
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // Align whole-stage-codegen fallback with HotSpot's 8000-bytecode
+      // JIT ceiling (DontCompileHugeMethods): a fused method over this
+      // size would never be JIT-compiled and runs interpreted at 10-50x.
+      // Falling back to per-operator execution keeps codegen'd
+      // projections AND JIT-able method sizes. SPARK-21871's knob.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

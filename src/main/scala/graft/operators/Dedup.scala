@@ -109,7 +109,12 @@ object Dedup {
       // candidate join (a pair can match in several bands; dedupe the
       // id pairs first, then score each unique pair exactly once).
       val banded = bandedKeys(Tables.documents(s, d))
+      // shuffle_hash on every join over post-aggregate intermediates:
+      // their size estimates are unreliable, and a mis-chosen
+      // broadcast builds a huge hash relation on one thread (and
+      // would OOM outright at cluster scale).
       val pairs = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+        .hint("shuffle_hash")
         .join(banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
           Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
@@ -117,11 +122,19 @@ object Dedup {
         .distinct()
       // ReuseExchange dedupes the identical signature subplans.
       pairs
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+          .hint("shuffle_hash"), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+          .hint("shuffle_hash"), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-            eq => eq)).cast(DoubleType) / NumHashes).as("est_jaccard"))
+          // 32 unrolled element comparisons, NOT zip_with∘filter:
+          // higher-order functions evaluate interpreted (outside
+          // whole-stage codegen) and their lambda dispatch goes
+          // megamorphic as more plans run in the JVM; a plain sum of
+          // element_at equality terms stays inside codegen.
+          ((0 until NumHashes).map(i =>
+            when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+            .reduce(_ + _).cast(DoubleType) / NumHashes).as("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -130,27 +143,38 @@ object Dedup {
     // (≤3 flipped bits → at least one chunk identical), so the join is
     // again on small equality keys, not all-pairs.
     "d03_dedup_simhash" -> ((s, d) => {
-      // Explode distinct token hashes to rows, then the 64 per-bit vote
-      // counters are 64 codegen'd conditional sums in ONE hash
-      // aggregation (bit i votes +1 when set; votes = 2*ones - n). The
-      // fingerprint folds the 64 agg columns with literal shifts — no
-      // interpreted lambdas anywhere, one shuffle on doc_id.
+      // Explode distinct token hashes to rows, then aggregate the 64
+      // per-bit vote counters PACKED four-per-long in 16-bit slots —
+      // 16 sum columns instead of 64. Janino's compile cost is
+      // superlinear in the aggregate's generated-code width; the
+      // unpacked 64-column version spent minutes single-threaded in
+      // UnitCompiler while 31 cores idled. Slot arithmetic never
+      // carries while a document has < 2^16 distinct tokens (a ~0.5 MB
+      // text; beyond that the fingerprint degrades, exact dedup d01
+      // still covers it). Bit i of the fingerprint lives in column
+      // c(i/4), slot (i%4); votes = 2*ones - n as before.
       val exploded = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(split(lower(col("text")), "\\s+"))).as("t"))
         .select(col("doc_id"), xxhash64(col("t")).as("h"))
         // Re-cluster token rows by doc_id BEFORE the partial aggregate:
-        // the 64 per-bit vote sums are the dominant compute, and this
+        // the per-bit vote sums are the dominant compute, and this
         // puts them on all cores even when the input is one parquet
         // split; the groupBy below then needs no further exchange.
         .repartition(col("doc_id"))
-      val bitCnt = (0 until 64).map(i =>
-        sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"c$i"))
+      val bitCnt = (0 until 16).map { j =>
+        val packed = (0 until 4).map { k =>
+          shiftleft(shiftright(col("h"), j * 4 + k).bitwiseAND(1L), k * 16)
+        }.reduce(_ + _)
+        sum(packed).as(s"c$j")
+      }
       val aggCols = count(lit(1)).as("n") +: bitCnt
       val agged = exploded.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-      val fp = (0 until 64).map(i =>
-        when(col(s"c$i") * 2 > col("n"), lit(1L << i)).otherwise(0L))
-        .reduce(_ + _)
+      val fp = (0 until 64).map { i =>
+        val ones = shiftrightunsigned(col(s"c${i / 4}"), (i % 4) * 16)
+          .bitwiseAND(lit(0xFFFFL))
+        when(ones * 2 > col("n"), lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
       val docs = agged.select(col("doc_id"), fp.as("fp"))
       val chunked = docs.select(col("doc_id"), col("fp"),
         posexplode(array((0 until 4).map(i =>
@@ -160,7 +184,7 @@ object Dedup {
         col("doc_id").as("doc_a"), col("fp").as("fp_a"))
       val b = chunked.select(col("chunk_idx"), col("chunk"),
         col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-      a.join(b, Seq("chunk_idx", "chunk"))
+      a.hint("shuffle_hash").join(b, Seq("chunk_idx", "chunk"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
@@ -173,30 +197,44 @@ object Dedup {
     // source, nearby ids) — the oracle-checkable exact-math variant;
     // the unbounded-scale variant is d02 (LSH generates candidates).
     "d04_ngram_jaccard" -> ((s, d) => {
-      // grams are carried as 64-bit hashes: set sizes (and therefore
-      // the Jaccard ratio) are identical to the string form the oracle
-      // computes, but the per-pair intersect/union walks longs, not
-      // strings. The aggregate is the exchange barrier, so grams are
-      // materialized once per doc, never recomputed per pair.
-      val docs = shingleRows(Tables.documents(s, d))
+      // Set math WITHOUT set payloads: a pair's |A∩B| is a COUNT of
+      // matching (source, shingle) rows, so the join ships only
+      // (doc_id, 8-byte gram hash) rows — an earlier version carried
+      // whole collect_set arrays through the candidate join and spent
+      // its time shuffling/intersecting ~KB array payloads per pair.
+      // |A∪B| = |A|+|B|-|A∩B| from per-doc distinct counts. Gram
+      // identity is the 64-bit shingle hash (same set sizes as the
+      // oracle's string sets modulo negligible collisions).
+      // Per-doc set size rides along as a window count over the
+      // deduped gram rows (no separate sizes relation, no extra
+      // joins); the join then carries only ids, an 8-byte hash, and
+      // two ints per row.
+      val grams = shingleRows(Tables.documents(s, d))
         .filter(col("full3")) // oracle scopes to docs with >= 3 tokens
-        .groupBy(col("source"), col("doc_id"))
-        .agg(collect_set(col("sh")).as("grams"))
+        .select("source", "doc_id", "sh").distinct()
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("source", "doc_id")))
       // Band the "id within 50" range predicate into equi-join buckets
       // (bucket = doc_id div 50; a partner is in my bucket or the
-      // next), so the join key is (source, bucket) and candidate
-      // generation never materializes whole-source pair blocks — the
-      // standard range-join banding that survives a 100× scale-up.
-      val a = docs.select(col("source"), col("doc_id").as("doc_a"), col("grams").as("ga"))
+      // next), so candidate generation never materializes whole-source
+      // pair blocks, and any one join key (source, bucket, sh) matches
+      // at most the docs of two buckets — bounded even at 100 TB.
+      val a = grams.select(col("source"), col("doc_id").as("doc_a"), col("sh"),
+          col("sz").as("na"))
         .withColumn("bucket",
           explode(array(expr("doc_a div 50"), expr("doc_a div 50 + 1"))))
-      val b = docs.select(col("source"), col("doc_id").as("doc_b"), col("grams").as("gb"))
-        .withColumn("bucket", expr("doc_b div 50"))
-      a.join(b, Seq("source", "bucket"))
+      val b = grams.select(col("source"), col("doc_id").as("doc_b"), col("sh"),
+        col("sz").as("nb"), expr("doc_b div 50").as("bucket"))
+      // shuffle_hash: post-aggregate size estimates are unreliable, and
+      // Catalyst once "broadcast" this multi-million-row exploded side
+      // (single-threaded hash build). A partitioned hash join on the
+      // high-cardinality (source, bucket, sh) key needs no sort and no
+      // broadcast — the only strategy that survives a 100× scale-up.
+      val inter = a.hint("shuffle_hash").join(b, Seq("source", "bucket", "sh"))
         .filter(col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 50)
-        .withColumn("jac_raw",
-          size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
-            size(array_union(col("ga"), col("gb"))).cast(DoubleType))
+        .groupBy("source", "doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("ni"))
+      inter
+        .withColumn("jac_raw", col("ni").cast(DoubleType) /
+          (col("na") + col("nb") - col("ni")).cast(DoubleType))
         .filter(col("jac_raw") > 0.1) // filter on raw, not rounded, to mirror the oracle
         .select(col("source"), col("doc_a"), col("doc_b"),
           round(col("jac_raw"), 6).as("jaccard"))

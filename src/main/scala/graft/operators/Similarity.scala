@@ -59,21 +59,33 @@ object Similarity {
   private def planeWeight(p: Column, dEl: Column): Column =
     (xxhash64(p * 1000 + dEl).cast(DoubleType) / lit(Long.MaxValue.toDouble))
 
-  /** vec_id, v (double vec), 16-bit LSH signature + band keys. */
+  /** vec_id, v (double vec), LSH band keys.
+    *
+    * The 16 hyperplane projections are computed ROW-WISE: posexplode
+    * the vector once, then 16 plain `sum(x * w(p, dim))` aggregates in
+    * one codegen'd hash aggregation over vec_id. An earlier version
+    * nested interpreted higher-order functions (transform ∘ aggregate ∘
+    * zip_with, 16 × dim lambda evaluations per vector outside codegen)
+    * — ~10× slower and the per-row work was not parallelized by the
+    * scan partitioning. The groupBy(vec_id) shuffle also re-clusters
+    * the corpus across cores, which is exactly the distribution the
+    * band-key build wants. Same plane weights as before (avalanche of
+    * p*1000 + dim), so signatures and buckets are unchanged.
+    */
   private def signed(df: DataFrame): DataFrame = {
-    val v = col("v")
-    val sigBits = transform(sequence(lit(0), lit(NumPlanes - 1)), p => {
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeWeight(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, 1).otherwise(0)
-    })
-    df.withColumn("sig", sigBits)
-      .withColumn("bands", array((0 until NumBands).map { b =>
+    val rows = df.select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+    val projs = (0 until NumPlanes).map(p =>
+      sum(col("x") * planeWeight(lit(p), col("dim"))).as(s"proj$p"))
+    val bits = rows.groupBy("vec_id").agg(projs.head, projs.tail: _*)
+      .select(col("vec_id") +: (0 until NumPlanes).map(p =>
+        when(col(s"proj$p") >= 0, 1).otherwise(0).as(s"bit$p")): _*)
+    val withBands = bits.select(col("vec_id"),
+      array((0 until NumBands).map { b =>
         struct(lit(b).as("band_idx"),
           concat_ws("", (0 until NumPlanes / NumBands)
-            .map(i => col("sig")(b * (NumPlanes / NumBands) + i)): _*).as("band_key"))
-      }: _*))
+            .map(i => col(s"bit${b * (NumPlanes / NumBands) + i}")): _*).as("band_key"))
+      }: _*).as("bands"))
+    df.join(withBands, Seq("vec_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -111,7 +123,10 @@ object Similarity {
       val q = exploded.filter(col("vec_id") < 10)
         .select(col("band_idx"), col("band_key"),
           col("vec_id").as("q_id"), col("v").as("qv"))
-      val cands = exploded.join(q, Seq("band_idx", "band_key"))
+      // q is 10 query vectors × NumBands rows — broadcast explicitly;
+      // the post-aggregate estimate would otherwise leave this to
+      // chance (and once picked the 2000-row corpus side to build).
+      val cands = exploded.join(broadcast(q), Seq("band_idx", "band_key"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("qv"), col("vec_id"), col("v"))
         .distinct() // a pair may share several bands
