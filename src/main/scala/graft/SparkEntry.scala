@@ -21,16 +21,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Relational2.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      StreamingOps.queries ++ Sketches.queries
+    Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Multimodal.queries ++ StreamingOps.queries ++ Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops
     * (d02 minhash-LSH, d03 simhash, s02 ann-lsh → rows-only check +
     * ScalaTest property coverage instead). */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Relational2.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle ++
-      StreamingOps.oracle ++ Sketches.oracle
+    Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
+      Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
+      Multimodal.oracle ++ StreamingOps.oracle ++ Sketches.oracle
 }
