@@ -4,9 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness: runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line of per-query seconds.
-  * Config mirrors what we'd set on a real cluster: AQE on (runtime
-  * re-plan, skew-join splitting, partition coalescing), shuffle
-  * partitions sized to cores rather than the 200 default.
+  *
+  * The session config is tuned for what this actually is — a 32-core
+  * single-JVM box replaying ~50 heterogeneous queries back to back —
+  * and each knob documents how it would differ on a real cluster.
+  * The through-line of every setting: keep ALL generated code small
+  * enough that HotSpot reliably JIT-compiles it, and never let a
+  * planner heuristic serialize a stage onto one thread.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,7 +44,6 @@ object Bench {
       // real cluster with GB-scale shuffles coalescing earns its keep
       // and would stay on.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // 4m, deliberately BELOW Spark's 10m default: a broadcast hash
       // relation is built on ONE thread, so a "small" 600k-row side
       // that sneaks under a fat threshold serializes the whole stage
@@ -54,7 +57,14 @@ object Bench {
       // size would never be JIT-compiled and runs interpreted at 10-50x.
       // Falling back to per-operator execution keeps codegen'd
       // projections AND JIT-able method sizes. SPARK-21871's knob.
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.codegen.hugeMethodLimit", "4000")
+      // Split generated expression code into ~256-byte-estimate methods
+      // (default 1024): keeps every generated method far below HotSpot's
+      // compile ceiling so the JIT always wins; fat methods (decimal
+      // money math) otherwise sat in a dead zone where C2 sometimes
+      // never compiled them and a 200k-row task burned minutes in the
+      // interpreter (observed in Decimal.changePrecision).
+      .config("spark.sql.codegen.methodSplitThreshold", "256")
       // dev-only: SPARK_GRAFT_EVENTLOG=true dumps per-stage metrics
       .config("spark.eventLog.enabled",
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
@@ -69,16 +79,19 @@ object Bench {
       try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
     // optional args = subset of query names to time (dev loop)
-    val selected = if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val names = (if (args.isEmpty) SparkEntry.queries.keys.toSeq
+      else SparkEntry.queries.keys.toSeq.filter(args.toSet)).sorted
     var failed = List.empty[String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

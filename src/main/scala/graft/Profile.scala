@@ -24,7 +24,14 @@ object Profile {
       // size would never be JIT-compiled and runs interpreted at 10-50x.
       // Falling back to per-operator execution keeps codegen'd
       // projections AND JIT-able method sizes. SPARK-21871's knob.
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.codegen.hugeMethodLimit", "4000")
+      // Split generated expression code into ~256-byte-estimate methods
+      // (default 1024): keeps every generated method far below HotSpot's
+      // compile ceiling so the JIT always wins; fat methods (decimal
+      // money math) otherwise sat in a dead zone where C2 sometimes
+      // never compiled them and a 200k-row task burned minutes in the
+      // interpreter (observed in Decimal.changePrecision).
+      .config("spark.sql.codegen.methodSplitThreshold", "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
