@@ -137,6 +137,49 @@ object Similarity {
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
           round(col("cos"), 6).as("cos_sim"))
         .orderBy("q_id", "rk")
+    }),
+
+    // ANN via IVF (inverted file): a coarse quantizer partitions the
+    // corpus into K cells; queries probe only their nprobe nearest
+    // cells, then exact cosine re-ranks the candidates. Corpus-side
+    // cost is one K-way assignment pass (K tiny, centroids broadcast),
+    // probe cost is |cell| × nprobe — both linear and shuffle-local,
+    // the classic 100 TB layout (cell id = partition key). Centroids
+    // here are a deterministic sample of the corpus (16 vectors with
+    // the smallest xxhash64(vec_id)) so results are reproducible with
+    // no iterative training job; swapping in k-means-trained centroids
+    // changes only this subquery, not the operator shape. No SQL
+    // oracle (cell assignment isn't expressible) — recall vs s01 is
+    // asserted in SimilaritySpec, rows-only check here.
+    "s03_ann_ivf" -> ((s, d) => {
+      val K = 16      // IVF cells
+      val NProbe = 2  // cells probed per query
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val cents = emb
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(K)
+        .select(col("vec_id").as("c_seed"), col("v").as("cv"))
+        .withColumn("cid", row_number().over(
+          Window.orderBy(col("c_seed"))))
+      // corpus → nearest cell (rank 1); queries → nprobe nearest cells
+      val scoredCells = emb.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine(col("v"), col("cv")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)))
+      val assigned = scoredCells.filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val q = scoredCells.filter(col("vec_id") < 10 && col("crk") <= NProbe)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+      assigned.join(broadcast(q), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("q_id", "rk")
     })
   )
 

@@ -89,6 +89,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.0, s"ANN recall collapsed to zero (|ann|=${ann.size})")
   }
 
+  test("s03 IVF ANN: 5 results per query, deterministic, nonzero recall") {
+    val exact = Similarity.queries("s01_cosine_topk")(s, d).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val run1 = Similarity.queries("s03_ann_ivf")(s, d).collect()
+    val run2 = Similarity.queries("s03_ann_ivf")(s, d).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq,
+      "IVF results must be reproducible (deterministic centroids)")
+    val perQuery = run1.groupBy(_.getAs[Long]("q_id"))
+    assert(perQuery.forall(_._2.length == 5))
+    val ann = run1.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.0, s"IVF recall collapsed to zero (|ann|=${ann.size})")
+  }
+
   test("t02 quality metrics are bounded") {
     val rows = TextAnalysis.queries("t02_quality_score")(s, d).collect()
     assert(rows.forall { r =>
