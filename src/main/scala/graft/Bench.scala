@@ -73,8 +73,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the JVM/codegen once on the smallest SF so per-query numbers
-    // measure the plan, not first-call JIT + classloading.
+    // Warm the JVM/codegen once on the smallest SF so the first timed
+    // query doesn't also pay first-call framework classloading. ONE
+    // query only — a full warm-up sweep was tried and made things
+    // WORSE (doubling the generated-class population re-triggered the
+    // inline-cache churn the session config exists to avoid).
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true") == "true")
       try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
