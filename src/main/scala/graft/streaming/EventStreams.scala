@@ -110,6 +110,21 @@ object EventStreams {
       }
   }
 
+  /** Exactly-once-style stream dedup on event id: duplicates arriving
+    * within the watermark horizon are dropped with bounded state
+    * (state evicts as the watermark passes — the only dedup that
+    * survives an unbounded 100 TB stream; plain dropDuplicates would
+    * grow state forever). */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the static side is planned per
+    * micro-batch (broadcast at dim size), the stream side stays
+    * unbounded — the canonical fact-stream ⋈ dimension shape. */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left_outer")
+
   /** Batch equivalent of the final state of [[userTotalsStreaming]]. */
   def userTotalsBatch(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))

@@ -71,4 +71,57 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
     } finally q.stop()
   }
+
+  test("streaming dedup drops within-watermark duplicates with bounded state") {
+    // Self-union doubles every event; dedup must restore the original
+    // cardinality (all fixture events fall inside one watermark span).
+    val stream = EventStreams.readEventStream(s, d)
+    val doubled = stream.unionByName(EventStreams.readEventStream(s, d))
+    val q = EventStreams.dedupedStream(doubled)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val total = Tables.events(s, d).count()
+      assert(s.table("dedup_out").count() === total)
+      assert(s.table("dedup_out").select("event_id").distinct().count() === total)
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches every micro-batch against the dim table") {
+    import s.implicits._
+    val dim = Seq(("purchase", true), ("error", true)).toDF("event_type", "tracked")
+    val stream = EventStreams.readEventStream(s, d)
+    val q = EventStreams.enriched(stream, dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("enriched_out")
+      assert(got.count() === Tables.events(s, d).count()) // left join preserves
+      val batchTracked = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error")).count()
+      assert(got.filter(col("tracked") === true).count() === batchTracked)
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink lands micro-batches (the reference's ingest, streaming-ized)") {
+    // The reference bulk-inserts bounded batches into a table
+    // (/root/reference/src/main.rs:120-151); foreachBatch is that same
+    // batched sink contract fed by an unbounded source — here writing
+    // parquet in place of the JDBC table, same per-batch semantics.
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val stream = EventStreams.readEventStream(s, d)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(s.read.parquet(out).count() === Tables.events(s, d).count())
+    } finally q.stop()
+  }
 }
