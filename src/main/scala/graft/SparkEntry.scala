@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      Relational4.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ StreamingOps.queries ++ Sketches.queries
 
@@ -31,6 +32,7 @@ object SparkEntry {
     * ScalaTest property coverage instead). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
+      Relational4.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
       Multimodal.oracle ++ StreamingOps.oracle ++ Sketches.oracle
 }
