@@ -78,6 +78,11 @@ object Bench {
     // query only — a full warm-up sweep was tried and made things
     // WORSE (doubling the generated-class population re-triggered the
     // inline-cache churn the session config exists to avoid).
+    // ONE query only. Warming more was tried twice and regressed both
+    // times (full sweep: 428 s; just the dedup trio at sf0.001: 413 s
+    // vs 137 s control) — every extra pre-warmed plan's generated
+    // classes deepen the inline-cache churn the session config exists
+    // to avoid, and the damage lands on UNRELATED queries mid-suite.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true") == "true")
       try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 

@@ -24,7 +24,8 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ StreamingOps.queries ++ Sketches.queries
+      Multimodal.queries ++ StreamingOps.queries ++ Sketches.queries ++
+      graft.sources.Bucketing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops
@@ -34,5 +35,6 @@ object SparkEntry {
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
       Relational4.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
-      Multimodal.oracle ++ StreamingOps.oracle ++ Sketches.oracle
+      Multimodal.oracle ++ StreamingOps.oracle ++ Sketches.oracle ++
+      graft.sources.Bucketing.oracle
 }

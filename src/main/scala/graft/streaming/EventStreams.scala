@@ -125,6 +125,36 @@ object EventStreams {
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("event_type"), "left_outer")
 
+  /** Stream-STREAM inner join: purchases matched to errors by the same
+    * user within the following 30 minutes. Both sides carry watermarks
+    * and the join condition time-bounds the match window, so each
+    * side's buffered state evicts once the other side's watermark
+    * passes — bounded state on an unbounded pair of streams, the only
+    * stream-stream join shape that survives at 100 TB/day. The range
+    * predicate doubles as the state-cleanup condition; without it
+    * Spark would buffer both streams forever.
+    */
+  def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val e = errors.filter(col("event_type") === "error")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
+        col("ts").as("error_ts"))
+    p.join(e, expr("""
+      user_id = err_user AND
+      error_ts >= purchase_ts AND
+      error_ts <= purchase_ts + INTERVAL 30 MINUTES"""))
+      .select(col("user_id"), col("purchase_id"), col("error_id"),
+        col("purchase_ts"), col("error_ts"))
+  }
+
+  /** Batch equivalent of [[purchaseErrorJoin]] for parity checks. */
+  def purchaseErrorJoinBatch(events: DataFrame): DataFrame =
+    purchaseErrorJoin(events, events)
+
   /** Batch equivalent of the final state of [[userTotalsStreaming]]. */
   def userTotalsBatch(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))

@@ -107,6 +107,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches the batch join and bounds state via watermarks") {
+    val stream = EventStreams.readEventStream(s, d)
+    val q = EventStreams.purchaseErrorJoin(stream, EventStreams.readEventStream(s, d))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("ss_join_out")
+      val exp = EventStreams.purchaseErrorJoinBatch(Tables.events(s, d))
+      assert(got.count() === exp.count())
+      assert(got.count() > 0, "fixture should produce at least one purchase→error pair")
+      // exact row parity, not just cardinality
+      assert(got.exceptAll(exp).count() === 0L)
+      assert(exp.exceptAll(got).count() === 0L)
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands micro-batches (the reference's ingest, streaming-ized)") {
     // The reference bulk-inserts bounded batches into a table
     // (/root/reference/src/main.rs:120-151); foreachBatch is that same
