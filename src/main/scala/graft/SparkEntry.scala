@@ -25,7 +25,7 @@ object SparkEntry {
       Relational4.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ StreamingOps.queries ++ Sketches.queries ++
-      graft.sources.Bucketing.queries
+      graft.sources.Bucketing.queries ++ graft.sources.PartitionedLayout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops
@@ -36,5 +36,5 @@ object SparkEntry {
       Relational4.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
       Multimodal.oracle ++ StreamingOps.oracle ++ Sketches.oracle ++
-      graft.sources.Bucketing.oracle
+      graft.sources.Bucketing.oracle ++ graft.sources.PartitionedLayout.oracle
 }

@@ -26,7 +26,29 @@ object Sketches {
           countDistinct(col("o_custkey")).as("exact_customers"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"),
           asDouble(sum(col("o_totalprice").cast(DecimalType(12, 2)))).as("sum_price"))
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // a02: MERGEABLE sketch state — the actual 100 TB cardinality
+    // workflow. Each group materializes a DataSketches HLL as bytes
+    // (persistable: write per-day/per-partition sketches once, never
+    // rescan), and hll_union_agg re-aggregates the SKETCHES — the
+    // merged estimate needs only the tiny sketch blobs, not a second
+    // pass over the data. Per-priority rows carry their estimate;
+    // the ALL row is estimated from the union of the five sketches.
+    "a02_hll_mergeable" -> ((s, d) => {
+      val perGroup = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sketch"),
+          countDistinct(col("o_custkey")).as("exact_customers"))
+      val groups = perGroup.select(col("o_orderpriority"),
+        hll_sketch_estimate(col("sketch")).as("est_customers"),
+        col("exact_customers"))
+      val merged = perGroup
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_customers"))
+        .select(lit("ALL").as("o_orderpriority"), col("est_customers"),
+          lit(null).cast(LongType).as("exact_customers"))
+      groups.unionByName(merged).orderBy("o_orderpriority")
+    })
   )
 
   private def asDouble(c: org.apache.spark.sql.Column) = c.cast(DoubleType)

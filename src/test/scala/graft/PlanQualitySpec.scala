@@ -60,6 +60,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"q02 plans a full sort:\n$p")
   }
 
+  test("i04: the year filter prunes partitions at the scan, not in a data filter") {
+    val p = plan("i04_partition_pruning")
+    assert(p.contains("PartitionFilters: [") && p.contains("(o_year#") ,
+      s"partition filter missing from scan:\n$p")
+    // the partition column must NOT appear among pushed data filters
+    val pushed = p.split("PushedFilters: ").last.takeWhile(_ != ']')
+    assert(!pushed.contains("o_year"), s"o_year leaked into data filters:\n$p")
+  }
+
   test("no query in the registered surface plans a cartesian product") {
     // Brute-force similarity scans legitimately cross-join a BROADCAST
     // side of bounded size (10 query vectors / K centroids) — the scan

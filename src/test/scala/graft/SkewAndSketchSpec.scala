@@ -38,4 +38,24 @@ class SkewAndSketchSpec extends AnyFunSuite {
       assert(r.getAs[Double]("approx_median") > 0)
     }
   }
+
+  test("mergeable HLL: union of group sketches estimates the global distinct") {
+    val rows = Sketches.queries("a02_hll_mergeable")(s, d).collect()
+    val exactGlobal = Tables.orders(s, d)
+      .agg(countDistinct(col("o_custkey"))).first().getLong(0).toDouble
+    val byPrio = rows.map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    assert(byPrio.contains("ALL"))
+    // per-group estimates within HLL error of their exacts
+    rows.filter(_.getAs[String]("o_orderpriority") != "ALL").foreach { r =>
+      val est = r.getAs[Long]("est_customers").toDouble
+      val exact = r.getAs[Long]("exact_customers").toDouble
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"group estimate $est vs exact $exact out of bounds")
+    }
+    // the UNION-of-sketches estimate tracks the global exact count —
+    // i.e. merging sketch state is equivalent to re-scanning the data
+    val merged = byPrio("ALL").getAs[Long]("est_customers").toDouble
+    assert(math.abs(merged - exactGlobal) / exactGlobal < 0.15,
+      s"merged estimate $merged vs global exact $exactGlobal out of bounds")
+  }
 }

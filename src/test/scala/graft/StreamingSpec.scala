@@ -125,6 +125,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a restarted query replays nothing (exactly-once sink)") {
+    // Run to completion with a durable checkpoint, stop, start the
+    // SAME query again from that checkpoint: the restarted run must
+    // recognize all input as committed and append zero new rows —
+    // the recovery contract a 24/7 ingest pipeline leans on.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    def run(): Unit = {
+      val q = EventStreams.readEventStream(s, d)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val afterFirst = s.read.parquet(out).count()
+    assert(afterFirst === Tables.events(s, d).count())
+    run() // restart from checkpoint
+    assert(s.read.parquet(out).count() === afterFirst,
+      "restart from checkpoint duplicated rows")
+  }
+
   test("foreachBatch sink lands micro-batches (the reference's ingest, streaming-ized)") {
     // The reference bulk-inserts bounded batches into a table
     // (/root/reference/src/main.rs:120-151); foreachBatch is that same
