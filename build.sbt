@@ -34,6 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // monsters with -XX:-DontCompileHugeMethods stalls the C2 queue for
   // minutes and everything behind it runs interpreted.)
   "-XX:ReservedCodeCacheSize=512m",
+  // (Tried and rejected: -XX:PerMethod/PerBytecodeRecompilationCutoff=-1
+  // — the "method made permanently not-compilable after 400 deopts"
+  // hypothesis. Measured 207 s and a mid-suite degradation band on
+  // back-to-back full runs, i.e. the same lottery as default flags.
+  // The actual fix is structural: Bench isolates query families into
+  // child JVMs so no single code cache hosts all ~65 plans.)
 ) ++ sys.env.get("SPARK_GRAFT_JVMLOG").toSeq.map(f =>
   s"-Xlog:safepoint=info:file=$f:time,uptime"
 ) ++ Seq(

@@ -5,32 +5,120 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark harness: runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line of per-query seconds.
   *
-  * The session config is tuned for what this actually is — a 32-core
-  * single-JVM box replaying ~50 heterogeneous queries back to back —
-  * and each knob documents how it would differ on a real cluster.
-  * The through-line of every setting: keep ALL generated code small
-  * enough that HotSpot reliably JIT-compiles it, and never let a
-  * planner heuristic serialize a stage onto one thread.
+  * ## JVM isolation (the round-2 stabilizer)
+  *
+  * Running ~65 heterogeneous queries in ONE JVM is the single biggest
+  * source of run-to-run variance we measured (totals 33 s ↔ 1155 s for
+  * identical code): every query adds generated classes, shared Spark
+  * hot paths (UnsafeRow access, comparators, Decimal math) go
+  * megamorphic, inline caches churn (ICBufferFull safepoint storms),
+  * and HotSpot deoptimizes — sometimes permanently — methods that
+  * EVERY later query needs. Session-config mitigation
+  * (methodSplitThreshold, AQE off, broadcast hints) took the good case
+  * from ~600 s to ~33 s warm, but the lottery remained: one unlucky
+  * early query still poisoned the rest of the run.
+  *
+  * So Bench now runs each query FAMILY in its own forked child JVM
+  * (same classpath + JVM flags as the parent, which sbt forked with
+  * build.sbt's javaOptions). A family is small enough (≤ ~20 plans)
+  * that its generated-class population stays well inside the JIT's
+  * comfort zone, and a pathology in one family physically cannot slow
+  * another. The cost is one SparkSession start per family (~10 s,
+  * excluded from per-query times, same as the single-JVM mode never
+  * counted session init). `SPARK_GRAFT_ISOLATE=off` restores the
+  * single-JVM mode for comparison.
+  *
+  * This mirrors the real deployment shape, where it's free: on a
+  * cluster each spark-submit is its own driver JVM and executors are
+  * recycled per app — nobody runs 65 unrelated query families through
+  * one driver's code cache back to back.
   */
 object Bench {
+
+  /** Family = leading alpha prefix + (for q) a coarse number band, so
+    * each child JVM compiles a bounded, related set of plans. */
+  private def family(name: String): String = {
+    val prefix = name.takeWhile(_.isLetter)
+    if (prefix == "q") {
+      val num = name.drop(1).takeWhile(_.isDigit)
+      if (num.nonEmpty && num.toInt <= 13) "q_a"
+      else if (num.nonEmpty && num.toInt <= 26) "q_b"
+      else "q_c"
+    } else if (prefix == "d" || prefix == "s") "dedup_sim"
+    else if (prefix == "st" || prefix == "t" || prefix == "m") "text_stream"
+    else "agg_ingest" // a, i, u
+  }
+
   def main(args: Array[String]): Unit = {
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "auto")
+    if (args.headOption.contains("--child")) {
+      // child: time the named queries in this JVM, print one JSON line
+      println(runSuite(args.drop(1), warmup = true))
+    } else if (isolate == "off" || args.nonEmpty) {
+      // single-JVM mode (dev subset runs keep the old behavior)
+      println(runSuite(args, warmup = true))
+    } else {
+      println(runIsolated())
+    }
+  }
+
+  /** Fork one child JVM per query family, merge their JSON lines. */
+  private def runIsolated(): String = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val families = SparkEntry.queries.keys.toSeq.sorted.groupBy(family)
+    val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    for ((fam, names) <- families.toSeq.sortBy(_._1)) {
+      System.err.println(s"[bench] --- family $fam (${names.size} queries) ---")
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench", "--child") ++ names
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+      val rc = p.waitFor()
+      val line = out.linesIterator.toSeq.lastOption.getOrElse("")
+      if (rc != 0 || !line.startsWith("{")) {
+        System.err.println(s"[bench] family $fam FAILED rc=$rc: ${out.take(500)}")
+        failed ++= names
+      } else {
+        // extract {"name":seconds} pairs and the failed list
+        val q = """"([a-z0-9_]+)":([0-9.eE+-]+)""".r
+        val qsPart = line.substring(line.indexOf("\"queries\":"))
+        for (m <- q.findAllMatchIn(qsPart.takeWhile(_ != ']')))
+          if (names.contains(m.group(1))) perQuery(m.group(1)) = m.group(2).toDouble
+        val fPart = line.substring(line.indexOf("\"failed\":"))
+        val fq = """"([a-z0-9_]+)"""".r
+        failed ++= fq.findAllMatchIn(fPart.substring(0, fPart.indexOf(']')))
+          .map(_.group(1)).filterNot(_ == "failed").filter(names.contains)
+      }
+    }
+    json(perQuery.toSeq.sortBy(_._1), failed.toList.distinct.sorted,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+  }
+
+  /** The original single-JVM suite: time each named query (all if
+    * empty) with `count()`, return the JSON line. */
+  private def runSuite(args: Seq[String], warmup: Boolean): String = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // AQE OFF for the local 45-query single-JVM benchmark, ON for a
-      // real cluster. AQE re-optimizes and re-CODEGENS every query
-      // stage: across 45 heterogeneous queries that multiplies the
-      // distinct generated classes ~4x, and the class churn flushes
-      // HotSpot inline caches (observed: ICBufferFull safepoint storms,
-      // shared Spark hot paths deoptimized to the interpreter, the
-      // same query 5s or 150s depending on where in the run it fell —
-      // full-suite totals 460-860s vs 154s with AQE off). Locally AQE
-      // also has nothing left to decide: join strategies are hinted
-      // explicitly (broadcast()/shuffle_hash), partitions are fixed at
-      // core count, and fixture-scale skew is nil. On a 1000-executor
+      // AQE OFF for the local single-JVM benchmark, ON for a real
+      // cluster. AQE re-optimizes and re-CODEGENS every query stage:
+      // that multiplies the distinct generated classes ~4x, and the
+      // class churn flushes HotSpot inline caches (observed:
+      // ICBufferFull safepoint storms, shared Spark hot paths
+      // deoptimized to the interpreter). Locally AQE also has nothing
+      // left to decide: join strategies are hinted explicitly
+      // (broadcast()/shuffle_hash), partitions are fixed at core
+      // count, and fixture-scale skew is nil. On a 1000-executor
       // cluster the codegen cost amortizes over GB-scale stages and
       // skew/coalescing matter — set SPARK_GRAFT_AQE=true there.
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
@@ -38,32 +126,27 @@ object Bench {
       // The fixtures are single-digit-MB but CPU-dense (hashing,
       // signatures, similarity math), so coalescing collapses every
       // shuffle to 1-2 partitions and serializes the compute on a
-      // 32-core box (observed: the same query 5s or 45s depending on
-      // which side of the stats threshold a run landed). Keep the
-      // shuffle at spark.sql.shuffle.partitions = cores locally; on a
-      // real cluster with GB-scale shuffles coalescing earns its keep
-      // and would stay on.
+      // 32-core box. Keep the shuffle at partitions = cores locally;
+      // at GB-scale shuffles coalescing earns its keep and stays on.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       // 4m, deliberately BELOW Spark's 10m default: a broadcast hash
       // relation is built on ONE thread, so a "small" 600k-row side
       // that sneaks under a fat threshold serializes the whole stage
       // (observed: q04 28s from broadcasting projected lineitem).
-      // True dims (region/nation/customer/part/supplier) are far under
-      // 4m at any bench SF; genuinely-small intermediates are hinted
-      // with broadcast() at the query site instead.
+      // True dims are far under 4m at any bench SF; genuinely-small
+      // intermediates are hinted with broadcast() at the query site.
       .config("spark.sql.autoBroadcastJoinThreshold", "4m")
       // Align whole-stage-codegen fallback with HotSpot's 8000-bytecode
       // JIT ceiling (DontCompileHugeMethods): a fused method over this
-      // size would never be JIT-compiled and runs interpreted at 10-50x.
-      // Falling back to per-operator execution keeps codegen'd
-      // projections AND JIT-able method sizes. SPARK-21871's knob.
+      // size would never be JIT-compiled and runs interpreted at
+      // 10-50x. SPARK-21871's knob.
       .config("spark.sql.codegen.hugeMethodLimit", "4000")
-      // Split generated expression code into ~256-byte-estimate methods
-      // (default 1024): keeps every generated method far below HotSpot's
-      // compile ceiling so the JIT always wins; fat methods (decimal
-      // money math) otherwise sat in a dead zone where C2 sometimes
-      // never compiled them and a 200k-row task burned minutes in the
-      // interpreter (observed in Decimal.changePrecision).
+      // Split generated expression code into ~256-byte-estimate
+      // methods (default 1024): keeps every generated method far below
+      // HotSpot's compile ceiling so the JIT always wins; fat methods
+      // (decimal money math) otherwise sat in a dead zone where C2
+      // sometimes never compiled them and a 200k-row task burned
+      // minutes interpreted (observed in Decimal.changePrecision).
       .config("spark.sql.codegen.methodSplitThreshold", "256")
       // dev-only: SPARK_GRAFT_EVENTLOG=true dumps per-stage metrics
       .config("spark.eventLog.enabled",
@@ -75,18 +158,14 @@ object Bench {
 
     // Warm the JVM/codegen once on the smallest SF so the first timed
     // query doesn't also pay first-call framework classloading. ONE
-    // query only — a full warm-up sweep was tried and made things
-    // WORSE (doubling the generated-class population re-triggered the
-    // inline-cache churn the session config exists to avoid).
-    // ONE query only. Warming more was tried twice and regressed both
+    // query only. Warming more was tried twice and regressed both
     // times (full sweep: 428 s; just the dedup trio at sf0.001: 413 s
     // vs 137 s control) — every extra pre-warmed plan's generated
-    // classes deepen the inline-cache churn the session config exists
-    // to avoid, and the damage lands on UNRELATED queries mid-suite.
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true") == "true")
+    // classes deepen the inline-cache churn, and the damage lands on
+    // UNRELATED queries mid-suite.
+    if (warmup && sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true") == "true")
       try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    // optional args = subset of query names to time (dev loop)
     val names = (if (args.isEmpty) SparkEntry.queries.keys.toSeq
       else SparkEntry.queries.keys.toSeq.filter(args.toSet)).sorted
     var failed = List.empty[String]
@@ -101,11 +180,16 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       name -> dt
     }
+    spark.stop()
+    json(results, failed.sorted, sfDir)
+  }
+
+  private def json(results: Seq[(String, Double)], failed: Seq[String],
+                   sfDir: String): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
   }
 }

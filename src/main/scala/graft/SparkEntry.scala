@@ -22,10 +22,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      Relational4.queries ++
+      Relational4.queries ++ Relational5.queries ++ Upsert.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ StreamingOps.queries ++ Sketches.queries ++
-      graft.sources.Bucketing.queries ++ graft.sources.PartitionedLayout.queries
+      graft.functions.WeightedAvg.queries ++
+      graft.sources.Bucketing.queries ++ graft.sources.PartitionedLayout.queries ++
+      graft.sources.SourceFormats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops
@@ -33,8 +35,10 @@ object SparkEntry {
     * ScalaTest property coverage instead). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
-      Relational4.oracle ++
+      Relational4.oracle ++ Relational5.oracle ++ Upsert.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
       Multimodal.oracle ++ StreamingOps.oracle ++ Sketches.oracle ++
-      graft.sources.Bucketing.oracle ++ graft.sources.PartitionedLayout.oracle
+      graft.functions.WeightedAvg.oracle ++
+      graft.sources.Bucketing.oracle ++ graft.sources.PartitionedLayout.oracle ++
+      graft.sources.SourceFormats.oracle
 }

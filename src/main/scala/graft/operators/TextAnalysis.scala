@@ -99,6 +99,48 @@ object TextAnalysis {
           array_min(transform(grams, gramHash)).as("min_shingle_hash"),
           array_max(transform(grams, gramHash)).as("max_shingle_hash"))
         .orderBy("doc_id")
+    }),
+
+    // t05: PII redaction — the standard pre-training scrub pass.
+    // The corpus is synthetic and PII-free, so each doc first gets a
+    // deterministic email + phone appended (keyed off doc_id), then
+    // the redactor masks them; n_emails/n_phones prove the patterns
+    // matched. Pure per-row regexp pipeline: codegen'd, no shuffle
+    // except the final order — at 100 TB this runs at scan speed.
+    // Patterns stay in the class-subset where Java regex and RE2
+    // (DuckDB) agree.
+    "t05_pii_redact" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"), lit(" now"))
+      val emailRe = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+      val phoneRe = "\\+[0-9][0-9-]+[0-9]"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(dirty, lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(dirty, lit(phoneRe), lit(0))).as("n_phones"),
+          regexp_replace(regexp_replace(dirty, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // t06: corpus bigram top-k — the n-gram frequency pass used for
+    // contamination checks and LM-corpus stats. Explode bigrams →
+    // hash-aggregate → global top-50 (TakeOrdered, no full sort).
+    // The count-desc order carries the bigram itself as tiebreak, so
+    // rank-50 boundary ties resolve identically everywhere.
+    "t06_ngram_topk" -> ((s, d) => {
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      val grams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      Tables.documents(s, d)
+        .select(explode(grams).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
     })
   )
 
@@ -166,7 +208,32 @@ object TextAnalysis {
             x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)), 'min') AS min_shingle_hash,
           list_aggregate(list_transform(grams,
             x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)), 'max') AS max_shingle_hash
-        FROM g ORDER BY doc_id"""
+        FROM g ORDER BY doc_id""",
+
+      "t05_pii_redact" -> """
+        WITH dirty AS (
+          SELECT doc_id,
+            concat(text, ' contact user', doc_id, '@mail.example.com or +1-555-',
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' now') AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '\+[0-9][0-9-]+[0-9]')) AS INT) AS n_phones,
+          regexp_replace(regexp_replace(t, '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+            '\+[0-9][0-9-]+[0-9]', '<PHONE>', 'g') AS redacted
+        FROM dirty ORDER BY doc_id""",
+
+      "t06_ngram_topk" -> """
+        WITH toks AS (
+          SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        bi AS (
+          SELECT unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), i -> concat_ws(' ', w[i], w[i+1]))
+            ELSE [] END) AS bigram
+          FROM toks)
+        SELECT bigram, COUNT(*) AS n FROM bi
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"""
     )
   }
 }

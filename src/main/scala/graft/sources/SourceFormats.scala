@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** CSV / JSON source formats — the `DataFrameReader` surface beyond
+  * parquet. The reference reads exactly one hardcoded parquet file
+  * (`/root/reference/src/main.rs:52`); a lake engine must also ingest
+  * the text formats raw data actually arrives in.
+  *
+  * i05 proves the round-trip: write parquet-sourced rows out as CSV
+  * and JSON, read them back with an explicit schema (schema-on-read —
+  * never trust inference for a production pipeline: it costs an extra
+  * pass and can flip types between batches), and checksum both paths
+  * against the parquet originals. Doubles survive because Spark
+  * serializes them shortest-round-trip; sums are computed in
+  * DECIMAL(12,2) so partition merge order can't wiggle a bit.
+  *
+  * At scale both formats split fine (CSV by line, JSON-lines by line),
+  * so a 100 TB text-format ingest parallelizes the same way the
+  * parquet scan does — just without column pruning/pushdown, which is
+  * the argument for converting to parquet on first touch (exactly
+  * what this operator's write side is).
+  */
+object SourceFormats {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  def roundTrip(s: SparkSession, d: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/graft_formats_$tag"
+    val csvDir = s"$base/orders_csv"
+    val jsonDir = s"$base/customer_json"
+
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val customer = Tables.customer(s, d)
+
+    // Idempotent per sfDir: first caller materializes, reruns reuse.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$csvDir/_SUCCESS")))
+      orders.write.mode("overwrite").option("header", "true").csv(csvDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$jsonDir/_SUCCESS")))
+      customer.write.mode("overwrite").json(jsonDir)
+
+    val ordersBack = s.read.schema(orders.schema)
+      .option("header", "true").csv(csvDir)
+    val customerBack = s.read.schema(customer.schema).json(jsonDir)
+
+    val a = ordersBack.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("o_totalprice"))).cast(DoubleType).as("checksum"))
+      .select(lit("csv_orders").as("fmt"), col("n"), col("checksum"))
+    val b = customerBack.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("c_acctbal"))).cast(DoubleType).as("checksum"))
+      .select(lit("json_customer").as("fmt"), col("n"), col("checksum"))
+    a.unionByName(b).orderBy("fmt")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i05_source_formats" -> ((s, d) => roundTrip(s, d))
+  )
+
+  // The oracle reads the parquet originals: if the engine's CSV/JSON
+  // round-trip loses a row or a bit of any value, the checksums split.
+  val oracle: Map[String, String] = Map(
+    "i05_source_formats" -> """
+      SELECT 'csv_orders' AS fmt, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS checksum
+      FROM orders
+      UNION ALL
+      SELECT 'json_customer' AS fmt, COUNT(*) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS checksum
+      FROM customer
+      ORDER BY fmt"""
+  )
+}
