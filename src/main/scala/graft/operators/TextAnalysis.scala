@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -125,19 +126,31 @@ object TextAnalysis {
     }),
 
     // t06: corpus bigram top-k — the n-gram frequency pass used for
-    // contamination checks and LM-corpus stats. Explode bigrams →
+    // contamination checks and LM-corpus stats. posexplode the split
+    // ONCE per doc, pair adjacent words with a window lead, then
     // hash-aggregate → global top-50 (TakeOrdered, no full sort).
+    //
+    // Deliberately row-based, mirroring Dedup.shingleRows: the array
+    // formulation (filter(toks)/transform(sequence)/element_at) runs
+    // on Spark's INTERPRETED HigherOrderFunction path, and once
+    // CollapseProject inlines `toks`, every element access re-runs
+    // the regex split — O(words²) splits per doc, all on the scan's
+    // single input partition. Measured: the interpreted tree ran 4 s
+    // when HotSpot kept it compiled and 475 s when it didn't (jstack:
+    // UTF8String.split under ArrayFilter.eval/ArrayTransform.eval,
+    // one thread hot). This shape evaluates split once per doc and
+    // every per-row expression is codegen'd; the window shuffle on
+    // doc_id also spreads the pairing across all cores.
     // The count-desc order carries the bigram itself as tiebreak, so
     // rank-50 boundary ties resolve identically everywhere.
     "t06_ngram_topk" -> ((s, d) => {
-      val toks = filter(split(col("text"), " "), t => length(t) > 0)
-      val grams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast(ArrayType(StringType)))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
       Tables.documents(s, d)
-        .select(explode(grams).as("bigram"))
-        .groupBy("bigram")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0)
+        .withColumn("tok2", lead("tok", 1).over(w))
+        .filter(col("tok2").isNotNull)
+        .groupBy(concat_ws(" ", col("tok"), col("tok2")).as("bigram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(50)
