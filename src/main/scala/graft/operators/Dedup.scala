@@ -247,7 +247,8 @@ object Dedup {
     "d05_embedding_neardup" -> ((s, d) => {
       val dbl = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+          // plain array Cast, not transform(_.cast): stays in codegen
+          col("embedding").cast(ArrayType(DoubleType)).as("v"))
       val a = dbl.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
       val b = dbl.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
       a.join(b, Seq("label"))

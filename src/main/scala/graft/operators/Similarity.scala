@@ -48,7 +48,11 @@ object Similarity {
   def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
     cosine(a, b)
 
-  private def asDoubleVec(c: Column): Column = transform(c, x => x.cast(DoubleType))
+  /** float→double element widening as a plain array Cast — codegen'd
+    * and exact, unlike a transform(_.cast) lambda which runs on the
+    * interpreted HigherOrderFunction path (the eval family behind the
+    * measured 100× t06 stall). */
+  private def asDoubleVec(c: Column): Column = c.cast(ArrayType(DoubleType))
 
   private val NumPlanes = 16 // LSH signature bits
   private val NumBands = 4   // 4 bands × 4 bits

@@ -85,20 +85,39 @@ object TextAnalysis {
     // Document fingerprinting: full-content digest + 60-bit numeric
     // fingerprint + min/max shingle hashes (rolling-hash style, the
     // building block of winnowing).
+    //
+    // Row-based like t06/Dedup.shingleRows — the array formulation
+    // (transform(sequence)/element_at over an inlined split) is the
+    // interpreted-HOF O(tokens²) shape that measurably runs 100×
+    // slow when HotSpot drops the interpreter tree from its compile
+    // queue. Here: split once per doc via posexplode, trigrams via
+    // two window leads, min/max in a hash aggregate, then an
+    // equi-join back to the slim per-doc digest projection (both
+    // sides keyed on doc_id; the window shuffle already clustered
+    // the gram side). Short docs (<3 tokens) produce no trigram
+    // rows and fall back to hashing the whole lowered text.
     "t04_fingerprint" -> ((s, d) => {
-      val toks = split(lower(col("text")), "\\s+")
-      val grams = when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - 3), i =>
-          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-        .otherwise(array(lower(col("text"))))
       val gramHash = (g: Column) =>
         conv(substring(md5(g), 1, 15), 16, 10).cast(LongType)
-      Tables.documents(s, d)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val docs = Tables.documents(s, d)
+      val shingleAgg = docs
+        .select(col("doc_id"), posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .withColumn("t1", lead("tok", 1).over(w))
+        .withColumn("t2", lead("tok", 2).over(w))
+        .filter(col("t2").isNotNull)
         .select(col("doc_id"),
+          gramHash(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("gh"))
+        .groupBy("doc_id")
+        .agg(min(col("gh")).as("min_gh"), max(col("gh")).as("max_gh"))
+      docs
+        .select(col("doc_id"), lower(col("text")).as("lt"),
           md5(col("text")).as("content_md5"),
-          conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType).as("fp60"),
-          array_min(transform(grams, gramHash)).as("min_shingle_hash"),
-          array_max(transform(grams, gramHash)).as("max_shingle_hash"))
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType).as("fp60"))
+        .join(shingleAgg, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("content_md5"), col("fp60"),
+          coalesce(col("min_gh"), gramHash(col("lt"))).as("min_shingle_hash"),
+          coalesce(col("max_gh"), gramHash(col("lt"))).as("max_shingle_hash"))
         .orderBy("doc_id")
     }),
 
