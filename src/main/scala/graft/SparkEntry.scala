@@ -22,7 +22,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
-      Relational4.queries ++ Relational5.queries ++ Upsert.queries ++
+      Relational4.queries ++ Relational5.queries ++ Relational6.queries ++
+      Upsert.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ StreamingOps.queries ++ Sketches.queries ++
       graft.functions.WeightedAvg.queries ++
@@ -35,7 +36,8 @@ object SparkEntry {
     * ScalaTest property coverage instead). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
-      Relational4.oracle ++ Relational5.oracle ++ Upsert.oracle ++
+      Relational4.oracle ++ Relational5.oracle ++ Relational6.oracle ++
+      Upsert.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
       Multimodal.oracle ++ StreamingOps.oracle ++ Sketches.oracle ++
       graft.functions.WeightedAvg.oracle ++
