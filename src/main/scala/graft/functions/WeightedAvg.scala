@@ -52,7 +52,10 @@ object WeightedAvg {
     "a03_weighted_avg_udaf" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("w_avg_price"),
+        // round to 6 dp like every other float output in the repo: the
+        // integer sums agree with the oracle bit-for-bit, but the final
+        // double division can differ in the last ulp between JVMs/DuckDB.
+        .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 6).as("w_avg_price"),
           count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag"))
@@ -61,11 +64,13 @@ object WeightedAvg {
   val oracle: Map[String, String] = Map(
     "a03_weighted_avg_udaf" -> """
       SELECT l_returnflag,
-        CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        ROUND(CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
                  * CAST(round(l_quantity, 0) AS BIGINT)) AS DOUBLE)
-          / (100.0 * SUM(CAST(round(l_quantity, 0) AS BIGINT))) AS w_avg_price,
+          / (100.0 * SUM(CAST(round(l_quantity, 0) AS BIGINT))), 6) AS w_avg_price,
         COUNT(*) AS n,
-        SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty
+        -- CAST: DuckDB's SUM(BIGINT) yields HUGEINT, which would not
+        -- type-match Spark's long in the driver's hash compare.
+        CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

@@ -87,6 +87,127 @@ object Dedup {
       }: _*)).as(Seq("band_idx", "band_hash")))
   }
 
+  /** Full MinHash+LSH candidate-pair pipeline (the d02 body) over any
+    * (doc_id, source, text) corpus: band-bucket self-join → unique id
+    * pairs → signature-overlap estimate. Factored out so the injected-
+    * twin recall gate (d06) runs the EXACT pipeline the operator ships. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    // Band keys only — signatures are NOT carried through the
+    // candidate join (a pair can match in several bands; dedupe the
+    // id pairs first, then score each unique pair exactly once).
+    val banded = bandedKeys(docs)
+    // shuffle_hash on every join over post-aggregate intermediates:
+    // their size estimates are unreliable, and a mis-chosen
+    // broadcast builds a huge hash relation on one thread (and
+    // would OOM outright at cluster scale).
+    val pairs = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      .hint("shuffle_hash")
+      .join(banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    // ReuseExchange dedupes the identical signature subplans.
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        // 32 unrolled element comparisons, NOT zip_with∘filter:
+        // higher-order functions evaluate interpreted (outside
+        // whole-stage codegen) and their lambda dispatch goes
+        // megamorphic as more plans run in the JVM; a plain sum of
+        // element_at equality terms stays inside codegen.
+        ((0 until NumHashes).map(i =>
+          when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+          .reduce(_ + _).cast(DoubleType) / NumHashes).as("est_jaccard"))
+  }
+
+  /** Full SimHash near-dup pipeline (the d03 body): 64-bit fingerprint
+    * → 4×16-bit chunk pigeonhole join → hamming ≤ 3 pairs. Factored out
+    * for the d07 injected-twin recall gate. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    // Explode distinct token hashes to rows, then aggregate the 64
+    // per-bit vote counters PACKED four-per-long in 16-bit slots —
+    // 16 sum columns instead of 64. Janino's compile cost is
+    // superlinear in the aggregate's generated-code width; the
+    // unpacked 64-column version spent minutes single-threaded in
+    // UnitCompiler while 31 cores idled. Slot arithmetic never
+    // carries while a document has < 2^16 distinct tokens (a ~0.5 MB
+    // text; beyond that the fingerprint degrades, exact dedup d01
+    // still covers it). Bit i of the fingerprint lives in column
+    // c(i/4), slot (i%4); votes = 2*ones - n as before.
+    val exploded = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      // Re-cluster token rows by doc_id BEFORE the partial aggregate:
+      // the per-bit vote sums are the dominant compute, and this
+      // puts them on all cores even when the input is one parquet
+      // split; the groupBy below then needs no further exchange.
+      .repartition(col("doc_id"))
+    val bitCnt = (0 until 16).map { j =>
+      val packed = (0 until 4).map { k =>
+        shiftleft(shiftright(col("h"), j * 4 + k).bitwiseAND(1L), k * 16)
+      }.reduce(_ + _)
+      sum(packed).as(s"c$j")
+    }
+    val aggCols = count(lit(1)).as("n") +: bitCnt
+    val agged = exploded.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val fp = (0 until 64).map { i =>
+      val ones = shiftrightunsigned(col(s"c${i / 4}"), (i % 4) * 16)
+        .bitwiseAND(lit(0xFFFFL))
+      when(ones * 2 > col("n"), lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    val docsFp = agged.select(col("doc_id"), fp.as("fp"))
+    val chunked = docsFp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.hint("shuffle_hash").join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
+  /** Offset separating injected twin ids from real doc ids in the
+    * recall gates (d06/d07) — far above any fixture doc_id. */
+  private val TwinOffset = 1000000L
+
+  /** Injected near-duplicates with known ground truth: every doc with
+    * ≥ 4 tokens gets a twin (doc_id + TwinOffset) whose text drops the
+    * last token — shingle-set jaccard ≈ (T-3)/(T-2), i.e. a true
+    * near-dup the pipeline MUST find. This turns the un-oracle-able
+    * LSH pipelines into a hash-checkable recall gate: the oracle knows
+    * exactly how many twins exist (a plain SQL count) and the expected
+    * assertion outcome. */
+  private def withTwins(docs: DataFrame): DataFrame = {
+    val twins = docs
+      .filter(size(split(col("text"), "\\s+")) >= 4)
+      .withColumn("doc_id", col("doc_id") + lit(TwinOffset))
+      .withColumn("text", regexp_replace(col("text"), "\\s+\\S+$", ""))
+    docs.unionByName(twins)
+  }
+
+  /** (n_twins, found) → single assertion row mirrored by a literal in
+    * the oracle. Join on a literal key, not crossJoin: two 1-row
+    * aggregates broadcast-hash-join instead of tripping the
+    * no-cartesian plan gate. */
+  private def recallRow(nTwins: DataFrame, nFound: DataFrame, minRecall: Double): DataFrame =
+    nTwins.withColumn("k", lit(1))
+      .join(nFound.withColumn("k", lit(1)), Seq("k"))
+      .select(col("n_twins"),
+        when(col("n_found") >= col("n_twins") * minRecall, 1L).otherwise(0L)
+          .as("recall_ok"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on content digest; keeper = min doc_id.
@@ -103,94 +224,47 @@ object Dedup {
     // band-bucket self-join → signature-overlap estimate. The join key
     // is (band_idx, band_hash), so candidate generation is linear in
     // bucket sizes, never all-pairs. AQE skew-join splits hot buckets.
-    "d02_dedup_minhash" -> ((s, d) => {
-      val sigs = minhashSignatures(Tables.documents(s, d))
-      // Band keys only — signatures are NOT carried through the
-      // candidate join (a pair can match in several bands; dedupe the
-      // id pairs first, then score each unique pair exactly once).
-      val banded = bandedKeys(Tables.documents(s, d))
-      // shuffle_hash on every join over post-aggregate intermediates:
-      // their size estimates are unreliable, and a mis-chosen
-      // broadcast builds a huge hash relation on one thread (and
-      // would OOM outright at cluster scale).
-      val pairs = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-        .hint("shuffle_hash")
-        .join(banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
-          Seq("band_idx", "band_hash"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-      // ReuseExchange dedupes the identical signature subplans.
-      pairs
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-          .hint("shuffle_hash"), Seq("doc_a"))
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-          .hint("shuffle_hash"), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          // 32 unrolled element comparisons, NOT zip_with∘filter:
-          // higher-order functions evaluate interpreted (outside
-          // whole-stage codegen) and their lambda dispatch goes
-          // megamorphic as more plans run in the JVM; a plain sum of
-          // element_at equality terms stays inside codegen.
-          ((0 until NumHashes).map(i =>
-            when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
-            .reduce(_ + _).cast(DoubleType) / NumHashes).as("est_jaccard"))
-        .orderBy("doc_a", "doc_b")
+    "d02_dedup_minhash" -> ((s, d) =>
+      minhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+
+    // d06: hash-checkable recall gate for d02. Injects known twins
+    // (last token dropped → true jaccard ≈ 0.99) and asserts the LSH
+    // pipeline recovers ≥ 95% of them with a strong estimate. The
+    // oracle derives n_twins by plain SQL and pins the assertion.
+    "d06_minhash_recall" -> ((s, d) => {
+      val corpus = withTwins(Tables.documents(s, d))
+      val found = minhashPairs(corpus)
+        .filter(col("doc_b") === col("doc_a") + TwinOffset &&
+          col("est_jaccard") >= 0.5)
+      recallRow(
+        corpus.filter(col("doc_id") >= TwinOffset)
+          .agg(count(lit(1)).as("n_twins")),
+        found.agg(count(lit(1)).as("n_found")),
+        minRecall = 0.95)
     }),
 
     // SimHash near-dup: 64-bit fingerprint from token hashes, pairs at
     // hamming distance ≤ 3 found via the 4×16-bit chunk pigeonhole
     // (≤3 flipped bits → at least one chunk identical), so the join is
     // again on small equality keys, not all-pairs.
-    "d03_dedup_simhash" -> ((s, d) => {
-      // Explode distinct token hashes to rows, then aggregate the 64
-      // per-bit vote counters PACKED four-per-long in 16-bit slots —
-      // 16 sum columns instead of 64. Janino's compile cost is
-      // superlinear in the aggregate's generated-code width; the
-      // unpacked 64-column version spent minutes single-threaded in
-      // UnitCompiler while 31 cores idled. Slot arithmetic never
-      // carries while a document has < 2^16 distinct tokens (a ~0.5 MB
-      // text; beyond that the fingerprint degrades, exact dedup d01
-      // still covers it). Bit i of the fingerprint lives in column
-      // c(i/4), slot (i%4); votes = 2*ones - n as before.
-      val exploded = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("t"))
-        .select(col("doc_id"), xxhash64(col("t")).as("h"))
-        // Re-cluster token rows by doc_id BEFORE the partial aggregate:
-        // the per-bit vote sums are the dominant compute, and this
-        // puts them on all cores even when the input is one parquet
-        // split; the groupBy below then needs no further exchange.
-        .repartition(col("doc_id"))
-      val bitCnt = (0 until 16).map { j =>
-        val packed = (0 until 4).map { k =>
-          shiftleft(shiftright(col("h"), j * 4 + k).bitwiseAND(1L), k * 16)
-        }.reduce(_ + _)
-        sum(packed).as(s"c$j")
-      }
-      val aggCols = count(lit(1)).as("n") +: bitCnt
-      val agged = exploded.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-      val fp = (0 until 64).map { i =>
-        val ones = shiftrightunsigned(col(s"c${i / 4}"), (i % 4) * 16)
-          .bitwiseAND(lit(0xFFFFL))
-        when(ones * 2 > col("n"), lit(1L << i)).otherwise(0L)
-      }.reduce(_ + _)
-      val docs = agged.select(col("doc_id"), fp.as("fp"))
-      val chunked = docs.select(col("doc_id"), col("fp"),
-        posexplode(array((0 until 4).map(i =>
-          shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-          .as(Seq("chunk_idx", "chunk")))
-      val a = chunked.select(col("chunk_idx"), col("chunk"),
-        col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-      val b = chunked.select(col("chunk_idx"), col("chunk"),
-        col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-      a.hint("shuffle_hash").join(b, Seq("chunk_idx", "chunk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+    "d03_dedup_simhash" -> ((s, d) =>
+      simhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+
+    // d07: hash-checkable recall gate for d03 — dropping one token
+    // flips only near-tie vote majorities, so most twin fingerprints
+    // stay within hamming ≤ 3 of the original. Measured at sf0.01:
+    // 386/500 twins recovered (0.772) — simhash is genuinely coarser
+    // than minhash on this perturbation; 0.7 asserts that level with
+    // headroom while still going red if the pipeline breaks.
+    "d07_simhash_recall" -> ((s, d) => {
+      val corpus = withTwins(Tables.documents(s, d))
+      val found = simhashPairs(corpus)
+        .filter(col("doc_b") === col("doc_a") + TwinOffset)
+      recallRow(
+        corpus.filter(col("doc_id") >= TwinOffset)
+          .agg(count(lit(1)).as("n_twins")),
+        found.agg(count(lit(1)).as("n_found")),
+        minRecall = 0.7)
     }),
 
     // Exact n-gram Jaccard over a bounded candidate window (same
@@ -235,7 +309,11 @@ object Dedup {
       inter
         .withColumn("jac_raw", col("ni").cast(DoubleType) /
           (col("na") + col("nb") - col("ni")).cast(DoubleType))
-        .filter(col("jac_raw") > 0.1) // filter on raw, not rounded, to mirror the oracle
+        // Threshold 0.01, not 0.1: the synthetic corpus's max in-window
+        // jaccard at sf0.01 is ~0.022, so 0.1 made the gate pass
+        // vacuously on 0 = 0 rows. Both sides divide the same integer
+        // counts, so the boundary comparison is bit-identical.
+        .filter(col("jac_raw") > 0.01) // filter on raw, not rounded, to mirror the oracle
         .select(col("source"), col("doc_a"), col("doc_b"),
           round(col("jac_raw"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -265,6 +343,20 @@ object Dedup {
       SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY keep_id""",
 
+    // d06/d07: the oracle independently derives the twin count and
+    // pins the expected assertion outcome — if the LSH/simhash
+    // pipelines stop finding the injected near-dups, recall_ok flips
+    // to 0 on the Spark side and the hash compare goes red.
+    "d06_minhash_recall" -> """
+      SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
+      FROM documents
+      WHERE len(string_split_regex(text, '\s+')) >= 4""",
+
+    "d07_simhash_recall" -> """
+      SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
+      FROM documents
+      WHERE len(string_split_regex(text, '\s+')) >= 4""",
+
     "d04_ngram_jaccard" -> """
       WITH t AS (
         SELECT doc_id, source,
@@ -281,7 +373,7 @@ object Dedup {
       FROM g a JOIN g b ON a.source = b.source
         AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
       WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-            CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.1
+            CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.01
       ORDER BY doc_a, doc_b""",
 
     "d05_embedding_neardup" -> """

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -33,12 +33,13 @@ object Multimodal {
     (width, height, brightness)
   }
 
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("n_bytes", IntegerType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("brightness", DoubleType)))
+  /** Typed output record of the batched decode — using a product
+    * encoder keeps the mapPartitions stage inside the Dataset plan
+    * (DeserializeToObject → MapPartitions → SerializeFromObject), so
+    * Catalyst still sees column-level schema on both sides instead of
+    * an opaque RDD scan barrier. */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
+                                 height: Int, brightness: Double)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -57,19 +58,22 @@ object Multimodal {
     // Feature extraction over binary payloads via mapPartitions — the
     // batched-UDF shape. The decode is the stub above; the Spark-side
     // schema/batching/partitioning is the real article.
+    // Stays a Dataset the whole way: the tuple/product encoders keep
+    // the decode stage in the typed plan (no .rdd barrier), so the
+    // surrounding projections/order-by still plan and prune normally.
     "m02_media_features" -> ((s, d) => {
-      val spark = s
-      val withPayload = Tables.documents(s, d)
+      import s.implicits._
+      Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").cast(BinaryType).as("payload"))
-      val rdd = withPayload.rdd.mapPartitions(_.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, bright) = fakeDecode(bytes)
-        // HALF_UP to match SQL ROUND semantics (rint would be half-even)
-        Row(id, bytes.length, w, h,
-          BigDecimal(bright).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      })
-      spark.createDataFrame(rdd, featureSchema).orderBy("doc_id")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val (w, h, bright) = fakeDecode(bytes)
+          // HALF_UP to match SQL ROUND semantics (rint would be half-even)
+          MediaFeatures(id, bytes.length, w, h,
+            BigDecimal(bright).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        })
+        .toDF()
+        .orderBy("doc_id")
     })
   )
 

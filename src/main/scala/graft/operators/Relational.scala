@@ -131,7 +131,14 @@ object Relational {
     // q07: NOT EXISTS → left-anti join.
     "q07_customers_no_orders" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d).select("o_custkey")
+      // "no URGENT orders" rather than "no orders at all": at the gate
+      // SF every customer has orders, which made this pass vacuously on
+      // 0 = 0 rows. The priority filter pushes into the orders scan
+      // (smaller anti-join build side) and yields a non-empty result at
+      // every test SF, so the anti-join math is actually checked.
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_customers"))
@@ -382,7 +389,8 @@ object Relational {
     "q07_customers_no_orders" -> """
       SELECT c_mktsegment, COUNT(*) AS n_customers
       FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q08_distinct_stats" -> """

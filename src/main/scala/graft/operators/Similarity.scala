@@ -92,6 +92,21 @@ object Similarity {
     df.join(withBands, Seq("vec_id"))
   }
 
+  /** recall@5 of an ANN variant vs the exact baseline as ONE
+    * oracle-checkable assertion row: n_queries / n_exact_pairs are
+    * independently derivable by the DuckDB oracle from s01's
+    * definition, and recall_ok flips to 0 (→ red hash compare) if the
+    * ANN path stops recovering the exact neighbors. This is how the
+    * un-oracle-able LSH/IVF internals get driver-visible teeth. */
+  private def recallVsExact(exact: DataFrame, ann: DataFrame,
+                            minHits: Int): DataFrame =
+    exact.select(col("q_id"), col("neighbor_id"))
+      .join(ann.select(col("q_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("q_id", "neighbor_id"), "left_outer")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact_pairs"),
+        when(sum(col("hit")) >= minHits, 1L).otherwise(0L).as("recall_ok"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force exact top-5 neighbors for query vectors (vec_id<10).
@@ -184,7 +199,22 @@ object Similarity {
         .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
           round(col("cos"), 6).as("cos_sim"))
         .orderBy("q_id", "rk")
-    })
+    }),
+
+    // s04/s05: recall@5 assertion rows for the two ANN variants.
+    // The fixture embeddings are near-uniform random, the hardest case
+    // for ANN (no cluster structure, top-5 is weakly separated):
+    // measured sf0.01 recall is 24/50 for LSH and 18/50 for IVF
+    // (deterministic — fixed hashes, fixed data). Thresholds sit just
+    // below those floors, so any regression in banding/probing drops
+    // recall_ok to 0 and the driver's hash compare goes red.
+    "s04_lsh_recall" -> ((s, d) =>
+      recallVsExact(queries("s01_cosine_topk")(s, d),
+        queries("s02_ann_lsh_topk")(s, d), minHits = 20)),
+
+    "s05_ivf_recall" -> ((s, d) =>
+      recallVsExact(queries("s01_cosine_topk")(s, d),
+        queries("s03_ann_ivf")(s, d), minHits = 15))
   )
 
   val oracle: Map[String, String] = Map(
@@ -203,6 +233,45 @@ object Similarity {
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rk
         FROM scored)
       SELECT q_id, rk, neighbor_id, ROUND(cos, 6) AS cos_sim
-      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+
+    // The oracle derives the exact-baseline shape (10 queries × 5
+    // neighbors) from s01's own definition and pins the recall
+    // assertion; the ANN side's contribution is Spark-only by nature.
+    "s04_lsh_recall" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) /
+          (SQRT(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+           SQRT(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS n_exact_pairs,
+        CAST(1 AS BIGINT) AS recall_ok
+      FROM ranked WHERE rk <= 5""",
+
+    "s05_ivf_recall" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) /
+          (SQRT(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+           SQRT(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS n_exact_pairs,
+        CAST(1 AS BIGINT) AS recall_ok
+      FROM ranked WHERE rk <= 5"""
   )
 }

@@ -24,7 +24,15 @@ object StreamingOps {
 
     "st03_session_window" -> ((s, d) =>
       EventStreams.sessionStats(Tables.events(s, d))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // st04: the stream-stream interval join, batch-mode — watermarks
+    // are a no-op on a bounded source, so this checks exactly the join
+    // predicate/state-bound condition the true streaming run uses
+    // (StreamingSpec asserts batch/stream parity on the same plan).
+    "st04_stream_stream_join" -> ((s, d) =>
+      EventStreams.purchaseErrorJoinBatch(Tables.events(s, d))
+        .orderBy("purchase_id", "error_id"))
   )
 
   // Oracle notes: Spark tumbling windows align to the epoch, exactly
@@ -63,6 +71,15 @@ object StreamingOps {
       SELECT MIN(ts) AS session_start, user_id,
         COUNT(*) AS n_events, MAX(ts) AS last_ts
       FROM sessioned GROUP BY user_id, session_id
-      ORDER BY user_id, session_start"""
+      ORDER BY user_id, session_start""",
+
+    "st04_stream_stream_join" -> """
+      SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        e.event_id AS error_id, p.ts AS purchase_ts, e.ts AS error_ts
+      FROM events p JOIN events e
+        ON p.event_type = 'purchase' AND e.event_type = 'error'
+        AND e.user_id = p.user_id
+        AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL '30 minutes'
+      ORDER BY purchase_id, error_id"""
   )
 }

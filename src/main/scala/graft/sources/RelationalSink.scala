@@ -26,22 +26,44 @@ trait RelationalSink {
 
 /** Postgres/JDBC sink with the reference's knobs as defaults:
   * batch 1000 (`src/main.rs:74`), fan-out 10 (`src/main.rs:68`).
+  *
+  * Option construction and partition bounding are factored into
+  * [[JdbcSink.writerOptions]] / [[JdbcSink.bounded]] so the exact
+  * contract handed to `.jdbc()` is unit-testable without a database —
+  * the offline-max coverage for reference ops #4/#6/#8
+  * (`/root/reference/src/main.rs:60-72,146-149`): no PG driver jar
+  * ships in this image, so the live execute can't run here.
   */
 final class JdbcSink(url: String, props: java.util.Properties,
                      batchSize: Int = 1000, numPartitions: Int = 10)
     extends RelationalSink {
   override def write(df: DataFrame, table: String, mode: SaveMode): Unit = {
-    // repartition caps concurrent DB connections exactly like the
-    // reference's Semaphore::new(10) capped in-flight inserts.
-    val out = if (df.rdd.getNumPartitions > numPartitions)
-      df.coalesce(numPartitions) else df
-    out.write
-      .mode(mode)
-      .option("batchsize", batchSize.toString)
-      .option("createTableColumnTypes",
-        SchemaMapper.createTableColumnTypes(df.schema))
-      .jdbc(url, table, props)
+    var w = JdbcSink.bounded(df, numPartitions).write.mode(mode)
+    JdbcSink.writerOptions(df.schema, batchSize).foreach { case (k, v) =>
+      w = w.option(k, v)
+    }
+    w.jdbc(url, table, props)
   }
+}
+
+object JdbcSink {
+  /** The exact option map the JDBC writer receives: multi-row batch
+    * size (reference `src/main.rs:74`) and the dialect DDL types from
+    * SchemaMapper (reference `generate_create_table_sql`). */
+  def writerOptions(schema: org.apache.spark.sql.types.StructType,
+                    batchSize: Int = 1000): Map[String, String] =
+    Map(
+      "batchsize" -> batchSize.toString,
+      "createTableColumnTypes" -> SchemaMapper.createTableColumnTypes(schema))
+
+  /** Caps concurrent DB connections exactly like the reference's
+    * `Semaphore::new(10)` capped in-flight inserts: one JDBC
+    * connection per partition, so ≤ numPartitions connections
+    * regardless of cluster parallelism. Narrow (coalesce, no
+    * shuffle); never widens an already-thin input. */
+  def bounded(df: DataFrame, numPartitions: Int = 10): DataFrame =
+    if (df.rdd.getNumPartitions > numPartitions) df.coalesce(numPartitions)
+    else df
 }
 
 /** Test/offline sink: same trait, parquet directory instead of a DB. */

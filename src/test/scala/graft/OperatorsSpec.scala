@@ -33,13 +33,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(prices.sameElements(prices.sorted.reverse))
   }
 
-  test("q07 anti-join: no customer with orders appears") {
-    val noOrders = Relational.queries("q07_customers_no_orders")(s, d)
+  test("q07 anti-join: counts exactly the customers without urgent orders") {
+    val noUrgent = Relational.queries("q07_customers_no_orders")(s, d)
       .agg(coalesce(sum("n_customers"), lit(0L))).collect()(0).getLong(0)
     val c = Tables.customer(s, d).count()
-    val withOrders = Tables.customer(s, d).join(Tables.orders(s, d),
-      col("c_custkey") === col("o_custkey"), "left_semi").count()
-    assert(noOrders === c - withOrders)
+    val withUrgent = Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(noUrgent === c - withUrgent)
+    assert(noUrgent > 0, "q07 must be non-vacuous at the test SF")
   }
 
   test("d01 exact dedup partitions the corpus: copies sum to total docs") {

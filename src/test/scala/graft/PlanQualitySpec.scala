@@ -72,9 +72,14 @@ class PlanQualitySpec extends AnyFunSuite {
   test("no query in the registered surface plans a cartesian product") {
     // Brute-force similarity scans legitimately cross-join a BROADCAST
     // side of bounded size (10 query vectors / K centroids) — the scan
-    // side streams once, which IS the linear plan. Everything else must
-    // be equi-join shaped.
-    val broadcastNljOk = Set("s01_cosine_topk", "s03_ann_ivf")
+    // side streams once, which IS the linear plan. The recall/bound
+    // assertion rows (s04/s05, d06/d07, a05) additionally join two
+    // 1-row scalar aggregates on a literal key, which constant-folds
+    // to a 1×1 broadcast NLJ — bounded by construction. Everything
+    // else must be equi-join shaped.
+    val broadcastNljOk = Set("s01_cosine_topk", "s03_ann_ivf",
+      "s04_lsh_recall", "s05_ivf_recall",
+      "d06_minhash_recall", "d07_simhash_recall", "a05_hll_union_bounds")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
