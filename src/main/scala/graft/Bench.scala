@@ -35,8 +35,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Family = leading alpha prefix + (for q) a coarse number band, so
-    * each child JVM compiles a bounded, related set of plans. */
+  /** Family = leading alpha prefix + (for q/d) a coarse number band,
+    * so each child JVM compiles a bounded, related set of plans.
+    *
+    * Families must stay SMALL where the plans are generated-code-heavy:
+    * round 3 measured the combined d+s family (12 explode/band-join
+    * plans in one JVM) running d05 at 34 s and d06 at 142 s versus
+    * 1.2 s / 13 s in a fresh JVM — the same inline-cache/codegen churn
+    * the isolation exists to prevent, re-created by an oversized
+    * family. Dedup and similarity now split into three ≤5-plan groups.
+    */
   private def family(name: String): String = {
     val prefix = name.takeWhile(_.isLetter)
     if (prefix == "q") {
@@ -44,8 +52,12 @@ object Bench {
       if (num.nonEmpty && num.toInt <= 13) "q_a"
       else if (num.nonEmpty && num.toInt <= 26) "q_b"
       else "q_c"
-    } else if (prefix == "d" || prefix == "s") "dedup_sim"
-    else if (prefix == "st" || prefix == "t" || prefix == "m") "text_stream"
+    } else if (prefix == "d") {
+      val num = name.drop(1).takeWhile(_.isDigit)
+      if (num.nonEmpty && num.toInt <= 4) "dedup_a" else "dedup_b"
+    } else if (prefix == "s") "sim"
+    else if (prefix == "st" || prefix == "m") "stream_media"
+    else if (prefix == "t") "text"
     else "agg_ingest" // a, i, u
   }
 
@@ -158,24 +170,51 @@ object Bench {
 
     // Warm the JVM/codegen once on the smallest SF so the first timed
     // query doesn't also pay first-call framework classloading. ONE
-    // query only. Warming more was tried twice and regressed both
-    // times (full sweep: 428 s; just the dedup trio at sf0.001: 413 s
-    // vs 137 s control) — every extra pre-warmed plan's generated
-    // classes deepen the inline-cache churn, and the damage lands on
-    // UNRELATED queries mid-suite.
-    if (warmup && sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true") == "true")
-      try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // query only — and it's the suite's OWN first query at sf0.001,
+    // so the codegen/JIT paths warmed are the ones the family
+    // actually uses (warming with the unrelated q01 left the first
+    // family query paying ~2 s of its own cold compile). Warming MORE
+    // than one query was tried twice and regressed both times (full
+    // sweep: 428 s; dedup trio: 413 s vs 137 s control) — every extra
+    // pre-warmed plan's generated classes deepen inline-cache churn,
+    // and the damage lands on UNRELATED queries mid-suite.
+    if (warmup && sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true") == "true") {
+      val warmName = args.headOption.filter(SparkEntry.queries.contains)
+      try warmName.map(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
+        .getOrElse(SparkEntry.entry(spark)).count()
+      catch { case _: Throwable => () }
+    }
 
     val names = (if (args.isEmpty) SparkEntry.queries.keys.toSeq
       else SparkEntry.queries.keys.toSeq.filter(args.toSet)).sorted
     var failed = List.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
+      // Stall watchdog: the residual JIT lottery (BASELINE.md) makes a
+      // query nondeterministically run ~10-100× slow, too rarely to
+      // catch interactively (< 1-in-10 after the round-3 family split
+      // + self-warmup). When it fires, dump the busy executor stacks
+      // so the run itself records WHERE the time went.
+      val watchdog = new Thread(() => {
+        try {
+          while (true) {
+            Thread.sleep(60000)
+            System.err.println(s"[bench][watchdog] $name still running — busy stacks:")
+            import scala.jdk.CollectionConverters._
+            for ((t, st) <- Thread.getAllStackTraces.asScala
+                 if t.getName.startsWith("Executor task") && st.nonEmpty)
+              System.err.println(s"  ${t.getName} ${t.getState}\n" +
+                st.take(12).map(f => s"    at $f").mkString("\n"))
+          }
+        } catch { case _: InterruptedException => () }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
+      } finally watchdog.interrupt()
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       name -> dt

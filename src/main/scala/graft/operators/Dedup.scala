@@ -182,16 +182,21 @@ object Dedup {
     * recall gates (d06/d07) — far above any fixture doc_id. */
   private val TwinOffset = 1000000L
 
-  /** Injected near-duplicates with known ground truth: every doc with
-    * ≥ 4 tokens gets a twin (doc_id + TwinOffset) whose text drops the
-    * last token — shingle-set jaccard ≈ (T-3)/(T-2), i.e. a true
-    * near-dup the pipeline MUST find. This turns the un-oracle-able
-    * LSH pipelines into a hash-checkable recall gate: the oracle knows
-    * exactly how many twins exist (a plain SQL count) and the expected
-    * assertion outcome. */
+  /** Injected near-duplicates with known ground truth: every 5th doc
+    * with ≥ 4 tokens gets a twin (doc_id + TwinOffset) whose text
+    * drops the last token — shingle-set jaccard ≈ (T-3)/(T-2), i.e. a
+    * true near-dup the pipeline MUST find. This turns the
+    * un-oracle-able LSH pipelines into a hash-checkable recall gate:
+    * the oracle knows exactly how many twins exist (a plain SQL count)
+    * and the expected assertion outcome. The 1-in-5 sample keeps the
+    * gate corpus ~1.2× the base corpus (injecting a twin per doc
+    * doubled every pipeline stage and made the gate cost 2.5× the
+    * operator it checks) while still spanning ~100 ground-truth pairs
+    * at the gate SF. */
   private def withTwins(docs: DataFrame): DataFrame = {
     val twins = docs
-      .filter(size(split(col("text"), "\\s+")) >= 4)
+      .filter(col("doc_id") % 5 === 0 &&
+        size(split(col("text"), "\\s+")) >= 4)
       .withColumn("doc_id", col("doc_id") + lit(TwinOffset))
       .withColumn("text", regexp_replace(col("text"), "\\s+\\S+$", ""))
     docs.unionByName(twins)
@@ -350,12 +355,12 @@ object Dedup {
     "d06_minhash_recall" -> """
       SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
       FROM documents
-      WHERE len(string_split_regex(text, '\s+')) >= 4""",
+      WHERE doc_id % 5 = 0 AND len(string_split_regex(text, '\s+')) >= 4""",
 
     "d07_simhash_recall" -> """
       SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
       FROM documents
-      WHERE len(string_split_regex(text, '\s+')) >= 4""",
+      WHERE doc_id % 5 = 0 AND len(string_split_regex(text, '\s+')) >= 4""",
 
     "d04_ngram_jaccard" -> """
       WITH t AS (

