@@ -56,6 +56,7 @@ object Bench {
       val num = name.drop(1).takeWhile(_.isDigit)
       if (num.nonEmpty && num.toInt <= 4) "dedup_a" else "dedup_b"
     } else if (prefix == "s") "sim"
+    else if (prefix == "c") "corpus"
     else if (prefix == "st" || prefix == "m") "stream_media"
     else if (prefix == "t") "text"
     else "agg_ingest" // a, i, u

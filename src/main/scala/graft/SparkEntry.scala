@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++ Relational5.queries ++ Relational6.queries ++
-      Upsert.queries ++
+      Upsert.queries ++ Corpus.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ StreamingOps.queries ++ Sketches.queries ++
       graft.functions.WeightedAvg.queries ++
@@ -37,7 +37,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
       Relational4.oracle ++ Relational5.oracle ++ Relational6.oracle ++
-      Upsert.oracle ++
+      Upsert.oracle ++ Corpus.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
       Multimodal.oracle ++ StreamingOps.oracle ++ Sketches.oracle ++
       graft.functions.WeightedAvg.oracle ++

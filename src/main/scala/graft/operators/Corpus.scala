@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Corpus-preparation operators — the remaining steps a large-scale
+  * LM training-data pipeline runs between raw scans (t01–t06 text
+  * analysis) and dedup (d01–d07): repetition-based quality filtering,
+  * sequence packing, duplicate clustering, stratified sampling, and
+  * per-label embedding centroids. The reference has none of this
+  * (its pipeline is scan→insert, `/root/reference/src/main.rs:75-100`);
+  * all five are pure extension surface.
+  *
+  * Scale stance: c01/c02/c04 are scan + per-key window/aggregate
+  * shapes (shuffle linear in rows, no global sort); c03 is the
+  * standard iterative min-label propagation whose rounds touch only
+  * (id, component) pairs; c05 is one explode + hash aggregate.
+  */
+object Corpus {
+
+  /** Tokens per packed training sequence (c02). */
+  private val SeqLen = 4096
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // c01: repetition-based quality filter (the Gopher-style rules
+    // adapted to a lineless corpus): fraction of duplicate tokens and
+    // the char share of the most frequent bigram. Two hash aggregates
+    // over exploded tokens, joined per doc — no global state, so the
+    // pass stays scan-shaped at any corpus size.
+    "c01_repetition_filter" -> ((s, d) => {
+      val tokRows = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      val tokStats = tokRows.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val biCounts = tokRows
+        .withColumn("t2", lead("tok", 1).over(w))
+        .filter(col("t2").isNotNull)
+        .groupBy(col("doc_id"), concat_ws(" ", col("tok"), col("t2")).as("bigram"))
+        .agg(count(lit(1)).as("n"))
+      val biStats = biCounts.groupBy("doc_id")
+        .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+      val dupFrac = lit(1.0) -
+        col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType)
+      val topFrac = coalesce(
+        col("top_bigram_n").cast(DoubleType) / col("n_bigrams").cast(DoubleType),
+        lit(0.0))
+      tokStats.join(biStats, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          round(dupFrac, 6).as("dup_token_frac"),
+          round(topFrac, 6).as("top_bigram_frac"),
+          // keep-decision on the RAW fractions (rounding mirrored in SQL)
+          when(topFrac > 0.2 || dupFrac > 0.5, 0L).otherwise(1L).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // c02: sequence packing — assign docs to fixed-token-budget
+    // training sequences by a running token count PER SOURCE (the
+    // shard key). The window never crosses sources, so at 100 TB each
+    // shard packs independently — no global sort, no global cumsum.
+    "c02_sequence_packing" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(lower(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          // bin = tokens packed before me, integer-divided by budget
+          floor((col("cum") - col("n_tokens")).cast(DoubleType) / SeqLen)
+            .as("seq_id"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // c03: duplicate CLUSTERS — connected components over the exact
+    // near-dup pairs (d04's edge set), via min-label propagation:
+    // each round every vertex takes the min component id among itself
+    // and its neighbors; fixpoint = components. Rounds touch only
+    // (id, comp) and (v, w) pairs — the data-parallel CC loop that
+    // runs at any scale (production systems bound the round count
+    // with large-star/small-star contraction; plain propagation is
+    // O(diameter) rounds, fine for near-dup clusters whose diameter
+    // is small). The per-round driver-side convergence probe reads a
+    // single SUM scalar (monotonically decreasing → loop terminates),
+    // the standard Pregel-style stop condition — not a data collect.
+    "c03_dup_clusters" -> ((s, d) => {
+      // checkpoint the edge list BEFORE symmetrizing: the union refers
+      // to `edges` twice, and without the materialization the whole
+      // shingle/join pipeline would execute once per reference
+      val edges = Dedup.ngramJaccardPairs(Tables.documents(s, d))
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val sym = edges
+        .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint() // materialize once; every round re-reads it
+      var comp = sym.select(col("doc_a").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .localCheckpoint()
+      var prev = Long.MaxValue
+      var cur = comp.agg(sum(col("component"))).head().getLong(0)
+      while (cur < prev) {
+        val nbrMin = sym
+          .join(comp.select(col("id").as("doc_b"), col("component").as("nc")),
+            Seq("doc_b"))
+          .groupBy(col("doc_a"))
+          .agg(min(col("nc")).as("nbr_min"))
+          .select(col("doc_a").as("id"), col("nbr_min"))
+        comp = comp.join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component"))
+          .localCheckpoint() // truncate lineage between rounds
+        prev = cur
+        cur = comp.agg(sum(col("component"))).head().getLong(0)
+      }
+      comp.select(col("id").as("doc_id"), col("component")).orderBy("doc_id")
+    }),
+
+    // c04: stratified train-split sampling — exactly ceil(10%) of each
+    // language stratum, selected by a deterministic content-free hash
+    // order (md5 of the id, the q33 convention) so the split is
+    // reproducible across runs/engines and never biased by ingest
+    // order. Window per stratum: no global shuffle.
+    "c04_stratified_sample" -> ((s, d) => {
+      val byHash = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(byHash))
+        .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(col("rk") <= ceil(col("n_lang") * 0.1))
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
+    // c05: per-label embedding centroids in LONG form (label, dim,
+    // centroid) — one posexplode + one hash aggregate, the shape that
+    // computes class centroids for IVF coarse quantizers or
+    // cluster-balance audits without ever assembling arrays on a
+    // single node.
+    "c05_label_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(col("embedding").cast(ArrayType(DoubleType)))
+            .as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(round(avg(col("x")), 6).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy("label", "dim"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c01_repetition_filter" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      ts AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+        FROM tok GROUP BY doc_id),
+      bi AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+        FROM t WHERE len(toks) >= 2),
+      bc AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+      bs AS (SELECT doc_id, MAX(n) AS top_bigram_n, SUM(n) AS n_bigrams
+             FROM bc GROUP BY doc_id)
+      SELECT ts.doc_id AS doc_id,
+        CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+        ROUND(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+        ROUND(COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0), 6) AS top_bigram_frac,
+        CAST(CASE WHEN COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0) > 0.2
+                    OR 1 - CAST(n_distinct AS DOUBLE) / n_tokens > 0.5
+             THEN 0 ELSE 1 END AS BIGINT) AS keep
+      FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+      ORDER BY doc_id""",
+
+    "c02_sequence_packing" -> """
+      WITH t AS (
+        SELECT source, doc_id,
+          len(string_split_regex(lower(text), '\s+')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS seq_id
+      FROM c ORDER BY source, doc_id""",
+
+    "c03_dup_clusters" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+        FROM t WHERE len(toks) >= 3),
+      e AS (
+        SELECT a.doc_id AS v, b.doc_id AS w
+        FROM g a JOIN g b ON a.source = b.source
+          AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.01),
+      sym AS (SELECT v, w FROM e UNION SELECT w AS v, v AS w FROM e),
+      reach AS (
+        SELECT v, v AS w FROM (SELECT DISTINCT v FROM sym)
+        UNION
+        SELECT r.v, s.w FROM reach r JOIN sym s ON r.w = s.v)
+      SELECT v AS doc_id, MIN(w) AS component
+      FROM reach GROUP BY v ORDER BY doc_id""",
+
+    "c04_stratified_sample" -> """
+      WITH r AS (
+        SELECT lang, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+          COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents)
+      SELECT lang, doc_id, CAST(rk AS INT) AS rk
+      FROM r WHERE rk <= CEIL(n_lang * 0.1)
+      ORDER BY lang, rk""",
+
+    // fixture embeddings are fixed 64-dim (asserted in CorpusSpec)
+    "c05_label_centroids" -> """
+      SELECT label, CAST(dim AS INT) AS dim,
+        ROUND(AVG(CAST(embedding[dim + 1] AS DOUBLE)), 6) AS centroid,
+        COUNT(*) AS n_vecs
+      FROM embeddings, range(0, 64) AS t(dim)
+      GROUP BY label, dim ORDER BY label, dim"""
+  )
+}

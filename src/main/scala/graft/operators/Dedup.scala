@@ -275,7 +275,36 @@ object Dedup {
     // Exact n-gram Jaccard over a bounded candidate window (same
     // source, nearby ids) — the oracle-checkable exact-math variant;
     // the unbounded-scale variant is d02 (LSH generates candidates).
-    "d04_ngram_jaccard" -> ((s, d) => {
+    "d04_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardPairs(Tables.documents(s, d))
+        .select(col("source"), col("doc_a"), col("doc_b"),
+          round(col("jac_raw"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b"))
+,
+    // Embedding-cosine near-dup: same-label banding bounds the pair
+    // space; exact double-precision cosine on the candidates. At scale
+    // the band key would be an LSH bucket (see s02) instead of label.
+    "d05_embedding_neardup" -> ((s, d) => {
+      val dbl = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          // plain array Cast, not transform(_.cast): stays in codegen
+          col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val a = dbl.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = dbl.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos") > 0.3)
+        .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  /** Exact windowed n-gram-jaccard candidate pairs (the d04 body),
+    * returning (source, doc_a, doc_b, na, nb, ni, jac_raw) for pairs
+    * with jac_raw > 0.01 — shared by d04 and the duplicate-cluster
+    * operator (graft.operators.Corpus c03). */
+  def ngramJaccardPairs(documents: DataFrame): DataFrame = {
       // Set math WITHOUT set payloads: a pair's |A∩B| is a COUNT of
       // matching (source, shingle) rows, so the join ships only
       // (doc_id, 8-byte gram hash) rows — an earlier version carried
@@ -288,7 +317,7 @@ object Dedup {
       // deduped gram rows (no separate sizes relation, no extra
       // joins); the join then carries only ids, an 8-byte hash, and
       // two ints per row.
-      val grams = shingleRows(Tables.documents(s, d))
+      val grams = shingleRows(documents)
         .filter(col("full3")) // oracle scopes to docs with >= 3 tokens
         .select("source", "doc_id", "sh").distinct()
         .withColumn("sz", count(lit(1)).over(Window.partitionBy("source", "doc_id")))
@@ -319,29 +348,7 @@ object Dedup {
         // vacuously on 0 = 0 rows. Both sides divide the same integer
         // counts, so the boundary comparison is bit-identical.
         .filter(col("jac_raw") > 0.01) // filter on raw, not rounded, to mirror the oracle
-        .select(col("source"), col("doc_a"), col("doc_b"),
-          round(col("jac_raw"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    // Embedding-cosine near-dup: same-label banding bounds the pair
-    // space; exact double-precision cosine on the candidates. At scale
-    // the band key would be an LSH bucket (see s02) instead of label.
-    "d05_embedding_neardup" -> ((s, d) => {
-      val dbl = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          // plain array Cast, not transform(_.cast): stays in codegen
-          col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      val a = dbl.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
-      val b = dbl.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
-      a.join(b, Seq("label"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
-        .filter(col("cos") > 0.3)
-        .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
-        .orderBy("id_a", "id_b")
-    })
-  )
+  }
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" -> """

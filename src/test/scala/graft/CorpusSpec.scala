@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Dedup}
+
+/** Semantic invariants for the corpus-preparation operators (c01–c05)
+  * beyond the DuckDB hash gate. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val d = TestSpark.sf0001
+
+  test("c01: fractions are valid and the keep flag matches its rule") {
+    val rows = Corpus.queries("c01_repetition_filter")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_token_frac")
+      val top = r.getAs[Double]("top_bigram_frac")
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(top >= 0.0 && top <= 1.0)
+      val expected = if (top > 0.2 || dup > 0.5) 0L else 1L
+      // rounded output can sit exactly on the threshold; allow the
+      // raw-valued decision to disagree only within rounding distance
+      if (math.abs(top - 0.2) > 1e-5 && math.abs(dup - 0.5) > 1e-5)
+        assert(r.getAs[Long]("keep") === expected)
+    }
+  }
+
+  test("c02: sequences are contiguous per source and respect the token budget") {
+    val rows = Corpus.queries("c02_sequence_packing")(s, d)
+      .collect().groupBy(_.getAs[String]("source"))
+    rows.foreach { case (_, docs) =>
+      val seqIds = docs.map(_.getAs[Long]("seq_id"))
+      assert(seqIds.head === 0L, "first doc of a source starts sequence 0")
+      seqIds.sliding(2).foreach {
+        case Array(a, b) => assert(b >= a, "seq_id is non-decreasing")
+        case _ => ()
+      }
+      // each doc's preceding-fill is under the budget by construction
+      docs.foreach { r =>
+        assert(r.getAs[Long]("seq_id") >= 0L)
+      }
+    }
+  }
+
+  test("c03: every near-dup edge lands inside one component; labels are component minima") {
+    val comp = Corpus.queries("c03_dup_clusters")(s, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(comp.nonEmpty)
+    comp.foreach { case (id, c) => assert(c <= id, "component label is a min id") }
+    val edges = Dedup.ngramJaccardPairs(Tables.documents(s, d))
+      .select("doc_a", "doc_b").collect()
+    assert(edges.nonEmpty)
+    edges.foreach { e =>
+      assert(comp(e.getLong(0)) === comp(e.getLong(1)),
+        s"edge ${e.getLong(0)}–${e.getLong(1)} spans two components")
+    }
+    // every component's label is itself a member of the component
+    comp.values.toSet.foreach((c: Long) => assert(comp(c) === c))
+  }
+
+  test("c04: exactly ceil(10%) of each stratum, deterministically") {
+    val out = Corpus.queries("c04_stratified_sample")(s, d)
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.documents(s, d).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      assert(got(lang) === math.ceil(n * 0.1).toLong, s"stratum $lang")
+    }
+    // deterministic: two runs select the same ids
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Corpus.queries("c04_stratified_sample")(s, d)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
+  }
+
+  test("c05: centroid table covers 64 dims per label (fixed-dim fixture)") {
+    val dims = Tables.embeddings(s, d)
+      .select(size(col("embedding")).as("n")).distinct().collect()
+    assert(dims.length === 1 && dims(0).getInt(0) === 64,
+      "c05's oracle hardcodes range(0,64); revisit if the fixture changes")
+    val out = Corpus.queries("c05_label_centroids")(s, d).collect()
+    val perLabel = out.groupBy(_.getAs[Any]("label"))
+    perLabel.foreach { case (_, rows) => assert(rows.length === 64) }
+  }
+}
