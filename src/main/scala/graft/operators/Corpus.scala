@@ -150,7 +150,50 @@ object Corpus {
         .groupBy("label", "dim")
         .agg(round(avg(col("x")), 6).as("centroid"),
           count(lit(1)).as("n_vecs"))
-        .orderBy("label", "dim"))
+        .orderBy("label", "dim")),
+
+    // c06: vocabulary coverage — top-100 unigrams with cumulative
+    // corpus share, the pass behind vocab building and OOV audits.
+    // The corpus-sized work is one hash aggregate; only the
+    // VOCAB-sized result is ranked (TakeOrdered top-100, then a
+    // 100-row window), so nothing corpus-sized is globally sorted.
+    "c06_vocab_coverage" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      val top = counts.orderBy(col("n").desc, col("tok")).limit(100)
+      val w = Window.orderBy(col("n").desc, col("tok"))
+      // scalar-total attach: explicit broadcast crossJoin (100 × 1 row,
+      // bounded by construction) — the s01/s04 convention, whitelisted
+      // in PlanQualitySpec
+      top.crossJoin(broadcast(total))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("tok"), col("n"), col("rk"),
+          round(col("cum").cast(DoubleType) / col("total").cast(DoubleType), 6)
+            .as("cum_coverage"))
+        .orderBy("rk")
+    }),
+
+    // c07: int8 scalar quantization of embeddings (the storage/ANN
+    // compression pass), long form. Per-vector scale from the codegen'd
+    // array_max/array_min collection ops — no interpreted lambda; the
+    // quantize itself is one posexplode + per-row arithmetic.
+    "c07_embedding_quantize" -> ((s, d) => {
+      val v = col("embedding").cast(ArrayType(DoubleType))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), v.as("v"),
+          greatest(array_max(v), -array_min(v)).as("max_abs"))
+        .select(col("vec_id"), col("max_abs"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          when(col("max_abs") === 0, 0)
+            .otherwise(round(col("x") * 127.0 / col("max_abs"), 0))
+            .cast(IntegerType).as("q_val"))
+        .orderBy("vec_id", "dim")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -233,6 +276,36 @@ object Corpus {
         ROUND(AVG(CAST(embedding[dim + 1] AS DOUBLE)), 6) AS centroid,
         COUNT(*) AS n_vecs
       FROM embeddings, range(0, 64) AS t(dim)
-      GROUP BY label, dim ORDER BY label, dim"""
+      GROUP BY label, dim ORDER BY label, dim""",
+
+    "c06_vocab_coverage" -> """
+      WITH tok AS (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents),
+      counts AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+      total AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM counts),
+      top AS (
+        SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+        FROM counts QUALIFY rk <= 100)
+      SELECT tok, n, CAST(rk AS INT) AS rk,
+        ROUND(CAST(SUM(n) OVER (ORDER BY rk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / total, 6) AS cum_coverage
+      FROM top, total ORDER BY rk""",
+
+    "c07_embedding_quantize" -> """
+      WITH e AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, v,
+          GREATEST(list_max(v), -list_min(v)) AS max_abs
+        FROM e)
+      SELECT vec_id, CAST(dim AS INT) AS dim,
+        CAST(CASE WHEN max_abs = 0 THEN 0
+             ELSE ROUND(v[dim + 1] * 127.0 / max_abs, 0) END AS INT) AS q_val
+      FROM s, range(0, 64) AS t(dim)
+      ORDER BY vec_id, dim"""
   )
 }

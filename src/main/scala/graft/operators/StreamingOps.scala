@@ -32,7 +32,16 @@ object StreamingOps {
     // (StreamingSpec asserts batch/stream parity on the same plan).
     "st04_stream_stream_join" -> ((s, d) =>
       EventStreams.purchaseErrorJoinBatch(Tables.events(s, d))
-        .orderBy("purchase_id", "error_id"))
+        .orderBy("purchase_id", "error_id")),
+
+    // st05: the convergent state of the flatMapGroupsWithState custom
+    // aggregator (EventStreams.userTotalsStreaming), batch-mode — the
+    // stream run's final snapshot equals this aggregate (parity pinned
+    // in StreamingSpec); registering the batch twin puts the custom-
+    // state semantics under the DuckDB hash gate too.
+    "st05_stateful_user_totals" -> ((s, d) =>
+      EventStreams.userTotalsBatch(Tables.events(s, d))
+        .orderBy("user_id"))
   )
 
   // Oracle notes: Spark tumbling windows align to the epoch, exactly
@@ -80,6 +89,12 @@ object StreamingOps {
         ON p.event_type = 'purchase' AND e.event_type = 'error'
         AND e.user_id = p.user_id
         AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL '30 minutes'
-      ORDER BY purchase_id, error_id"""
+      ORDER BY purchase_id, error_id""",
+
+    "st05_stateful_user_totals" -> """
+      SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+        epoch_ms(MAX(ts)) AS last_seen_ms
+      FROM events GROUP BY user_id ORDER BY user_id"""
   )
 }

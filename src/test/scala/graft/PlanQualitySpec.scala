@@ -77,9 +77,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // 1-row scalar aggregates on a literal key, which constant-folds
     // to a 1×1 broadcast NLJ — bounded by construction. Everything
     // else must be equi-join shaped.
+    // c06 attaches a 1-row corpus-total scalar to a 100-row top-k via
+    // explicit broadcast crossJoin — bounded by construction, same class.
     val broadcastNljOk = Set("s01_cosine_topk", "s03_ann_ivf",
       "s04_lsh_recall", "s05_ivf_recall",
-      "d06_minhash_recall", "d07_simhash_recall", "a05_hll_union_bounds")
+      "d06_minhash_recall", "d07_simhash_recall", "a05_hll_union_bounds",
+      "c06_vocab_coverage")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
