@@ -56,9 +56,17 @@ object Bench {
       val num = name.drop(1).takeWhile(_.isDigit)
       if (num.nonEmpty && num.toInt <= 4) "dedup_a" else "dedup_b"
     } else if (prefix == "s") "sim"
-    else if (prefix == "c") "corpus"
+    else if (prefix == "c") {
+      // corpus grew past the ≤5-plan stability bar (round-3 finding
+      // above): split like dedup
+      val num = name.drop(1).takeWhile(_.isDigit)
+      if (num.nonEmpty && num.toInt <= 5) "corpus_a" else "corpus_b"
+    }
     else if (prefix == "st" || prefix == "m") "stream_media"
-    else if (prefix == "t") "text"
+    else if (prefix == "t") {
+      val num = name.drop(1).takeWhile(_.isDigit)
+      if (num.nonEmpty && num.toInt <= 4) "text_a" else "text_b"
+    }
     else "agg_ingest" // a, i, u
   }
 
@@ -161,6 +169,10 @@ object Bench {
       // sometimes never compiled them and a 200k-row task burned
       // minutes interpreted (observed in Decimal.changePrecision).
       .config("spark.sql.codegen.methodSplitThreshold", "256")
+      // Catalyst extension point: range-join binning rule + SQL
+      // function registry (graft.GraftExtensions scaladoc).
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.rangeJoin.binSeconds", "3600")
       // dev-only: SPARK_GRAFT_EVENTLOG=true dumps per-stage metrics
       .config("spark.eventLog.enabled",
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))

@@ -31,6 +31,8 @@ object Explain {
       // never compiled them and a 200k-row task burned minutes in the
       // interpreter (observed in Decimal.changePrecision).
       .config("spark.sql.codegen.methodSplitThreshold", "256")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.rangeJoin.binSeconds", "3600")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

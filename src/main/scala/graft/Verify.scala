@@ -31,6 +31,10 @@ object Verify {
       // interpreter (observed in Decimal.changePrecision).
       .config("spark.sql.codegen.methodSplitThreshold", "256")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // Catalyst extension point: range-join binning rule + SQL
+      // function registry (graft.GraftExtensions scaladoc).
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.rangeJoin.binSeconds", "3600")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

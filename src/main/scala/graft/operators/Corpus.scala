@@ -193,7 +193,78 @@ object Corpus {
             .otherwise(round(col("x") * 127.0 / col("max_abs"), 0))
             .cast(IntegerType).as("q_val"))
         .orderBy("vec_id", "dim")
-    })
+    }),
+
+    // c08: benchmark decontamination — per-doc count of distinct word
+    // 3-grams shared with a held-out benchmark set (deterministically
+    // doc_id % 97 == 0, standing in for an eval suite). Grams are
+    // built row-wise (posexplode + window leads, the t06/shingleRows
+    // shape — no interpreted HOF), deduped per doc, and the benchmark
+    // gram set is BROADCAST: eval suites are fixed-size (thousands of
+    // docs) no matter how big the corpus grows, so at 100 TB this
+    // stays one scan + broadcast hash join + two hash aggregates.
+    "c08_decontaminate" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .withColumn("t2", lead("tok", 1).over(w))
+        .withColumn("t3", lead("tok", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("gram"))
+        .distinct()
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      val corp = grams.filter(col("doc_id") % 97 =!= 0)
+      val tot = corp.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val ov = corp.join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      tot.join(ov, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          when(coalesce(col("n_overlap"), lit(0L)) > 0, 1L).otherwise(0L)
+            .as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // c09: deterministic training order — the reproducible "global
+    // shuffle" a trainer consumes: rank docs per source by a
+    // content-free hash (epoch_rk), tiebreak globally by a second
+    // hash (order_key). Reading in (epoch_rk, order_key) order
+    // round-robin-interleaves the sources, and BOTH keys are pure
+    // functions of ids — any engine replays the identical order. No
+    // global row_number: a contiguous index would serialize on one
+    // partition; at scale the consumer range-partitions on the same
+    // two keys (Spark's distributed sort) and gets the order for free.
+    "c09_training_order" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"))
+        .withColumn("epoch_rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))))
+        .withColumn("order_key",
+          md5(concat(col("source"), lit(":"), col("doc_id").cast(StringType))))
+        .orderBy("epoch_rk", "order_key")),
+
+    // c10: context-window chunking — overlapping token windows of 128
+    // with stride 96 (the RAG/pretraining chunker). One split per
+    // doc, chunk starts from a generated sequence (posexplode gives
+    // chunk_idx for free), then codegen'd slice/concat/md5 — the
+    // chunk fingerprint lets a downstream exact-dedup (d01) run at
+    // chunk granularity without carrying chunk text through the
+    // shuffle. Explode fan-out is n_tokens/96 rows per doc: linear,
+    // scan-shaped, no shuffle until the final order.
+    "c10_doc_chunks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(96)))
+            .as(Seq("chunk_idx", "start_tok")))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          least(lit(128), size(col("toks")) - col("start_tok")).as("n_chunk_tokens"),
+          md5(concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(128))))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -306,6 +377,51 @@ object Corpus {
         CAST(CASE WHEN max_abs = 0 THEN 0
              ELSE ROUND(v[dim + 1] * 127.0 / max_abs, 0) END AS INT) AS q_val
       FROM s, range(0, 64) AS t(dim)
-      ORDER BY vec_id, dim"""
+      ORDER BY vec_id, dim""",
+
+    "c08_decontaminate" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      g0 AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+        FROM t WHERE len(toks) >= 3),
+      bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g0 WHERE doc_id % 97 = 0),
+      corp AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g0 WHERE doc_id % 97 <> 0),
+      tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM corp GROUP BY doc_id),
+      ov AS (
+        SELECT doc_id, COUNT(*) AS n_overlap
+        FROM corp JOIN bench USING (gram) GROUP BY doc_id)
+      SELECT tot.doc_id AS doc_id, n_grams,
+        COALESCE(n_overlap, 0) AS n_overlap,
+        CAST(CASE WHEN COALESCE(n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS contaminated
+      FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
+      ORDER BY doc_id""",
+
+    "c09_training_order" -> """
+      SELECT source, doc_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS epoch_rk,
+        md5(concat(source, ':', CAST(doc_id AS VARCHAR))) AS order_key
+      FROM documents
+      ORDER BY epoch_rk, order_key""",
+
+    "c10_doc_chunks" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks), 96)) AS start_tok
+        FROM t)
+      SELECT doc_id, CAST(start_tok // 96 AS INT) AS chunk_idx,
+        CAST(start_tok AS INT) AS start_tok,
+        CAST(LEAST(128, len(toks) - start_tok) AS INT) AS n_chunk_tokens,
+        md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 128), ' '))
+          AS chunk_md5
+      FROM s ORDER BY doc_id, chunk_idx"""
   )
 }

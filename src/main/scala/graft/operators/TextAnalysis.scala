@@ -192,6 +192,26 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(50)
+    }),
+
+    // t07: token-entropy quality proxy — Shannon entropy of the
+    // per-doc token distribution, H = log2(N) − Σ n·log2(n) / N.
+    // Low entropy flags degenerate/repetitive documents that c01's
+    // coarse dup-token fraction misses (e.g. two tokens alternating).
+    // Shape: explode once → two hash aggregates keyed on doc_id — a
+    // scan-speed pipeline with no window, no HOF lambda (the t06
+    // lesson), shuffling only (doc_id, tok, count) rows.
+    "t07_token_entropy" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      counts.groupBy("doc_id")
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          round(log2(sum(col("n"))) -
+            sum(col("n").cast(DoubleType) * log2(col("n"))) /
+              sum(col("n")).cast(DoubleType), 6).as("entropy"))
+        .orderBy("doc_id")
     })
   )
 
@@ -288,7 +308,17 @@ object TextAnalysis {
             ELSE [] END) AS bigram
           FROM toks)
         SELECT bigram, COUNT(*) AS n FROM bi
-        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"""
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""",
+
+      "t07_token_entropy" -> """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+          FROM documents),
+        c AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+          COUNT(*) AS n_distinct,
+          ROUND(log2(SUM(n)) - SUM(n * log2(n)) / SUM(n), 6) AS entropy
+        FROM c GROUP BY doc_id ORDER BY doc_id"""
     )
   }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational6
+
+/** The [[graft.plans.RangeJoinBinning]] rule and the
+  * [[graft.GraftExtensions]] wiring: the rewrite must be exact
+  * (identical rows to the naive nested-loop plan), must actually
+  * replace the nested-loop physical join with a hash-based one, and
+  * the injected SQL function must resolve from SQL text.
+  */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def q47 = SparkEntry.queries("q47_interval_join")(spark, sf)
+
+  test("binned plan joins on bin ids, not a nested loop") {
+    val plan = q47.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bin"), s"bin columns missing from plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop survived the rewrite:\n$plan")
+  }
+
+  test("rewrite is exact: binned rows == naive nested-loop rows") {
+    val binned = q47.collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.rangeJoin.binSeconds", "0")
+    try {
+      val naivePlan = q47.queryExecution.executedPlan.toString
+      assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+        s"rule-off control should nested-loop:\n$naivePlan")
+      val naive = q47.collect().map(_.toString).sorted
+      assert(binned.sameElements(naive),
+        s"binned=${binned.length} rows, naive=${naive.length} rows")
+      assert(binned.nonEmpty, "gate must not pass vacuously")
+    } finally spark.conf.set("spark.graft.rangeJoin.binSeconds", "3600")
+  }
+
+  test("rule leaves equi-key range joins (q20) untouched") {
+    val plan = Relational6.queries // touch object init
+    val q20 = SparkEntry.queries("q20_range_join")(spark, sf)
+    val s = q20.queryExecution.optimizedPlan.toString
+    assert(!s.contains("graft_bin"), s"q20 has an equi key; rule must not fire:\n$s")
+  }
+
+  test("cosine_sim resolves from SQL text via the injected registry entry") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
