@@ -84,4 +84,72 @@ class CorpusSpec extends AnyFunSuite {
     val perLabel = out.groupBy(_.getAs[Any]("label"))
     perLabel.foreach { case (_, rows) => assert(rows.length === 64) }
   }
+
+  test("c08: benchmark docs never appear; overlap is bounded by gram count") {
+    val rows = Corpus.queries("c08_decontaminate")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 97 != 0, "benchmark members are excluded from the report")
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0 && ov <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Long]("contaminated") === (if (ov > 0) 1L else 0L))
+    }
+  }
+
+  test("c09: epoch ranks are a 1..n permutation per source; keys are stable") {
+    val out = Corpus.queries("c09_training_order")(s, d).collect()
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val rks = rows.map(_.getAs[Int]("epoch_rk")).sorted
+      assert(rks.sameElements(1 to rows.length), "ranks form a permutation")
+    }
+    // interleave: sorting by (epoch_rk, order_key) places every
+    // source's rank-1 doc before any source's rank-2 doc
+    val sorted = out.sortBy(r => (r.getAs[Int]("epoch_rk"), r.getAs[String]("order_key")))
+    val nSources = out.map(_.getAs[String]("source")).distinct.length
+    val firstBlock = sorted.take(nSources).map(_.getAs[String]("source"))
+    assert(firstBlock.distinct.length === nSources,
+      "first block contains each source exactly once")
+  }
+
+  test("c10: chunks tile each doc with stride 96 and cover every token") {
+    val chunks = Corpus.queries("c10_doc_chunks")(s, d).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nTokens = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(lower(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.foreach { case (id, rows) =>
+      val byIdx = rows.sortBy(_.getAs[Int]("chunk_idx"))
+      byIdx.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("chunk_idx") === i)
+        assert(r.getAs[Int]("start_tok") === i * 96)
+        assert(r.getAs[Int]("n_chunk_tokens") ===
+          math.min(128, nTokens(id) - i * 96))
+      }
+      // last chunk reaches the end of the doc
+      val last = byIdx.last
+      assert(last.getAs[Int]("start_tok") + last.getAs[Int]("n_chunk_tokens")
+        === nTokens(id))
+      // expected chunk count for stride 96
+      assert(byIdx.length === (nTokens(id) + 95) / 96)
+    }
+  }
+
+  test("t07: uniform-token docs score entropy = log2(n_distinct)") {
+    import s.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    // same formula as the operator, applied to known distributions
+    val counts = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    val ent = counts.groupBy("doc_id")
+      .agg(round(log2(sum(col("n"))) -
+        sum(col("n").cast("double") * log2(col("n"))) / sum(col("n")).cast("double"), 6)
+        .as("entropy"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(math.abs(ent(1L) - 2.0) < 1e-9)   // 4 uniform tokens → log2(4)
+    assert(math.abs(ent(2L) - 0.0) < 1e-9)   // degenerate → 0
+    assert(math.abs(ent(3L) - 1.0) < 1e-9)   // two × two → 1 bit
+  }
 }
