@@ -41,6 +41,12 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
                                  height: Int, brightness: Double)
 
+  /** One sampled "video frame" (m03): fixed 256-byte frames, every
+    * 4th sampled — the frame-sampling batch shape with the codec
+    * stubbed, one output row per sampled frame. */
+  final case class FrameFeatures(doc_id: Long, frame_idx: Int, offset: Int,
+                                 n_bytes: Int, brightness: Double)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Binary-column plumbing, SQL-expressible end: text → utf8 bytes as
@@ -74,6 +80,33 @@ object Multimodal {
         })
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // m03: frame sampling — the video path's plumbing. The payload is
+    // treated as a stream of fixed 256-byte frames; every 4th frame is
+    // sampled (stride 1024 bytes) and per-frame features extracted.
+    // Same typed-Dataset stance as m02, but flatMap-shaped: one input
+    // row fans out to ceil(len/1024) frame rows inside the partition —
+    // no shuffle, no decode on unsampled frames (a real codec would
+    // seek keyframes the same way). Fan-out is linear in bytes, so at
+    // 100 TB the pass stays scan-shaped and partition-bounded.
+    "m03_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          (0 until bytes.length by 1024).iterator.map { off =>
+            val n = math.min(256, bytes.length - off)
+            var sum = 0L; var i = off
+            while (i < off + n) { sum += bytes(i) & 0xFF; i += 1 }
+            FrameFeatures(id, off / 256, off, n,
+              BigDecimal(sum.toDouble / n)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        })
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -100,6 +133,23 @@ object Multimodal {
         CAST(byte_sum % 640 + 1 AS INT) AS width,
         CAST(n_bytes % 480 + 1 AS INT) AS height,
         ROUND(CAST(byte_sum AS DOUBLE) / n_bytes, 6) AS brightness
-      FROM s ORDER BY doc_id"""
+      FROM s ORDER BY doc_id""",
+
+    // same ASCII-fixture reasoning as m02: frame byte sums are ascii
+    // sums over substr windows.
+    "m03_frame_sample" -> """
+      WITH s AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      f AS (
+        SELECT doc_id, text, len, unnest(range(0, len, 1024)) AS off
+        FROM s),
+      g AS (
+        SELECT doc_id, off, LEAST(256, len - off) AS n,
+          list_sum(list_transform(range(1, LEAST(256, len - off) + 1),
+            i -> ascii(substr(text, CAST(off + i AS INT), 1)))) AS byte_sum
+        FROM f)
+      SELECT doc_id, CAST(off // 256 AS INT) AS frame_idx,
+        CAST(off AS INT) AS "offset", CAST(n AS INT) AS n_bytes,
+        ROUND(CAST(byte_sum AS DOUBLE) / n, 6) AS brightness
+      FROM g ORDER BY doc_id, frame_idx"""
   )
 }

@@ -88,6 +88,35 @@ object Sketches {
         .select(col("exact_total"),
           when(abs(col("est") - col("exact_total")) <=
             col("exact_total") * 0.05, 1L).otherwise(0L).as("union_ok"))
+    }),
+
+    // a06: Count-Min frequency sketch — heavy-hitter gate. The sketch
+    // is built by a DISTRIBUTED aggregate (df.stat.countMinSketch);
+    // only the constant-size blob reaches the driver, which is the
+    // CMS consumption pattern at 100 TB: persist/ship the ~1 MB blob,
+    // answer point frequency queries in O(depth) forever, never
+    // rescan. The two driver-side materializations here are both
+    // O(1)-bounded — the blob and a 5-row top-k — not data collects.
+    // Gate: CMS guarantees est ≥ exact, and est ≤ exact + ε·N with
+    // probability ≥ confidence; the flags turn 0 (→ red hash vs the
+    // oracle's pinned 1s) if either side of the bound breaks.
+    "a06_cms_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select(col("l_suppkey"))
+      val eps = 1e-4
+      val cms = li.stat.countMinSketch(col("l_suppkey"), eps, 0.99, 42)
+      val n = li.count()
+      val top = Tables.lineitem(s, d).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("l_suppkey"))
+        .limit(5).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val slack = math.ceil(eps * n).toLong
+      top.toSeq.map { case (k, exact) =>
+        val est = cms.estimateCount(k)
+        (k, exact, if (est >= exact && est - exact <= slack) 1L else 0L)
+      }.toDF("l_suppkey", "exact_n", "cms_ok")
+        .orderBy(col("exact_n").desc, col("l_suppkey"))
     })
   )
 
@@ -106,5 +135,10 @@ object Sketches {
     "a05_hll_union_bounds" -> """
       SELECT COUNT(DISTINCT o_custkey) AS exact_total,
         CAST(1 AS BIGINT) AS union_ok
-      FROM orders""")
+      FROM orders""",
+
+    "a06_cms_heavy_hitters" -> """
+      SELECT l_suppkey, COUNT(*) AS exact_n, CAST(1 AS BIGINT) AS cms_ok
+      FROM lineitem GROUP BY l_suppkey
+      ORDER BY exact_n DESC, l_suppkey LIMIT 5""")
 }
