@@ -214,7 +214,50 @@ object Similarity {
 
     "s05_ivf_recall" -> ((s, d) =>
       recallVsExact(queries("s01_cosine_topk")(s, d),
-        queries("s03_ann_ivf")(s, d), minHits = 15))
+        queries("s03_ann_ivf")(s, d), minHits = 15)),
+
+    // s06: exact top-k over int8-QUANTIZED vectors (c07's per-vector
+    // max-abs scale) — the memory-bandwidth path: at 100 TB the
+    // quantized corpus is 4× smaller than float32, integer dot
+    // products are exact (no FP accumulation order), and the scan is
+    // still linear. Formulated in LONG form — (vec_id, dim, q) rows,
+    // broadcast query rows joined per dim, one hash aggregate per
+    // (q_id, vec_id) — entirely codegen'd relational ops, no HOF
+    // lambda, and the same shape a columnar int8 scan compiles to.
+    // Quantization is deterministic, so unlike s02/s03 this ANN
+    // variant is fully hash-exact against the DuckDB oracle; recall
+    // vs the float baseline is asserted in OperatorsSpec.
+    "s06_quantized_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val rows = e
+        .select(col("vec_id"),
+          greatest(array_max(col("v")), -array_min(col("v"))).as("max_abs"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          when(col("max_abs") === 0, 0L)
+            .otherwise(round(col("x") * 127.0 / col("max_abs"), 0).cast(LongType))
+            .as("q"))
+      val norms = rows.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
+      val qrows = rows.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("dim"), col("q").as("qq"))
+      val qnorms = norms.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("n2").as("qn2"))
+      val dots = rows.join(broadcast(qrows), Seq("dim"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("q") * col("qq")).as("dot"))
+      val scored = dots.join(norms, Seq("vec_id"))
+        .join(broadcast(qnorms), Seq("q_id"))
+        .withColumn("qcos", col("dot").cast(DoubleType) /
+          (sqrt(col("n2").cast(DoubleType)) * sqrt(col("qn2").cast(DoubleType))))
+      val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+          round(col("qcos"), 6).as("q_cos"))
+        .orderBy("q_id", "rk")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -272,6 +315,36 @@ object Similarity {
         FROM scored)
       SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS n_exact_pairs,
         CAST(1 AS BIGINT) AS recall_ok
-      FROM ranked WHERE rk <= 5"""
+      FROM ranked WHERE rk <= 5""",
+
+    // Quantization is deterministic (c07's exact rounding), integer
+    // dots are exact, and the final division is one double op — so
+    // the quantized ANN is hash-exact end to end.
+    "s06_quantized_topk" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, v, GREATEST(list_max(v), -list_min(v)) AS max_abs
+        FROM e),
+      qv AS (
+        SELECT vec_id, list_transform(v, x -> CASE WHEN max_abs = 0 THEN 0
+          ELSE CAST(ROUND(x * 127.0 / max_abs, 0) AS BIGINT) END) AS q
+        FROM s),
+      n AS (
+        SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2
+        FROM qv),
+      scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+          CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+            i -> a.q[i] * b.q[i])) AS DOUBLE)
+            / (SQRT(CAST(b.n2 AS DOUBLE)) * SQRT(CAST(a.n2 AS DOUBLE))) AS qcos
+        FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, qcos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT q_id, rk, neighbor_id, ROUND(qcos, 6) AS q_cos
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
   )
 }
