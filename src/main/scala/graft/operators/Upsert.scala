@@ -63,6 +63,38 @@ object Upsert {
     updated.unionByName(inserts)
   }
 
+  /** SCD-2 merge: history-keeping upsert. `target` is a versioned
+    * table carrying (valid_from, valid_to, is_current); each matched
+    * source key CLOSES the current target row (valid_to = effective,
+    * is_current = 0) and appends a fresh current version; unmatched
+    * target rows pass through; `source` rows must carry the business
+    * columns plus nothing — versioning columns are stamped here.
+    *
+    * Same scale stance as [[scd1]]: the 100 TB target is never
+    * shuffled — the close-out is a LEFT join against the broadcast
+    * CDC key set (build side is the batch, probe side streams at
+    * scan parallelism), and the appended versions are the CDC batch
+    * itself. Net movement: CDC rows twice, target rows zero times.
+    */
+  def scd2(target: DataFrame, source: DataFrame, key: String,
+           effective: org.apache.spark.sql.Column): DataFrame = {
+    val skeys = source.select(col(key).as("_sk")).distinct()
+    val closedOrKept = target.as("t")
+      .join(broadcast(skeys), col(s"t.$key") === col("_sk"), "left_outer")
+      .select(target.columns.map(c => col(s"t.$c")) :+
+        col("_sk").isNotNull.as("_matched"): _*)
+      .withColumn("valid_to", when(col("_matched"), effective)
+        .otherwise(col("valid_to")))
+      .withColumn("is_current", when(col("_matched"), lit(0L))
+        .otherwise(col("is_current")))
+      .drop("_matched")
+    val fresh = source
+      .withColumn("valid_from", effective)
+      .withColumn("valid_to", lit(null).cast(TimestampType))
+      .withColumn("is_current", lit(1L))
+    closedOrKept.unionByName(fresh.select(closedOrKept.columns.map(col).toIndexedSeq: _*))
+  }
+
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -94,6 +126,26 @@ object Upsert {
         .agg(count(lit(1)).as("n"),
           sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
         .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // u02: SCD-2 — the same CDC re-price as u01's update path, but
+    // history-keeping: each re-priced key yields a closed version
+    // (original price, valid_to stamped) AND a current version (new
+    // price). Full history rows are emitted, so the oracle checks
+    // every version boundary, not a rollup.
+    "u02_scd2_history" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").as("valid_from"),
+          lit(null).cast(TimestampType).as("valid_to"),
+          lit(1L).as("is_current"))
+      val cdc = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O" &&
+          year(col("o_orderdate")) === 1998)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"))
+      scd2(base, cdc, "o_orderkey", to_timestamp(lit("1998-12-31")))
+        .orderBy(col("o_orderkey"), col("is_current"))
     })
   )
 
@@ -118,6 +170,24 @@ object Upsert {
         FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
-      FROM merged GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM merged GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "u02_scd2_history" -> """
+      WITH cdc AS (
+        SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'O' AND EXTRACT(YEAR FROM o_orderdate) = 1998)
+      SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate AS valid_from,
+        CASE WHEN c.o_orderkey IS NOT NULL
+          THEN TIMESTAMP '1998-12-31 00:00:00' END AS valid_to,
+        CAST(CASE WHEN c.o_orderkey IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
+          AS is_current
+      FROM orders o LEFT JOIN cdc c ON o.o_orderkey = c.o_orderkey
+      UNION ALL
+      SELECT o_orderkey, o_totalprice,
+        TIMESTAMP '1998-12-31 00:00:00' AS valid_from,
+        NULL AS valid_to, CAST(1 AS BIGINT) AS is_current
+      FROM cdc
+      ORDER BY o_orderkey, is_current"""
   )
 }

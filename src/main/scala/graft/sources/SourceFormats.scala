@@ -61,8 +61,42 @@ object SourceFormats {
     a.unionByName(b).orderBy("fmt")
   }
 
+  /** i06: schema evolution on read. Two parquet "generations" of the
+    * documents table — gen2 added a `lang` column — read together
+    * with `mergeSchema`: old files surface the new column as null,
+    * the footer union is exact, and no rewrite of gen1's files ever
+    * happens. That is the 100 TB schema-change story: evolve the
+    * schema forward, never migrate data in place. (Spark reads each
+    * file with its own footer schema; mergeSchema only reconciles the
+    * catalog-level view, so the scan cost is unchanged.)
+    */
+  def evolvedScan(s: SparkSession, d: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/graft_evolved_$tag"
+    val docs = Tables.documents(s, d)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/gen1/_SUCCESS")))
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), length(col("text")).as("text_len"),
+          lit(1).as("gen"))
+        .write.mode("overwrite").parquet(s"$base/gen1")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/gen2/_SUCCESS")))
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), length(col("text")).as("text_len"),
+          lit(2).as("gen"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$base/gen1", s"$base/gen2")
+      .groupBy("gen")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("lang")).as("n_lang"),
+        round(avg(col("text_len")), 6).as("avg_len"))
+      .orderBy("gen")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "i05_source_formats" -> ((s, d) => roundTrip(s, d))
+    "i05_source_formats" -> ((s, d) => roundTrip(s, d)),
+    "i06_schema_evolution" -> ((s, d) => evolvedScan(s, d))
   )
 
   // The oracle reads the parquet originals: if the engine's CSV/JSON
@@ -76,6 +110,16 @@ object SourceFormats {
       SELECT 'json_customer' AS fmt, COUNT(*) AS n,
         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS checksum
       FROM customer
-      ORDER BY fmt"""
+      ORDER BY fmt""",
+
+    // The oracle recomputes both generations from the source table:
+    // gen1 (even ids) must count zero langs after the merged read.
+    "i06_schema_evolution" -> """
+      SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS gen,
+        COUNT(*) AS n_docs,
+        COUNT(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_lang,
+        ROUND(AVG(length(text)), 6) AS avg_len
+      FROM documents
+      GROUP BY 1 ORDER BY 1"""
   )
 }

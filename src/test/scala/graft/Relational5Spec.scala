@@ -77,6 +77,33 @@ class Relational5Spec extends AnyFunSuite {
     assert(out(2).isNullAt(1))              // insert has no target name
   }
 
+  test("u02 scd2: matched keys get exactly one closed + one current version") {
+    val hist = Upsert.queries("u02_scd2_history")(s, d).collect()
+    val orders = Tables.orders(s, d)
+    val nOrig = orders.count()
+    val cdcKeys = orders.filter(col("o_orderstatus") === "O" &&
+      year(col("o_orderdate")) === 1998)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(cdcKeys.nonEmpty, "gate must not pass vacuously")
+    assert(hist.length === nOrig + cdcKeys.size)
+    hist.groupBy(_.getAs[Long]("o_orderkey")).foreach { case (k, vs) =>
+      if (cdcKeys(k)) {
+        assert(vs.length === 2)
+        val closed = vs.filter(_.getAs[Long]("is_current") == 0L)
+        val current = vs.filter(_.getAs[Long]("is_current") == 1L)
+        assert(closed.length === 1 && current.length === 1)
+        assert(!closed.head.isNullAt(closed.head.fieldIndex("valid_to")))
+        assert(current.head.isNullAt(current.head.fieldIndex("valid_to")))
+        // new version carries the re-priced value
+        assert(current.head.getAs[Double]("o_totalprice") ===
+          closed.head.getAs[Double]("o_totalprice") + 1000.0)
+      } else {
+        assert(vs.length === 1 && vs.head.getAs[Long]("is_current") === 1L)
+        assert(vs.head.isNullAt(vs.head.fieldIndex("valid_to")))
+      }
+    }
+  }
+
   test("a03 UDAF: value matches the direct formula and survives repartitioning") {
     val li = Tables.lineitem(s, d)
     val expect = li.groupBy("l_returnflag")

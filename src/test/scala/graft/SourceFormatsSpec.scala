@@ -32,4 +32,13 @@ class SourceFormatsSpec extends AnyFunSuite {
     val back = s.read.json(dir)
     assert(agg(back) === agg(events))
   }
+
+  test("i06 merged-schema read: old generation nulls the new column, new one fills it") {
+    val rows = graft.sources.SourceFormats.evolvedScan(s, d).collect()
+      .map(r => r.getAs[Int]("gen") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_lang"))).toMap
+    assert(rows.keySet === Set(1, 2))
+    assert(rows(1)._2 === 0L, "gen1 predates `lang`; merged read must null it")
+    assert(rows(2)._2 === rows(2)._1, "gen2 carries lang on every row")
+  }
 }
