@@ -45,7 +45,23 @@ object Bench {
     * the isolation exists to prevent, re-created by an oversized
     * family. Dedup and similarity now split into three ≤5-plan groups.
     */
+  /** Generated-code-heavy or iterative plans whose timings measured
+    * 2-5x run-to-run variance WITHIN a small family (round 3: c03
+    * 12.9 s ↔ 30.2 s, d07 3.6 s ↔ 17.5 s, t07 0.6 s fresh ↔ 11 s
+    * in-family — identical code, same family shape, different draw of
+    * the JIT/inline-cache lottery). Each benches in its own child JVM
+    * with its own sf0.001 warmup: the only JVM state at measure time
+    * is the query's own, which is the one composition that
+    * reproduces. JVM start cost is excluded from per-query times
+    * either way. */
+  private val Soloists = Set(
+    "c03_dup_clusters", "c08_decontaminate",
+    "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
+    "d06_minhash_recall", "d07_simhash_recall",
+    "s02_ann_lsh_topk", "t06_ngram_topk", "t07_token_entropy")
+
   private def family(name: String): String = {
+    if (Soloists(name)) return "solo_" + name
     val prefix = name.takeWhile(_.isLetter)
     if (prefix == "q") {
       val num = name.drop(1).takeWhile(_.isDigit)
