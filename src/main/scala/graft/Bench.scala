@@ -55,7 +55,7 @@ object Bench {
     * reproduces. JVM start cost is excluded from per-query times
     * either way. */
   private val Soloists = Set(
-    "c03_dup_clusters", "c08_decontaminate",
+    "c03_dup_clusters", "c08_decontaminate", "c11_pagerank",
     "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d06_minhash_recall", "d07_simhash_recall",
     "s02_ann_lsh_topk", "t06_ngram_topk", "t07_token_entropy")

@@ -246,6 +246,38 @@ object Corpus {
           md5(concat(col("source"), lit(":"), col("doc_id").cast(StringType))))
         .orderBy("epoch_rk", "order_key")),
 
+    // c11: PageRank over the near-dup graph (d04's edge set,
+    // symmetrized) — the centrality pass that ranks "hub" documents
+    // inside duplicate neighborhoods (which copy is canonical?).
+    // FIXED 5 iterations, damping 0.85: no convergence probe, no
+    // driver round-trips at all — each iteration is one join + one
+    // hash aggregate on (id) keys, the textbook data-parallel
+    // PageRank that scales with the usual equi-join machinery.
+    // localCheckpoint truncates the 5-deep lineage exactly like c03.
+    // The oracle unrolls the same 5 iterations as chained CTEs.
+    "c11_pagerank" -> ((s, d) => {
+      val edges = Dedup.ngramJaccardPairs(Tables.documents(s, d))
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val sym = edges
+        .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint()
+      val deg = sym.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+      var rank = deg.select(col("doc_a").as("id"), lit(1.0).as("rank"))
+      for (_ <- 1 to 5) {
+        rank = sym
+          .join(rank, sym("doc_a") === rank("id"))
+          .join(deg, Seq("doc_a"))
+          .select(col("doc_b").as("id"),
+            (col("rank") / col("deg").cast(DoubleType)).as("c"))
+          .groupBy("id")
+          .agg((lit(0.15) + lit(0.85) * sum(col("c"))).as("rank"))
+          .localCheckpoint()
+      }
+      rank.select(col("id").as("doc_id"), round(col("rank"), 6).as("pagerank"))
+        .orderBy("doc_id")
+    }),
+
     // c10: context-window chunking — overlapping token windows of 128
     // with stride 96 (the RAG/pretraining chunker). One split per
     // doc, chunk starts from a generated sequence (posexplode gives
@@ -267,7 +299,41 @@ object Corpus {
         .orderBy("doc_id", "chunk_idx"))
   )
 
+  /** c11's DuckDB twin: the same 5 PageRank iterations unrolled as
+    * chained CTEs (aggregates are not allowed in a recursive term, so
+    * the fixed iteration count is spelled out — which also mirrors
+    * the Spark side's fixed loop exactly). */
+  private val pagerankOracle: String = {
+    val iters = (1 to 5).map(n =>
+      s"""r$n AS (
+         |  SELECT s.w AS id, 0.15 + 0.85 * SUM(p.rank / d.deg) AS rank
+         |  FROM r${n - 1} p JOIN sym s ON p.id = s.v JOIN deg d ON d.v = s.v
+         |  GROUP BY s.w)""".stripMargin).mkString(",\n")
+    s"""
+      WITH t AS (
+        SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+        FROM t WHERE len(toks) >= 3),
+      e AS (
+        SELECT a.doc_id AS v, b.doc_id AS w
+        FROM g a JOIN g b ON a.source = b.source
+          AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.01),
+      sym AS (SELECT v, w FROM e UNION ALL SELECT w AS v, v AS w FROM e),
+      deg AS (SELECT v, COUNT(*) AS deg FROM sym GROUP BY v),
+      r0 AS (SELECT v AS id, 1.0 AS rank FROM deg),
+      $iters
+      SELECT id AS doc_id, ROUND(rank, 6) AS pagerank
+      FROM r5 ORDER BY doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "c11_pagerank" -> pagerankOracle,
     "c01_repetition_filter" -> """
       WITH t AS (
         SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

@@ -94,9 +94,39 @@ object SourceFormats {
       .orderBy("gen")
   }
 
+  /** i07: data-quality audit — the constraint checks every ingest
+    * pipeline runs before promoting a batch: row counts, null checks
+    * on NOT NULL-intent columns, duplicate-key detection, and
+    * referential orphans (lineitem keys without an order). Each check
+    * is an independent aggregate/anti-join; at 100 TB they share the
+    * table scans per-check and never materialize violating ROWS, only
+    * counts. Zero-valued checks are the HEALTHY state — the row-count
+    * entries keep the result non-vacuous.
+    */
+  def qualityAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    def one(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("chk"), col("n"))
+    one("lineitem_rows", li.agg(count(lit(1)).as("n")))
+      .unionByName(one("lineitem_null_qty",
+        li.filter(col("l_quantity").isNull).agg(count(lit(1)).as("n"))))
+      .unionByName(one("lineitem_orphan_orders",
+        li.select("l_orderkey")
+          .join(o.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))))
+      .unionByName(one("orders_dup_keys",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(count(lit(1)).as("n"))))
+      .unionByName(one("orders_rows", o.agg(count(lit(1)).as("n"))))
+      .orderBy("chk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i05_source_formats" -> ((s, d) => roundTrip(s, d)),
-    "i06_schema_evolution" -> ((s, d) => evolvedScan(s, d))
+    "i06_schema_evolution" -> ((s, d) => evolvedScan(s, d)),
+    "i07_quality_audit" -> ((s, d) => qualityAudit(s, d))
   )
 
   // The oracle reads the parquet originals: if the engine's CSV/JSON
@@ -120,6 +150,21 @@ object SourceFormats {
         COUNT(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_lang,
         ROUND(AVG(length(text)), 6) AS avg_len
       FROM documents
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    "i07_quality_audit" -> """
+      SELECT 'lineitem_rows' AS chk, COUNT(*) AS n FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_null_qty', COUNT(*) FROM lineitem WHERE l_quantity IS NULL
+      UNION ALL
+      SELECT 'lineitem_orphan_orders', COUNT(*)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+      UNION ALL
+      SELECT 'orders_dup_keys', COUNT(*)
+      FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      UNION ALL
+      SELECT 'orders_rows', COUNT(*) FROM orders
+      ORDER BY chk"""
   )
 }
