@@ -19,6 +19,8 @@ object Profile {
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
       .config("spark.eventLog.dir", "/tmp/spark-events")
       .config("spark.sql.autoBroadcastJoinThreshold", "4m")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.rangeJoin.binSeconds", "3600")
       // Align whole-stage-codegen fallback with HotSpot's 8000-bytecode
       // JIT ceiling (DontCompileHugeMethods): a fused method over this
       // size would never be JIT-compiled and runs interpreted at 10-50x.
