@@ -48,4 +48,41 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head.getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("numeric (non-timestamp) ranges rewrite and stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // points 0..999 joined into [lo, lo+25] windows anchored every 100
+    val pts = (0L until 1000L).toDF("p")
+    val ivs = (0L until 1000L by 100L).map(s => (s, s + 25L)).toDF("lo", "hi")
+    val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bin"), s"numeric range join must rewrite:\n$plan")
+    // binSeconds=3600 is the bin width for plain numerics too
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = (for {
+      p <- 0L until 1000L; s <- 0L until 1000L by 100L
+      if p >= s && p <= s + 25L
+    } yield (p, s)).sorted
+    assert(got.sameElements(want))
+  }
+
+  test("rule ignores non-inner joins and half-bounded conditions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = (0L until 100L).toDF("p")
+    val ivs = Seq((0L, 10L), (50L, 60L)).toDF("lo", "hi")
+    val leftOuter = pts.join(ivs,
+      col("p") >= col("lo") && col("p") <= col("hi"), "left_outer")
+    assert(!leftOuter.queryExecution.optimizedPlan.toString.contains("graft_bin"),
+      "only INNER joins are rewritten")
+    val halfBounded = pts.join(ivs, col("p") >= col("lo"))
+    assert(!halfBounded.queryExecution.optimizedPlan.toString.contains("graft_bin"),
+      "a lower bound alone must not rewrite (no finite bin range)")
+    // and both joins still answer correctly: intervals are disjoint,
+    // so each point yields exactly one row (matched or null-extended)
+    assert(leftOuter.count() === 100)
+    assert(halfBounded.count() === (0L until 100L).map(p =>
+      Seq((0L, 10L), (50L, 60L)).count(iv => p >= iv._1)).sum)
+  }
 }
