@@ -17,8 +17,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * `numPartitions`, which is the knob that matters at 1000 executors.
   *
   * No Postgres JDBC driver jar ships in this offline image (SURVEY
-  * §7.1), so the JDBC path is exercised only when a URL is reachable;
-  * tests use [[ParquetSink]] through the same trait.
+  * §7.1), but Spark's own embedded Derby does: RelationalSinkSpec
+  * executes this sink LIVE against `jdbc:derby:memory:` — real DDL,
+  * real batched inserts, read-back verified. That live run is what
+  * caught the createTableColumnTypes dialect bug (see
+  * SchemaMapper.sparkDdlType). [[ParquetSink]] remains the bulk-test
+  * sink through the same trait.
   */
 trait RelationalSink {
   def write(df: DataFrame, table: String, mode: SaveMode = SaveMode.Append): Unit
@@ -29,10 +33,11 @@ trait RelationalSink {
   *
   * Option construction and partition bounding are factored into
   * [[JdbcSink.writerOptions]] / [[JdbcSink.bounded]] so the exact
-  * contract handed to `.jdbc()` is unit-testable without a database —
-  * the offline-max coverage for reference ops #4/#6/#8
-  * (`/root/reference/src/main.rs:60-72,146-149`): no PG driver jar
-  * ships in this image, so the live execute can't run here.
+  * contract handed to `.jdbc()` is unit-testable in isolation, and
+  * the whole path also executes LIVE against embedded Derby in
+  * RelationalSinkSpec — covering reference ops #4/#6/#8
+  * (`/root/reference/src/main.rs:60-72,146-149`) with a real
+  * database despite the offline image.
   */
 final class JdbcSink(url: String, props: java.util.Properties,
                      batchSize: Int = 1000, numPartitions: Int = 10)

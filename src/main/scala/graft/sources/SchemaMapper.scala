@@ -54,9 +54,31 @@ object SchemaMapper {
     s"CREATE TABLE IF NOT EXISTS $table (${cols.mkString(", ")})"
   }
 
-  /** Spark-side value for `createTableColumnTypes` on `df.write.jdbc`,
-    * so the JDBC writer emits exactly this mapping.
+  /** The DDL-override type Spark's JDBC writer will accept for a
+    * column. `createTableColumnTypes` is parsed by SPARK's SQL parser
+    * (not the database's): the value must be a valid Spark SQL type,
+    * which the JDBC dialect then translates to the target database's
+    * DDL — for PostgresDialect, STRING → TEXT, DOUBLE → DOUBLE
+    * PRECISION, DECIMAL → NUMERIC: exactly [[pgType]]'s intent.
+    * (Caught LIVE by the embedded-Derby round-trip in
+    * RelationalSinkSpec: the earlier pgType-valued option string —
+    * TEXT / TIMESTAMPTZ / DOUBLE PRECISION — fails Spark's parser on
+    * any real `.jdbc()` execute with PARSE_SYNTAX_ERROR, a bug the
+    * offline option-map assertions could never see.)
+    */
+  def sparkDdlType(dt: DataType): String = dt match {
+    case ByteType   => "SMALLINT" // keep the PG-shaped widening
+    case ShortType  => "SMALLINT"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    // every other scalar/nested type: Spark's own DDL name round-trips
+    // through the parser and the dialect unchanged
+    case other      => other.sql
+  }
+
+  /** Spark-side value for `createTableColumnTypes` on `df.write.jdbc`:
+    * Spark-parseable types whose dialect translation reproduces
+    * [[pgType]]'s mapping on PostgreSQL.
     */
   def createTableColumnTypes(schema: StructType): String =
-    schema.fields.map(f => s"${f.name} ${pgType(f.dataType)}").mkString(", ")
+    schema.fields.map(f => s"${f.name} ${sparkDdlType(f.dataType)}").mkString(", ")
 }

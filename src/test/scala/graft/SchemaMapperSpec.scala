@@ -39,9 +39,11 @@ class SchemaMapperSpec extends AnyFunSuite {
       """CREATE TABLE IF NOT EXISTS flights ("id" BIGINT NOT NULL, "name" TEXT)""")
   }
 
-  test("createTableColumnTypes covers every field") {
+  test("createTableColumnTypes covers every field, in Spark-parseable types") {
     val schema = StructType(Seq(
       StructField("a", IntegerType), StructField("b", DoubleType)))
-    assert(SchemaMapper.createTableColumnTypes(schema) === "a INT, b DOUBLE PRECISION")
+    // Spark parses this option itself; the dialect maps DOUBLE →
+    // DOUBLE PRECISION on the PG wire (see sparkDdlType scaladoc)
+    assert(SchemaMapper.createTableColumnTypes(schema) === "a INT, b DOUBLE")
   }
 }
