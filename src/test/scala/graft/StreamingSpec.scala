@@ -165,4 +165,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(s.read.parquet(out).count() === Tables.events(s, d).count())
     } finally q.stop()
   }
+
+  test("streaming ingest into a LIVE database: foreachBatch -> JdbcSink -> Derby") {
+    // The reference end to end, streaming-ized AND against a real DB:
+    // unbounded source → micro-batches → the same JdbcSink (real DDL,
+    // real batched INSERTs) into embedded Derby, then read-back
+    // through spark.read.jdbc. Exactly-once here comes from append
+    // batches + checkpointless processAllAvailable in one run; in
+    // production the checkpoint + idempotent batch ids carry it.
+    import org.apache.spark.sql.functions._
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val sink = new graft.sources.JdbcSink(url, props, batchSize = 500, numPartitions = 2)
+    val stream = EventStreams.readEventStream(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.write(batch, "events_live", org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val back = s.read.jdbc(url, "events_live", props)
+      assert(back.count() === Tables.events(s, d).count())
+      assert(back.agg(sum(col("user_id"))).head.getLong(0) ===
+        Tables.events(s, d).agg(sum(col("user_id"))).head.getLong(0))
+    } finally q.stop()
+  }
 }
