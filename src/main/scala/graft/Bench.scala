@@ -80,13 +80,11 @@ object Bench {
     }
     else if (prefix == "st" || prefix == "m") "stream_media"
     else if (prefix == "t") {
-      // t06 is the one generated-code-heavy text plan (see its
-      // comment): sharing a child with it cost t07 0.6 s → 11.5 s of
-      // inline-cache churn. It benches alone.
+      // t06 benches alone — it's in Soloists (sharing a child with it
+      // cost t07 0.6 s → 11.5 s of inline-cache churn), so it never
+      // reaches this split.
       val num = name.drop(1).takeWhile(_.isDigit)
-      if (num.nonEmpty && num.toInt <= 4) "text_a"
-      else if (num == "6") "text_c"
-      else "text_b"
+      if (num.nonEmpty && num.toInt <= 4) "text_a" else "text_b"
     }
     else "agg_ingest" // a, i, u
   }

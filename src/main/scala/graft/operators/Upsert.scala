@@ -70,6 +70,13 @@ object Upsert {
     * target rows pass through; `source` rows must carry the business
     * columns plus nothing — versioning columns are stamped here.
     *
+    * Only the CURRENT version of a matched key is closed: a key's
+    * already-closed history rows keep their original valid_to
+    * boundaries (guarded by is_current below). Without that guard a
+    * second application to a target that already carries history would
+    * stamp `effective` over every historical boundary — applying the
+    * merge to its own output must extend history, never rewrite it.
+    *
     * Same scale stance as [[scd1]]: the 100 TB target is never
     * shuffled — the close-out is a LEFT join against the broadcast
     * CDC key set (build side is the batch, probe side streams at
@@ -83,11 +90,12 @@ object Upsert {
       .join(broadcast(skeys), col(s"t.$key") === col("_sk"), "left_outer")
       .select(target.columns.map(c => col(s"t.$c")) :+
         col("_sk").isNotNull.as("_matched"): _*)
-      .withColumn("valid_to", when(col("_matched"), effective)
+      .withColumn("_close", col("_matched") && col("is_current") === 1)
+      .withColumn("valid_to", when(col("_close"), effective)
         .otherwise(col("valid_to")))
-      .withColumn("is_current", when(col("_matched"), lit(0L))
+      .withColumn("is_current", when(col("_close"), lit(0L))
         .otherwise(col("is_current")))
-      .drop("_matched")
+      .drop("_matched", "_close")
     val fresh = source
       .withColumn("valid_from", effective)
       .withColumn("valid_to", lit(null).cast(TimestampType))

@@ -1,10 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.CalendarInterval
 
 /** Optimizer rule: rewrite a pure interval join (point BETWEEN lo AND
   * hi with NO equi-join key) into a binned equi-join.
@@ -33,12 +36,46 @@ import org.apache.spark.sql.types._
   * bin(lo) ≤ bin(p) ≤ bin(hi) — a matching pair can never be missed
   * to rounding, independent of magnitude.
   *
+  * Dirty-data hardening (the generator is only ever evaluated on rows
+  * proven safe):
+  *
+  *   - INVERTED intervals (hi < lo, e.g. a corrupted row): Sequence
+  *     with stop < start and step 1 THROWS at runtime on Spark 4
+  *     ("Illegal sequence boundaries") — it does not yield an empty
+  *     array. Such rows cannot match the original predicate, so they
+  *     are dropped before the generator (filter + an If belt inside
+  *     the generator itself).
+  *   - WIDE intervals (a sentinel far-future end date against 1 h
+  *     bins): exploding floor(len/W)+1 bins per row can generate
+  *     millions of rows or overflow Sequence's max array length. Rows
+  *     covering more than `spark.graft.rangeJoin.maxBinsPerRow`
+  *     (default 4096) bins are routed to a separate nested-loop guard
+  *     leg that evaluates the ORIGINAL predicate — exact, and cheap as
+  *     long as wide rows are the rare exception they should be (the
+  *     guard side carries a broadcast hint). The rewrite stays a pure
+  *     two-leg partition of the interval side:
+  *       narrow rows → explode + hash join;  wide rows → nested loop;
+  *       inverted/null rows → provably matchless, dropped.
+  *   - Fixed-length windows (hi = lo + CONSTANT, the dominant idiom —
+  *     q47's `w_start + INTERVAL 1 HOUR`): the fan-out bound is proven
+  *     STATICALLY by tracing the bound expressions through
+  *     Project/Aggregate aliases, and the guard leg is omitted
+  *     entirely — the plan is a single hash join, nothing nested-loop.
+  *
+  * Plain-numeric ranges reuse the time bin width by default, which is
+  * wrong when the data's scale isn't seconds-like; set
+  * `spark.graft.rangeJoin.numericBinWidth` to the expected interval
+  * length of the NUMERIC ranges (too small → fan-out toward the
+  * per-row cap; too large → everything lands in one bin and the hash
+  * join degenerates to one task doing a filtered cartesian).
+  *
   * Fires only when `spark.graft.rangeJoin.binSeconds` > 0 and only on
   * an INNER join whose condition has a point-in-interval pattern and
   * no cross-side equality (if an equi key exists, Spark's hash join
   * already scales and the band belongs as a post-filter — q20's
   * shape). The rewritten join contains a bin equality, so the guard
-  * also terminates the fixed-point iteration. Registered through
+  * also terminates the fixed-point iteration; the nested-loop guard
+  * leg is tagged so the rule never re-fires on it. Registered through
   * [[graft.GraftExtensions]] (`spark.sql.extensions`).
   *
   * The reference has no joins at all (its single pipeline is
@@ -49,12 +86,36 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinConf = "spark.graft.rangeJoin.binSeconds"
 
+  /** Bin width for plain-numeric (non-timestamp) bounds. Empty →
+    * falls back to [[BinConf]]'s value, interpreted unitless. */
+  val NumericWidthConf = "spark.graft.rangeJoin.numericBinWidth"
+
+  /** Per-interval fan-out cap. Intervals covering more bins than this
+    * go to the nested-loop guard leg instead of being exploded. */
+  val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerRow"
+
+  /** Marks the guard-leg join (which still has no equi key) so the
+    * fixed-point optimizer does not rewrite it again. TreeNode tags
+    * survive `makeCopy`/`withNewChildren`, so the mark persists across
+    * later rule applications that rebuild the node. */
+  private val SkipTag = TreeNodeTag[Boolean]("graft.rangeJoin.skip")
+
+  private case class Cfg(seconds: Double, numeric: Double, maxBins: Long)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val bin = conf.getConfString(BinConf, "0").toDouble
     if (bin <= 0) plan
-    else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) if j.resolved =>
-        rewrite(j, bin).getOrElse(j)
+    else {
+      val numeric = conf.getConfString(NumericWidthConf, "") match {
+        case "" => bin
+        case s  => s.toDouble
+      }
+      val cfg = Cfg(bin, numeric, conf.getConfString(MaxBinsConf, "4096").toLong)
+      plan.transformUp {
+        case j @ Join(_, _, Inner, Some(_), _)
+            if j.resolved && j.getTagValue(SkipTag).isEmpty =>
+          rewrite(j, cfg).getOrElse(j)
+      }
     }
   }
 
@@ -79,15 +140,77 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Bin id as a codegen-friendly scalar: floor(value / width).
     * Timestamps go through unix_micros (ANSI-safe; no ts→numeric cast). */
-  private def toBin(e: Expression, binSeconds: Double): Expression = {
+  private def toBin(e: Expression, cfg: Cfg): Expression = {
     val (asDouble, width) = e.dataType match {
-      case TimestampType => (Cast(UnixMicros(e), DoubleType), binSeconds * 1e6)
-      case _             => (Cast(e, DoubleType), binSeconds)
+      case TimestampType => (Cast(UnixMicros(e), DoubleType), cfg.seconds * 1e6)
+      case _             => (Cast(e, DoubleType), cfg.numeric)
     }
     Floor(Divide(asDouble, Literal(width)))
   }
 
-  private def rewrite(j: Join, bin: Double): Option[LogicalPlan] = {
+  /** exprId → aliased child, for every Project/Aggregate in the plan
+    * (exprIds are globally unique, so one flat map is unambiguous). */
+  private def aliasMap(plan: LogicalPlan): Map[ExprId, Expression] =
+    plan.collect {
+      case p: Project   => p.projectList
+      case a: Aggregate => a.aggregateExpressions
+    }.flatten.collect { case a: Alias => a.toAttribute.exprId -> a.child }.toMap
+
+  /** Substitute attributes by their defining expressions until fixpoint
+    * (bounded fuel — alias chains are short in practice). */
+  private def dealias(e: Expression, m: Map[ExprId, Expression]): Expression = {
+    var cur = e
+    var fuel = 8
+    var changed = true
+    while (changed && fuel > 0) {
+      val next = cur.transformUp {
+        case ar: AttributeReference if m.contains(ar.exprId) => m(ar.exprId)
+      }
+      changed = !next.fastEquals(cur)
+      cur = next
+      fuel -= 1
+    }
+    cur
+  }
+
+  private def litToDouble(v: Any): Option[Double] = v match {
+    case n: Byte    => Some(n.toDouble)
+    case n: Short   => Some(n.toDouble)
+    case n: Int     => Some(n.toDouble)
+    case n: Long    => Some(n.toDouble)
+    case n: Float   => Some(n.toDouble)
+    case n: Double  => Some(n)
+    case d: Decimal => Some(d.toDouble)
+    case _          => None
+  }
+
+  /** Statically-proven upper bound on bins covered by [lo, hi], from
+    * the `hi = lo + CONSTANT` shape (after tracing both bounds through
+    * projection aliases). floor's monotonicity gives
+    * bin(hi) - bin(lo) ≤ span/W + 1. None = not provable. */
+  private def staticBinSpan(lo: Expression, hi: Expression,
+      m: Map[ExprId, Expression], cfg: Cfg): Option[Double] = {
+    val loD = dealias(lo, m)
+    val span: Option[Double] = dealias(hi, m) match {
+      case TimestampAddInterval(base, Literal(v, dt), _) if base.semanticEquals(loD) => dt match {
+        case _: DayTimeIntervalType => Some(v.asInstanceOf[Long].toDouble / (cfg.seconds * 1e6))
+        case CalendarIntervalType =>
+          val iv = v.asInstanceOf[CalendarInterval]
+          // months are calendar-variable; refuse to bound them statically
+          if (iv.months != 0) None
+          else Some((iv.days * 86400e6 + iv.microseconds) / (cfg.seconds * 1e6))
+        case _ => None
+      }
+      case Add(base, Literal(v, _: NumericType), _) if base.semanticEquals(loD) =>
+        litToDouble(v).map(_ / cfg.numeric)
+      case Add(Literal(v, _: NumericType), base, _) if base.semanticEquals(loD) =>
+        litToDouble(v).map(_ / cfg.numeric)
+      case _ => None
+    }
+    span.map(_ + 1.0)
+  }
+
+  private def rewrite(j: Join, cfg: Cfg): Option[LogicalPlan] = {
     val cond = j.condition.get
     val conjuncts = splitConjunctivePredicates(cond)
 
@@ -138,27 +261,55 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
     val intervalPlan = if (pointIsLeft) j.right else j.left
 
     // Point side: one extra projected column, its single bin id.
-    val ptBin = Alias(toBin(p, bin), "graft_bin_pt")()
+    val ptBin = Alias(toBin(p, cfg), "graft_bin_pt")()
     val newPoint = Project(pointPlan.output :+ ptBin, pointPlan)
 
-    // Interval side: explode the covered bin range. step=1 makes an
-    // inverted (empty) interval generate zero rows instead of a
-    // descending sequence.
+    val binLo = toBin(lo, cfg)
+    val binHi = toBin(hi, cfg)
+    val spanOk = LessThanOrEqual(Subtract(binHi, binLo), Literal(cfg.maxBins))
+    val ordered = LessThanOrEqual(binLo, binHi)
+
+    // Interval side: explode the covered bin range. The If belt makes
+    // the generator total even if a later rule re-orders it above the
+    // narrow filter: inverted/too-wide rows yield an empty array, not
+    // a Sequence runtime error.
     // Sequence is TimeZoneAwareExpression: without an explicit zone it
     // reports unresolved and fails optimizer plan validation.
-    val seq = Sequence(toBin(lo, bin), toBin(hi, bin), Some(Literal(1L)),
-      Some(conf.sessionLocalTimeZone))
-    val ivBin = AttributeReference("graft_bin_iv", LongType, nullable = false)()
-    val newInterval = Generate(Explode(seq), unrequiredChildIndex = Nil,
-      outer = false, qualifier = None, generatorOutput = Seq(ivBin),
-      child = intervalPlan)
+    def binnedLeg(ivSide: LogicalPlan): LogicalPlan = {
+      val seq = Sequence(binLo, binHi, Some(Literal(1L)),
+        Some(conf.sessionLocalTimeZone))
+      val safeSeq = If(And(ordered, spanOk), seq,
+        Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+      val ivBin = AttributeReference("graft_bin_iv", LongType, nullable = false)()
+      val newInterval = Generate(Explode(safeSeq), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(ivBin),
+        child = ivSide)
+      val newCond = And(EqualTo(ptBin.toAttribute, ivBin), cond)
+      val newJoin =
+        if (pointIsLeft) Join(newPoint, newInterval, Inner, Some(newCond), j.hint)
+        else             Join(newInterval, newPoint, Inner, Some(newCond), j.hint)
+      // Restore the original output (drop the two bin columns).
+      Project(j.output, newJoin)
+    }
 
-    val newCond = And(EqualTo(ptBin.toAttribute, ivBin), cond)
-    val newJoin =
-      if (pointIsLeft) Join(newPoint, newInterval, Inner, Some(newCond), j.hint)
-      else             Join(newInterval, newPoint, Inner, Some(newCond), j.hint)
+    val provenNarrow = staticBinSpan(lo, hi, aliasMap(intervalPlan), cfg)
+      .exists(s => s >= 0.0 && s <= cfg.maxBins.toDouble)
 
-    // Restore the original output (drop the two bin columns).
-    Some(Project(j.output, newJoin))
+    if (provenNarrow) {
+      // Fixed-length windows: single hash-join leg, no guard needed.
+      Some(binnedLeg(intervalPlan))
+    } else {
+      // General case: partition the interval side by runtime fan-out.
+      //   ordered && span ≤ cap  → explode + hash join (the fast path)
+      //   ordered && span > cap  → nested-loop guard leg, original
+      //                            predicate, wide side broadcast
+      //   inverted or null bound → cannot match; in neither leg
+      val narrow = binnedLeg(Filter(And(ordered, spanOk), intervalPlan))
+      val widePlan = Filter(And(ordered, Not(spanOk)), intervalPlan)
+      val wideHint = JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
+      val wideJoin = Join(pointPlan, widePlan, Inner, Some(cond), wideHint)
+      wideJoin.setTagValue(SkipTag, true)
+      Some(Union(Seq(narrow, Project(j.output, wideJoin))))
+    }
   }
 }

@@ -71,11 +71,18 @@ object SourceFormats {
     * catalog-level view, so the scan cost is unchanged.)
     */
   def evolvedScan(s: SparkSession, d: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
-    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/graft_evolved_$tag"
-    val docs = Tables.documents(s, d)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
+    // Fixture dir keyed by the sanitized source path PLUS the source's
+    // size+mtime: different datasets can't collide (unlike a hashCode
+    // tag), and regenerating the source invalidates the cache instead
+    // of silently serving stale generations.
+    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val st = fs.getFileStatus(src)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${st.getModificationTime}_${fs.getContentSummary(src).getLength}"
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/graft_evolved_$tag"
+    val docs = Tables.documents(s, d)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/gen1/_SUCCESS")))
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), length(col("text")).as("text_len"),

@@ -67,6 +67,70 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("q47's fixed-length window proves its fan-out statically: single hash leg") {
+    // hi = lo + INTERVAL 1 HOUR is bounded at rule time, so the plan
+    // must be the plain binned join — no Union, no nested-loop guard.
+    val plan = q47.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"static proof failed, guard leg present:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("inverted (dirty) intervals match nothing instead of crashing Sequence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Spark 4's sequence(5, 1, 1) throws 'Illegal sequence boundaries';
+    // the rule must drop hi < lo rows (they cannot satisfy the original
+    // BETWEEN) rather than let them reach the generator.
+    val pts = (0L until 100L).toDF("p")
+    val ivs = Seq((10L, 20L), (50L, 40L), (90L, 95L)).toDF("lo", "hi")
+    val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(joined.queryExecution.executedPlan.toString.contains("graft_bin"))
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = (for {
+      p <- 0L until 100L; iv <- Seq((10L, 20L), (50L, 40L), (90L, 95L))
+      if p >= iv._1 && p <= iv._2
+    } yield (p, iv._1)).sorted
+    assert(got.sameElements(want) && got.nonEmpty)
+  }
+
+  test("sentinel-wide intervals route to the guard leg, stay exact, never explode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // One open-ended sentinel (hi far beyond lo): with the 3600-wide
+    // bins its span is ~2.5e12 bins — exploding it would OOM or hit
+    // Sequence's max array length. The guard leg must evaluate it as a
+    // nested loop while narrow rows still take the binned hash join.
+    val pts = (0L until 1000L by 10L).toDF("p")
+    val ivs = Seq((0L, 25L), (500L, 530L), (100L, Long.MaxValue / 1024)).toDF("lo", "hi")
+    val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bin"), s"narrow leg must still bin:\n$plan")
+    assert(plan.contains("Union"), s"guard leg missing:\n$plan")
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = (for {
+      p <- 0L until 1000L by 10L
+      iv <- Seq((0L, 25L), (500L, 530L), (100L, Long.MaxValue / 1024))
+      if p >= iv._1 && p <= iv._2
+    } yield (p, iv._1)).sorted
+    assert(got.sameElements(want) && got.nonEmpty)
+  }
+
+  test("numeric bin width is independently configurable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.graft.rangeJoin.numericBinWidth", "50")
+    try {
+      val pts = (0L until 500L).toDF("p")
+      val ivs = (0L until 500L by 100L).map(s => (s, s + 25L)).toDF("lo", "hi")
+      val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(joined.queryExecution.executedPlan.toString.contains("graft_bin"))
+      assert(joined.count() === (for {
+        p <- 0L until 500L; s <- 0L until 500L by 100L
+        if p >= s && p <= s + 25L
+      } yield 1).size)
+    } finally spark.conf.unset("spark.graft.rangeJoin.numericBinWidth")
+  }
+
   test("rule ignores non-inner joins and half-bounded conditions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -104,6 +104,32 @@ class Relational5Spec extends AnyFunSuite {
     }
   }
 
+  test("scd2 applied to its own output extends history, never rewrites it") {
+    import s.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .withColumn("valid_from", to_timestamp(lit("2020-01-01")))
+      .withColumn("valid_to", lit(null).cast(TimestampType))
+      .withColumn("is_current", lit(1L))
+    val out1 = Upsert.scd2(base, Seq((1L, 11.0)).toDF("k", "v"), "k",
+      to_timestamp(lit("2021-01-01")))
+    // second application: target now CARRIES history; the 2021 close
+    // boundary on k=1's first version must survive untouched
+    val out2 = Upsert.scd2(out1, Seq((1L, 12.0)).toDF("k", "v"), "k",
+      to_timestamp(lit("2022-01-01")))
+      .orderBy("k", "valid_from").collect()
+    val k1 = out2.filter(_.getLong(0) == 1L)
+    assert(k1.length === 3)
+    assert(k1.map(_.getDouble(1)).toSeq === Seq(10.0, 11.0, 12.0))
+    assert(k1(0).getTimestamp(3).toString.startsWith("2021-01-01"),
+      s"historical boundary rewritten: ${k1(0).getTimestamp(3)}")
+    assert(k1(1).getTimestamp(3).toString.startsWith("2022-01-01"))
+    assert(k1(2).isNullAt(3) && k1(2).getLong(4) === 1L)
+    assert(k1.map(_.getLong(4)).toSeq === Seq(0L, 0L, 1L))
+    val k2 = out2.filter(_.getLong(0) == 2L)
+    assert(k2.length === 1 && k2.head.getLong(4) === 1L)
+  }
+
   test("a03 UDAF: value matches the direct formula and survives repartitioning") {
     val li = Tables.lineitem(s, d)
     val expect = li.groupBy("l_returnflag")
