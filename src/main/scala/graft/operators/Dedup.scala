@@ -281,9 +281,12 @@ object Dedup {
           round(col("jac_raw"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b"))
 ,
-    // Embedding-cosine near-dup: same-label banding bounds the pair
-    // space; exact double-precision cosine on the candidates. At scale
-    // the band key would be an LSH bucket (see s02) instead of label.
+    // Embedding-cosine near-dup, ORACLE variant: same-label banding
+    // bounds the pair space SQL-expressibly, so DuckDB can hash-check
+    // the exact cosine math. The label band is NOT the scale path — a
+    // heavy label (think "en" on a web corpus) makes the within-band
+    // pair space quadratic; d08 below is the same operator banded on
+    // LSH buckets instead, which is what survives 100 TB.
     "d05_embedding_neardup" -> ((s, d) => {
       val dbl = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
@@ -297,8 +300,86 @@ object Dedup {
         .filter(col("cos") > 0.3)
         .select(col("label"), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // d08: embedding near-dup banded on SIGN-LSH BUCKETS — the 100 TB
+    // variant of d05. Candidates = vectors sharing a signature band
+    // (graft.operators.Similarity's 16-plane/4-band keys), so the pair
+    // space is O(Σ bucket²) with bucket occupancy controlled by the
+    // bit count — never within-label all-pairs, no label column read
+    // at all. Exact double cosine re-ranks candidates; deterministic
+    // (fixed hash planes) but not SQL-expressible → rows-only check
+    // here, recall teeth in d09.
+    "d08_embedding_neardup_lsh" -> ((s, d) =>
+      embeddingNeardupLshPairs(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v")),
+        minCos = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // d09: hash-checkable recall gate for d08, in the d06 style —
+    // inject twin vectors (deterministic ±5% per-dim perturbation,
+    // cosine ≈ 0.999) for every 5th vec_id and assert the LSH-banded
+    // pipeline recovers ≥ 95% of them. Sign-LSH keeps near-identical
+    // directions in the same bucket with overwhelming probability
+    // (p_bit ≈ 0.98 ⇒ ≥1-of-4 bands ≈ 0.99998), so the gate fails
+    // only if banding/bucketing/re-rank actually breaks.
+    "d09_embedding_lsh_recall" -> ((s, d) => {
+      val corpus = withVectorTwins(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v")))
+      val found = embeddingNeardupLshPairs(corpus, minCos = 0.9)
+        .filter(col("id_b") === col("id_a") + TwinOffset)
+      recallRow(
+        corpus.filter(col("vec_id") >= TwinOffset)
+          .agg(count(lit(1)).as("n_twins")),
+        found.agg(count(lit(1)).as("n_found")),
+        minRecall = 0.95)
     })
   )
+
+  /** LSH-banded embedding near-dup pairs (the d08 body) over any
+    * (vec_id, v: array<double>) relation: band-bucket self-join on
+    * the sign-LSH keys → unique id pairs → exact-cosine re-rank.
+    * Mirrors [[minhashPairs]]'s shape: the candidate join carries only
+    * (band keys, id) rows — vectors re-join AFTER pair dedup, so a
+    * pair sharing several bands prices its cosine once and the
+    * shuffled payload stays a few bytes per row. */
+  def embeddingNeardupLshPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val keys = Similarity.bandKeyRows(emb)
+    // shuffle_hash for the same reason as minhashPairs: post-aggregate
+    // size estimates are unreliable, a mis-broadcast builds a giant
+    // one-thread hash relation.
+    val pairs = keys.select(col("band_idx"), col("band_key"), col("vec_id").as("id_a"))
+      .hint("shuffle_hash")
+      .join(keys.select(col("band_idx"), col("band_key"), col("vec_id").as("id_b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") > minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Twin vectors for the d09 gate: every 5th vec_id duplicated at
+    * vec_id + TwinOffset with a deterministic ±5% per-dim
+    * multiplicative perturbation — direction shifts by ~1.7°
+    * (cosine ≈ 0.999), a true near-duplicate the banded pipeline MUST
+    * find. The interpreted `transform` lambda is gate-only code over a
+    * few hundred rows, not an operator hot path. */
+  private def withVectorTwins(emb: DataFrame): DataFrame = {
+    val twins = emb.filter(col("vec_id") % 5 === 0)
+      .withColumn("v", transform(col("v"), (x, i) =>
+        x * (lit(1.0) + lit(0.05) *
+          (xxhash64(col("vec_id"), i).cast(DoubleType) / lit(Long.MaxValue.toDouble)))))
+      .withColumn("vec_id", col("vec_id") + lit(TwinOffset))
+    emb.unionByName(twins)
+  }
 
   /** Exact windowed n-gram-jaccard candidate pairs (the d04 body),
     * returning (source, doc_a, doc_b, na, nb, ni, jac_raw) for pairs
@@ -368,6 +449,10 @@ object Dedup {
       SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
       FROM documents
       WHERE doc_id % 5 = 0 AND len(string_split_regex(text, '\s+')) >= 4""",
+
+    "d09_embedding_lsh_recall" -> """
+      SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
+      FROM embeddings WHERE vec_id % 5 = 0""",
 
     "d04_ngram_jaccard" -> """
       WITH t AS (

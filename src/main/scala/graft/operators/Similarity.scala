@@ -76,7 +76,7 @@ object Similarity {
     * band-key build wants. Same plane weights as before (avalanche of
     * p*1000 + dim), so signatures and buckets are unchanged.
     */
-  private def signed(df: DataFrame): DataFrame = {
+  private[operators] def signed(df: DataFrame): DataFrame = {
     val rows = df.select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
     val projs = (0 until NumPlanes).map(p =>
       sum(col("x") * planeWeight(lit(p), col("dim"))).as(s"proj$p"))
@@ -89,8 +89,24 @@ object Similarity {
           concat_ws("", (0 until NumPlanes / NumBands)
             .map(i => col(s"bit${b * (NumPlanes / NumBands) + i}")): _*).as("band_key"))
       }: _*).as("bands"))
-    df.join(withBands, Seq("vec_id"))
+    // shuffle_hash: withBands is a post-aggregate intermediate whose
+    // size estimate is unreliable — a mis-chosen broadcast would build
+    // a corpus-sized hash relation on one thread (and OOM at scale);
+    // both sides are the same cardinality, so a partitioned hash join
+    // on vec_id is the only shape that survives 100×.
+    df.join(withBands.hint("shuffle_hash"), Seq("vec_id"))
   }
+
+  /** Exploded LSH band keys (vec_id, band_idx, band_key) — the
+    * candidate-join key space. Shared with [[Dedup]]'s d08 embedding
+    * near-dup, which bands on these buckets instead of a data column
+    * (a label band is O(n²) within a heavy label; an LSH bucket's
+    * occupancy is controlled by the signature bit count). */
+  private[operators] def bandKeyRows(df: DataFrame): DataFrame =
+    signed(df)
+      .select(col("vec_id"), explode(col("bands")).as("band"))
+      .select(col("vec_id"),
+        col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
 
   /** recall@5 of an ANN variant vs the exact baseline as ONE
     * oracle-checkable assertion row: n_queries / n_exact_pairs are

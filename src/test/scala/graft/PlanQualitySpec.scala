@@ -46,13 +46,24 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("dedup candidate joins stay partitioned hash joins, never sort-merge or broadcast") {
-    Seq("d02_dedup_minhash", "d04_ngram_jaccard").foreach { q =>
-      val p = plan(q)
-      assert(p.contains("ShuffledHashJoin"), s"$q lost its hinted shuffle-hash join")
-      assert(!p.contains("SortMergeJoin"), s"$q fell back to sort-merge:\n$p")
-      assert(!p.contains("BroadcastHashJoin"),
-        s"$q broadcasts a post-aggregate intermediate (single-thread hash build, OOM at scale)")
-    }
+    Seq("d02_dedup_minhash", "d04_ngram_jaccard", "d08_embedding_neardup_lsh")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("ShuffledHashJoin"), s"$q lost its hinted shuffle-hash join")
+        assert(!p.contains("SortMergeJoin"), s"$q fell back to sort-merge:\n$p")
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$q broadcasts a post-aggregate intermediate (single-thread hash build, OOM at scale)")
+      }
+  }
+
+  test("d08 bands on LSH buckets, never a label equi-join (the d05 scale bomb)") {
+    // executedPlan, not optimizedPlan: the logical relation prints the
+    // table's FULL column list; pruning shows in the scan's ReadSchema.
+    val p = plan("d08_embedding_neardup_lsh")
+    assert(p.contains("band_idx") && p.contains("band_key"),
+      s"d08 lost its LSH band keys:\n$p")
+    assert(!p.contains("label"),
+      s"d08 must not read or join on label:\n$p")
   }
 
   test("top-k is TakeOrderedAndProject, not a global sort (q02)") {
@@ -81,8 +92,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // explicit broadcast crossJoin — bounded by construction, same class.
     val broadcastNljOk = Set("s01_cosine_topk", "s03_ann_ivf",
       "s04_lsh_recall", "s05_ivf_recall",
-      "d06_minhash_recall", "d07_simhash_recall", "a05_hll_union_bounds",
-      "c06_vocab_coverage")
+      "d06_minhash_recall", "d07_simhash_recall", "d09_embedding_lsh_recall",
+      "a05_hll_union_bounds", "c06_vocab_coverage")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
