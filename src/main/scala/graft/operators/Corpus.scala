@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.Checkpoint.TruncateOps
 
 /** Corpus-preparation operators — the remaining steps a large-scale
   * LM training-data pipeline runs between raw scans (t01–t06 text
@@ -78,56 +79,17 @@ object Corpus {
     }),
 
     // c03: duplicate CLUSTERS — connected components over the exact
-    // near-dup pairs (d04's edge set), via min-label propagation:
-    // each round every vertex takes the min component id among itself
-    // and its neighbors; fixpoint = components. Rounds touch only
-    // (id, comp) and (v, w) pairs — the data-parallel CC loop that
-    // runs at any scale (production systems bound the round count
-    // with large-star/small-star contraction; plain propagation is
-    // O(diameter) rounds, fine for near-dup clusters whose diameter
-    // is small). The per-round driver-side convergence probe reads a
-    // single SUM scalar (monotonically decreasing → loop terminates),
-    // the standard Pregel-style stop condition — not a data collect.
+    // near-dup pairs (d04's edge set), via alternating large-star /
+    // small-star contraction (see [[connectedComponents]]): O(log n)
+    // rounds independent of cluster diameter, each round two hash
+    // aggregates + joins over bare (node, parent) pairs. The per-round
+    // driver probe reads one (count, hash-sum) fingerprint row — a
+    // Pregel-style stop condition, not a data collect.
     "c03_dup_clusters" -> ((s, d) => {
-      // checkpoint the edge list BEFORE symmetrizing: the union refers
-      // to `edges` twice, and without the materialization the whole
-      // shingle/join pipeline would execute once per reference
       val edges = Dedup.ngramJaccardPairs(Tables.documents(s, d))
         .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
-      val sym = edges
-        .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint() // materialize once; every round re-reads it
-      var comp = sym.select(col("doc_a").as("id")).distinct()
-        .withColumn("component", col("id"))
-        .localCheckpoint()
-      // one propagation step: every vertex takes the min component
-      // among itself and its neighbors
-      def step(c: DataFrame): DataFrame = {
-        val nbrMin = sym
-          .join(c.select(col("id").as("doc_b"), col("component").as("nc")),
-            Seq("doc_b"))
-          .groupBy(col("doc_a"))
-          .agg(min(col("nc")).as("nbr_min"))
-          .select(col("doc_a").as("id"), col("nbr_min"))
-        c.join(nbrMin, Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("component"), coalesce(col("nbr_min"), col("component")))
-              .as("component"))
-      }
-      var prev = Long.MaxValue
-      var cur = comp.agg(sum(col("component"))).head().getLong(0)
-      while (cur < prev) {
-        // TWO propagation steps per materialization/probe: min-label
-        // is monotone, so over-propagating never changes the fixpoint
-        // — it only halves the checkpoint+probe round-trips, which
-        // dominate wall time once per-round data is small (label
-        // pairs only). Convergence test is unchanged and still exact.
-        comp = step(step(comp)).localCheckpoint()
-        prev = cur
-        cur = comp.agg(sum(col("component"))).head().getLong(0)
-      }
-      comp.select(col("id").as("doc_id"), col("component")).orderBy("doc_id")
+      connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("component")).orderBy("doc_id")
     }),
 
     // c04: stratified train-split sampling — exactly ceil(10%) of each
@@ -267,10 +229,10 @@ object Corpus {
     "c11_pagerank" -> ((s, d) => {
       val edges = Dedup.ngramJaccardPairs(Tables.documents(s, d))
         .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
+        .truncated
       val sym = edges
         .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint()
+        .truncated
       val deg = sym.groupBy("doc_a").agg(count(lit(1)).as("deg"))
       var rank = deg.select(col("doc_a").as("id"), lit(1.0).as("rank"))
       for (i <- 1 to 5) {
@@ -285,7 +247,7 @@ object Corpus {
         // where lineage is cut; two join+agg layers stay well inside
         // codegen limits, and each skipped checkpoint saves an eager
         // job over the full rank relation)
-        if (i % 2 == 0 || i == 5) rank = rank.localCheckpoint()
+        if (i % 2 == 0 || i == 5) rank = rank.truncated
       }
       rank.select(col("id").as("doc_id"), round(col("rank"), 6).as("pagerank"))
         .orderBy("doc_id")
@@ -311,6 +273,85 @@ object Corpus {
             .as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx"))
   )
+
+  /** Rounds the last [[connectedComponents]] call took — exposed for
+    * the CorpusSpec round-bound assertion (a path graph that plain
+    * min-label propagation crosses one hop per round must finish in
+    * O(log n) contraction rounds). Driver-side only; not operator state. */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** Connected components over an undirected edge list (doc_a, doc_b)
+    * via ALTERNATING LARGE-STAR / SMALL-STAR contraction — the
+    * published CC-in-MapReduce technique (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): converges in
+    * O(log n) rounds INDEPENDENT of component diameter, unlike plain
+    * min-label propagation's O(diameter). Each round is two hash
+    * aggregates and two equi-joins over bare (node, parent) long
+    * pairs, so a round costs the same as one propagation step.
+    *
+    *   large-star: every node u connects its LARGER neighbors to
+    *     m = min(N(u) ∪ {u}) — emitted edges always point bigger→
+    *     smaller, so the output is parent-pointer shaped.
+    *   small-star: every node u (now with only smaller neighbors)
+    *     connects them AND itself to their common minimum.
+    *
+    * Fixpoint = disjoint stars: every non-root points directly at its
+    * component's minimum id, which is exactly min-label propagation's
+    * answer — c03's output hash is unchanged. Convergence is probed
+    * with one (count, xxhash64-sum) fingerprint row per round
+    * (edge sets are canonical big→small pairs, so equal fingerprints
+    * ⇔ equal sets modulo a negligible 64-bit collision).
+    *
+    * Returns (id, component) for every node that appears in an edge. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    // materialize before symmetrizing: `sym` references the edge
+    // pipeline twice, and every contraction round re-reads it
+    val canon = edges.select(col("doc_a"), col("doc_b")).truncated
+    val nodes = canon.select(col("doc_a").as("id"))
+      .union(canon.select(col("doc_b").as("id"))).distinct().truncated
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = both.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      both.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // invariant from largeStar: v < u on every edge
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, Seq("u"))
+        .select(col("v").as("node"), col("m"))
+        .union(mins.select(col("u").as("node"), col("m")))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: xxhash64 spans the full long range and a SUM
+      // overflows under ANSI mode; xor is order-independent, overflow-
+      // free, and exact on these distinct edge sets.
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var e = canon.select(col("doc_a").as("u"), col("doc_b").as("v")).truncated
+    var fp = (-1L, 0L)
+    var next = fingerprint(e)
+    var rounds = 0
+    while (next != fp) {
+      e = smallStar(largeStar(e)).truncated
+      fp = next
+      next = fingerprint(e)
+      rounds += 1
+    }
+    lastCcRounds = rounds
+    nodes.join(e.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
 
   /** c11's DuckDB twin: the same 5 PageRank iterations unrolled as
     * chained CTEs (aggregates are not allowed in a recursive term, so

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.Checkpoint.TruncateOps
 
 /** Similarity search over the `embeddings` fixture (vec_id,
   * embedding: array<float>, label).
@@ -258,7 +259,7 @@ object Similarity {
         // materialize once instead of re-running the explode+quantize
         // scan three times (measured 6.1 s → the checkpointed form
         // re-reads ~128k slim rows)
-        .localCheckpoint()
+        .truncated
       val norms = rows.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
       val qrows = rows.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("dim"), col("q").as("qq"))

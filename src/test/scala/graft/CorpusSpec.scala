@@ -59,6 +59,27 @@ class CorpusSpec extends AnyFunSuite {
     comp.values.toSet.foreach((c: Long) => assert(comp(c) === c))
   }
 
+  test("c03 contraction: path graphs finish in O(log n) rounds with exact components") {
+    import s.implicits._
+    // A 256-node path (0-1-2-…-255) is the adversarial case for plain
+    // min-label propagation: the min label crosses ONE hop per round,
+    // so propagation needs ~255 rounds (or ~128 driver probes with the
+    // old double-step). Large-star/small-star contracts it in O(log n).
+    val path = (0L until 255L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Corpus.connectedComponents(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 256)
+    assert(comp.values.forall(_ == 0L), "single path component, min id 0")
+    assert(Corpus.lastCcRounds <= 12,
+      s"contraction took ${Corpus.lastCcRounds} rounds — not logarithmic")
+    // two disjoint components stay disjoint
+    val two = ((0L until 10L).map(i => (i, i + 1)) ++
+      (100L until 110L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val c2 = Corpus.connectedComponents(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 10L).forall(c2(_) == 0L) && (100L to 110L).forall(c2(_) == 100L))
+  }
+
   test("c04: exactly ceil(10%) of each stratum, deterministically") {
     val out = Corpus.queries("c04_stratified_sample")(s, d)
     val got = out.groupBy("lang").count().collect()
