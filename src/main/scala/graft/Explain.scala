@@ -44,6 +44,17 @@ object Explain {
         banded.groupBy("band_idx", "band_hash").count()
           .groupBy("count").agg(count(lit(1)).as("n_buckets"))
           .orderBy(col("count").desc).show(20, false)
+      case "dev_ann_recall" =>
+        // raw hit counts behind the s04/s05 gates (threshold tuning)
+        import org.apache.spark.sql.functions._
+        val exact = SparkEntry.queries("s01_cosine_topk")(spark, sfDir)
+          .select("q_id", "neighbor_id")
+        Seq("s02_ann_lsh_topk", "s03_ann_ivf").foreach { ann =>
+          val a = SparkEntry.queries(ann)(spark, sfDir)
+            .select(col("q_id"), col("neighbor_id"))
+          println(s"$ann hits=${exact.join(a, Seq("q_id", "neighbor_id")).count()}" +
+            s" / ${exact.count()}")
+        }
       case n =>
         println(s"===== $n =====")
         val df = SparkEntry.queries(n)(spark, sfDir)
