@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.Checkpoint.TruncateOps
 
 /** Deduplication operators for large-scale training-data pipelines —
   * the capability layer the reference lacks entirely (its ingest is
@@ -402,6 +403,13 @@ object Dedup {
         .filter(col("full3")) // oracle scopes to docs with >= 3 tokens
         .select("source", "doc_id", "sh").distinct()
         .withColumn("sz", count(lit(1)).over(Window.partitionBy("source", "doc_id")))
+        // materialize the gram stage before the band join: the fused
+        // split→window→distinct→window pipeline and the exploded
+        // band join then codegen/JIT as two separate jobs with small
+        // per-job generated-method sets — the round-3 profile's
+        // "in-query JIT lottery" drew from exactly this fusion — and
+        // the rows are slim (ids + 8-byte hash + two ints)
+        .truncated
       // Band the "id within 50" range predicate into equi-join buckets
       // (bucket = doc_id div 50; a partner is in my bucket or the
       // next), so candidate generation never materializes whole-source
