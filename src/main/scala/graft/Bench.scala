@@ -109,7 +109,14 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
-    val families = SparkEntry.queries.keys.toSeq.sorted.groupBy(family)
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the isolated run to a
+    // subset (dev tool for scale/AQE comparisons) while keeping the
+    // per-family child-JVM isolation; unset = the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val families = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .groupBy(family)
     val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     for ((fam, names) <- families.toSeq.sortBy(_._1)) {
@@ -192,6 +199,12 @@ object Bench {
       // function registry (graft.GraftExtensions scaladoc).
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.graft.rangeJoin.binSeconds", "3600")
+      // LSH geometry passthrough for scale experiments (defaults match
+      // the fixture-tuned 16/4 — see Similarity.PlanesConf scaladoc)
+      .config("spark.graft.lsh.planes",
+        sys.env.getOrElse("SPARK_GRAFT_LSH_PLANES", "16"))
+      .config("spark.graft.lsh.bands",
+        sys.env.getOrElse("SPARK_GRAFT_LSH_BANDS", "4"))
       // dev-only: SPARK_GRAFT_EVENTLOG=true dumps per-stage metrics
       .config("spark.eventLog.enabled",
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))

@@ -55,8 +55,25 @@ object Similarity {
     * measured 100× t06 stall). */
   private def asDoubleVec(c: Column): Column = c.cast(ArrayType(DoubleType))
 
-  private val NumPlanes = 16 // LSH signature bits
-  private val NumBands = 4   // 4 bands × 4 bits
+  private val NumPlanes = 16 // default LSH signature bits
+  private val NumBands = 4   // default bands (16/4 = 4 bits per band)
+
+  /** LSH geometry is a function of corpus size: a FIXED signature
+    * means a fixed bucket space, so bucket occupancy — and the
+    * candidate-pair space of any bucket self-join (d08) — grows
+    * QUADRATICALLY with the corpus (measured: d08 7.4× time at 10×
+    * rows on 4-bit bands). Production LSH sizes bits per band
+    * ~ log2(n / target_occupancy); these confs are that knob. The
+    * defaults match the fixture-tuned geometry so oracle/recall-gate
+    * outputs are unchanged unless a deployment opts in. */
+  val PlanesConf = "spark.graft.lsh.planes"
+  val BandsConf = "spark.graft.lsh.bands"
+
+  private def lshGeometry(df: DataFrame): (Int, Int) = {
+    val c = df.sparkSession.conf
+    (c.get(PlanesConf, NumPlanes.toString).toInt,
+      c.get(BandsConf, NumBands.toString).toInt)
+  }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d weight
     * derived from a 64-bit avalanche of (p, d) — same planes on every
@@ -78,17 +95,18 @@ object Similarity {
     * p*1000 + dim), so signatures and buckets are unchanged.
     */
   private[operators] def signed(df: DataFrame): DataFrame = {
+    val (planes, bands) = lshGeometry(df)
     val rows = df.select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
-    val projs = (0 until NumPlanes).map(p =>
+    val projs = (0 until planes).map(p =>
       sum(col("x") * planeWeight(lit(p), col("dim"))).as(s"proj$p"))
     val bits = rows.groupBy("vec_id").agg(projs.head, projs.tail: _*)
-      .select(col("vec_id") +: (0 until NumPlanes).map(p =>
+      .select(col("vec_id") +: (0 until planes).map(p =>
         when(col(s"proj$p") >= 0, 1).otherwise(0).as(s"bit$p")): _*)
     val withBands = bits.select(col("vec_id"),
-      array((0 until NumBands).map { b =>
+      array((0 until bands).map { b =>
         struct(lit(b).as("band_idx"),
-          concat_ws("", (0 until NumPlanes / NumBands)
-            .map(i => col(s"bit${b * (NumPlanes / NumBands) + i}")): _*).as("band_key"))
+          concat_ws("", (0 until planes / bands)
+            .map(i => col(s"bit${b * (planes / bands) + i}")): _*).as("band_key"))
       }: _*).as("bands"))
     // shuffle_hash: withBands is a post-aggregate intermediate whose
     // size estimate is unreliable — a mis-chosen broadcast would build
@@ -163,7 +181,8 @@ object Similarity {
         .select(col("vec_id"), col("v"), explode(col("bands")).as("band"))
         .select(col("vec_id"), col("v"),
           col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
-      val bitsPerBand = NumPlanes / NumBands
+      val (planes2, bands2) = lshGeometry(Tables.embeddings(s, d))
+      val bitsPerBand = planes2 / bands2
       // the exact key plus each single-bit flip, as plain string ops
       // (band keys are '0'/'1' strings) — all codegen'd
       val probeKeys = array(col("band_key") +: (0 until bitsPerBand).map { j =>
