@@ -59,4 +59,33 @@ class RoundTripPropertySpec extends AnyFunSuite {
     val twice = kept.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
     assert(twice.filter(col("n") > 1).count() === 0)
   }
+
+  test("large-star/small-star components match a reference union-find on random graphs") {
+    import s.implicits._
+    import graft.operators.Corpus
+    // Adversarial shapes the fixed CorpusSpec fixtures don't cover:
+    // random sparse/dense graphs, self-contained cliques, isolated
+    // edges — all checked against a driver-side union-find oracle.
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L))).map(_.filter(e => e._1 != e._2))
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // union-find roots are not guaranteed to be minima under
+      // arbitrary union order; min-relabel per root for the compare
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      val want = nodes.map(n => n -> minOf(find(n))).toMap
+      val got = Corpus.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"components diverge on ${edges.take(10)}…")
+    }
+  }
 }
