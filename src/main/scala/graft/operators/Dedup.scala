@@ -318,6 +318,37 @@ object Dedup {
         minCos = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // d10: corpus-wide REPEATED SPANS — the passage-level dedup
+    // primitive (public technique: Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better" — exact substring
+    // dedup finds verbatim passages repeated ACROSS documents that
+    // whole-doc dedup never sees, e.g. boilerplate headers, license
+    // blocks, chain letters). Fixed-length token spans (5 here,
+    // ~50 in a production text run — only the constant changes) slide
+    // stride-1 over every doc; a span appearing in ≥2 distinct docs is
+    // a dedup candidate. Shape: one explode (len−4 rows/doc, linear)
+    // → one hash aggregate on the span digest → top-k. No window, no
+    // join, no HOF lambda: scan-shaped at any corpus size, and the
+    // aggregate ships only (16-byte digest, two counts).
+    "d10_repeated_spans" -> ((s, d) => {
+      val SpanLen = 5
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= SpanLen)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(1), size(col("toks")) - (SpanLen - 1)))
+            .as(Seq("i", "start")))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("toks"), col("start"), lit(SpanLen))))
+            .as("span_md5"))
+        .groupBy("span_md5")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(desc("n_occurrences"), desc("n_docs"), asc("span_md5"))
+        .limit(100)
+    }),
+
     // d09: hash-checkable recall gate for d08, in the d06 style —
     // inject twin vectors (deterministic ±5% per-dim perturbation,
     // cosine ≈ 0.999) for every 5th vec_id and assert the LSH-banded
@@ -461,6 +492,21 @@ object Dedup {
     "d09_embedding_lsh_recall" -> """
       SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
       FROM embeddings WHERE vec_id % 5 = 0""",
+
+    "d10_repeated_spans" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        FROM documents),
+      sp AS (
+        SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+          THEN list_transform(range(1, len(w) - 3),
+            i -> md5(array_to_string(list_slice(w, i, i + 4), ' ')))
+          ELSE [] END) AS span_md5
+        FROM t)
+      SELECT span_md5, COUNT(DISTINCT doc_id) AS n_docs,
+        COUNT(*) AS n_occurrences
+      FROM sp GROUP BY span_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY n_occurrences DESC, n_docs DESC, span_md5 LIMIT 100""",
 
     "d04_ngram_jaccard" -> """
       WITH t AS (

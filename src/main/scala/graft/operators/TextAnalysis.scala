@@ -212,6 +212,34 @@ object TextAnalysis {
             sum(col("n").cast(DoubleType) * log2(col("n"))) /
               sum(col("n")).cast(DoubleType), 6).as("entropy"))
         .orderBy("doc_id")
+    }),
+
+    // t08: bigram-LM fluency score — the KenLM-style quality signal
+    // every corpus pipeline runs (public recipe: CCNet/Gopher filter
+    // on LM perplexity): train bigram counts ON the corpus itself,
+    // score each doc by its mean ln P(w2|w1) = ln(c(w1,w2)/c(w1)).
+    // Low scores flag token salads; high scores flag boilerplate.
+    // Shape: one explode + lead window builds bigram rows; TWO count
+    // aggregates (the "model") re-join the bigram rows by key —
+    // corpus-count tables are post-aggregate intermediates, so the
+    // joins are hinted shuffle_hash (never a mis-broadcast of a
+    // vocabulary² relation, which for real text is billions of rows).
+    "t08_bigram_logprob" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bi = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "w1")))
+        .withColumn("w2", lead("w1", 1).over(w))
+        .filter(col("w2").isNotNull)
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
+      bi.join(c2.hint("shuffle_hash"), Seq("w1", "w2"))
+        .join(c1.hint("shuffle_hash"), Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("n2").cast(DoubleType) / col("n1").cast(DoubleType))), 6)
+            .as("bigram_logprob"))
+        .orderBy("doc_id")
     })
   )
 
@@ -318,7 +346,27 @@ object TextAnalysis {
         SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
           COUNT(*) AS n_distinct,
           ROUND(log2(SUM(n)) - SUM(n * log2(n)) / SUM(n), 6) AS entropy
-        FROM c GROUP BY doc_id ORDER BY doc_id"""
+        FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+      // bigram key is the joined string (tokens are \s+-split so they
+      // contain no spaces — the pair is recoverable by split_part)
+      "t08_bigram_logprob" -> """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+          FROM documents),
+        bi AS (
+          SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), i -> concat_ws(' ', w[i], w[i+1]))
+            ELSE [] END) AS bg
+          FROM t),
+        c2 AS (SELECT bg, COUNT(*) AS n2 FROM bi GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS n1 FROM bi GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          ROUND(AVG(ln(CAST(n2 AS DOUBLE) / n1)), 6) AS bigram_logprob
+        FROM bi
+        JOIN c2 USING (bg)
+        JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.w1
+        GROUP BY doc_id ORDER BY doc_id"""
     )
   }
 }
