@@ -92,6 +92,30 @@ object Corpus {
         .select(col("id").as("doc_id"), col("component")).orderBy("doc_id")
     }),
 
+    // c12: cluster CANONICALIZATION — the step that turns c03's dup
+    // clusters into an actionable keep/drop list: within each
+    // component the canonical copy is the longest text (tie: min
+    // doc_id — "keep the richest copy" is the standard training-data
+    // policy; the rule is one orderBy away from swappable). Shape:
+    // components from the O(log n) contraction, one shuffle-hash join
+    // back to (doc_id, text_len) rows, one window per component
+    // (clusters are small by construction, so the window partition
+    // key is fine-grained — no q41-style 5-partition bottleneck).
+    "c12_cluster_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comp = connectedComponents(
+        Dedup.ngramJaccardPairs(docs).select(col("doc_a"), col("doc_b")))
+      val w = Window.partitionBy("component")
+        .orderBy(desc("text_len"), asc("doc_id"))
+      docs.select(col("doc_id"), length(col("text")).cast(LongType).as("text_len"))
+        .join(comp.select(col("id").as("doc_id"), col("component"))
+          .hint("shuffle_hash"), Seq("doc_id"))
+        .withColumn("is_canonical",
+          when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .select(col("component"), col("doc_id"), col("text_len"), col("is_canonical"))
+        .orderBy("component", "doc_id")
+    }),
+
     // c04: stratified train-split sampling — exactly ceil(10%) of each
     // language stratum, selected by a deterministic content-free hash
     // order (md5 of the id, the q33 convention) so the split is
@@ -449,6 +473,38 @@ object Corpus {
         SELECT r.v, s.w FROM reach r JOIN sym s ON r.w = s.v)
       SELECT v AS doc_id, MIN(w) AS component
       FROM reach GROUP BY v ORDER BY doc_id""",
+
+    // c12 = c03's recursive-CTE components + a per-component window
+    "c12_cluster_canonical" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+        FROM t WHERE len(toks) >= 3),
+      e AS (
+        SELECT a.doc_id AS v, b.doc_id AS w
+        FROM g a JOIN g b ON a.source = b.source
+          AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.01),
+      sym AS (SELECT v, w FROM e UNION SELECT w AS v, v AS w FROM e),
+      reach AS (
+        SELECT v, v AS w FROM (SELECT DISTINCT v FROM sym)
+        UNION
+        SELECT r.v, s.w FROM reach r JOIN sym s ON r.w = s.v),
+      comp AS (
+        SELECT v AS doc_id, MIN(w) AS component FROM reach GROUP BY v),
+      j AS (
+        SELECT c.component, d.doc_id, CAST(length(d.text) AS BIGINT) AS text_len
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+      SELECT component, doc_id, text_len,
+        CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY component
+          ORDER BY text_len DESC, doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT)
+          AS is_canonical
+      FROM j ORDER BY component, doc_id""",
 
     "c04_stratified_sample" -> """
       WITH r AS (
