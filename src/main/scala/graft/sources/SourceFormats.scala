@@ -28,11 +28,24 @@ object SourceFormats {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
+  /** Fixture dir keyed by the sanitized source path PLUS the source's
+    * size+mtime: different datasets can't collide, and a regenerated
+    * source invalidates the cache instead of serving stale fixtures
+    * (the i06 lesson, applied to every cached fixture here). */
+  private def stampedBase(s: SparkSession, d: String, srcTable: String,
+      name: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(s"$d/$srcTable.parquet")
+    val st = fs.getFileStatus(src)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${st.getModificationTime}_${fs.getContentSummary(src).getLength}"
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/graft_${name}_$tag"
+  }
+
   def roundTrip(s: SparkSession, d: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
-    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/graft_formats_$tag"
-    val csvDir = s"$base/orders_csv"
-    val jsonDir = s"$base/customer_json"
+    val csvDir = stampedBase(s, d, "orders", "formats") + "/orders_csv"
+    val jsonDir = stampedBase(s, d, "customer", "formats") + "/customer_json"
 
     val orders = Tables.orders(s, d)
       .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
@@ -73,15 +86,7 @@ object SourceFormats {
   def evolvedScan(s: SparkSession, d: String): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
-    // Fixture dir keyed by the sanitized source path PLUS the source's
-    // size+mtime: different datasets can't collide (unlike a hashCode
-    // tag), and regenerating the source invalidates the cache instead
-    // of silently serving stale generations.
-    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val st = fs.getFileStatus(src)
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
-      s"_${st.getModificationTime}_${fs.getContentSummary(src).getLength}"
-    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/graft_evolved_$tag"
+    val base = stampedBase(s, d, "documents", "evolved")
     val docs = Tables.documents(s, d)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/gen1/_SUCCESS")))
       docs.filter(col("doc_id") % 2 === 0)
@@ -99,6 +104,32 @@ object SourceFormats {
         count(col("lang")).as("n_lang"),
         round(avg(col("text_len")), 6).as("avg_len"))
       .orderBy("gen")
+  }
+
+  /** i08: ORC round-trip — the other splittable COLUMNAR format Spark
+    * ships natively (spark-avro isn't on this classpath, so Avro is
+    * out of scope offline). Same contract as i05: write
+    * parquet-sourced rows as ORC, read back schema-on-read, checksum
+    * against the originals in DECIMAL(12,2). ORC keeps column
+    * pruning + predicate pushdown (unlike the text formats), so at
+    * 100 TB it's a peer of parquet, not a downgrade — the round-trip
+    * proves the engine can both ingest an ORC lake and emit one.
+    */
+  def orcRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val dir = stampedBase(s, d, "lineitem", "orc") + "/lineitem_orc"
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
+      li.write.mode("overwrite").orc(dir)
+    s.read.schema(li.schema).orc(dir)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("checksum"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("qty_sum"))
+      .select(lit("orc_lineitem").as("fmt"), col("n"), col("checksum"),
+        col("qty_sum"))
   }
 
   /** i07: data-quality audit — the constraint checks every ingest
@@ -133,7 +164,8 @@ object SourceFormats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i05_source_formats" -> ((s, d) => roundTrip(s, d)),
     "i06_schema_evolution" -> ((s, d) => evolvedScan(s, d)),
-    "i07_quality_audit" -> ((s, d) => qualityAudit(s, d))
+    "i07_quality_audit" -> ((s, d) => qualityAudit(s, d)),
+    "i08_orc_roundtrip" -> ((s, d) => orcRoundTrip(s, d))
   )
 
   // The oracle reads the parquet originals: if the engine's CSV/JSON
@@ -172,6 +204,12 @@ object SourceFormats {
       FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
       UNION ALL
       SELECT 'orders_rows', COUNT(*) FROM orders
-      ORDER BY chk"""
+      ORDER BY chk""",
+
+    "i08_orc_roundtrip" -> """
+      SELECT 'orc_lineitem' AS fmt, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS checksum,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum
+      FROM lineitem"""
   )
 }
