@@ -58,7 +58,11 @@ object Bench {
     "c03_dup_clusters", "c08_decontaminate", "c11_pagerank",
     "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d06_minhash_recall", "d07_simhash_recall",
-    "s02_ann_lsh_topk", "t06_ngram_topk", "t07_token_entropy")
+    "s02_ann_lsh_topk", "t06_ngram_topk", "t07_token_entropy",
+    // round-4 additions, same evidence pattern: in-family 16.3/10.5/
+    // 6.7 s vs fresh-JVM solo 8.2/2.0/2.4 s (c12 runs the full
+    // d04+contraction pipeline like c03; d10/t08 are explode-heavy)
+    "c12_cluster_canonical", "d10_repeated_spans", "t08_bigram_logprob")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name
