@@ -366,6 +366,14 @@ object Corpus {
     var next = fingerprint(e)
     var rounds = 0
     while (next != fp) {
+      // Exactly ONE large+small round per materialization. Tried and
+      // reverted: two rounds per truncation measured 7.3–24 s on
+      // consecutive fresh JVMs (vs 8.8–13.7 single-step) — each star
+      // references its input TWICE (the union / the rewire+mins
+      // join), so un-materialized nesting recomputes inner rounds
+      // combinatorially AND doubles the fused codegen, widening the
+      // JIT-lottery tail; the checkpoint between rounds keeps every
+      // star input read-cheap and the generated methods small.
       e = smallStar(largeStar(e)).truncated
       fp = next
       next = fingerprint(e)
