@@ -60,6 +60,31 @@ class RoundTripPropertySpec extends AnyFunSuite {
     assert(twice.filter(col("n") > 1).count() === 0)
   }
 
+  test("range-join binning is exact on random dirty interval sets") {
+    import s.implicits._
+    // Random points × random intervals, where ~half the intervals are
+    // inverted (hi < lo) and one is a sentinel-wide row — the dirty
+    // shapes the round-4 hardening exists for. Expected rows computed
+    // driver-side; the rewrite must agree exactly on every draw.
+    val ptsGen = Gen.listOfN(60, Gen.choose(-100L, 200L))
+    val ivGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(-120L, 220L), Gen.choose(-120L, 220L)))
+    samples(Gen.zip(ptsGen, ivGen), 4).foreach { case (ps, ivsRaw) =>
+      val ivs = ivsRaw :+ ((-5L, Long.MaxValue / 1024)) // sentinel-wide
+      val joined = ps.toDF("p").join(ivs.toDF("lo", "hi"),
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(joined.queryExecution.executedPlan.toString.contains("graft_bin"),
+        "rewrite must fire on the BETWEEN join")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val want = (for {
+        p <- ps; (lo, hi) <- ivs
+        if p >= lo && p <= hi
+      } yield (p, lo, hi)).sorted
+      assert(got === want, s"rewrite diverged; ivs=${ivs.take(6)}…")
+    }
+  }
+
   test("large-star/small-star components match a reference union-find on random graphs") {
     import s.implicits._
     import graft.operators.Corpus
