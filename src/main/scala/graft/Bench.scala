@@ -203,12 +203,13 @@ object Bench {
       // function registry (graft.GraftExtensions scaladoc).
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.graft.rangeJoin.binSeconds", "3600")
-      // LSH geometry passthrough for scale experiments (defaults match
-      // the fixture-tuned 16/4 — see Similarity.PlanesConf scaladoc)
-      .config("spark.graft.lsh.planes",
-        sys.env.getOrElse("SPARK_GRAFT_LSH_PLANES", "16"))
-      .config("spark.graft.lsh.bands",
-        sys.env.getOrElse("SPARK_GRAFT_LSH_BANDS", "4"))
+      // LSH geometry: UNSET by default so Similarity's corpus-size
+      // auto-sizing (bits ∝ log2 n) is the measured path; the
+      // SPARK_GRAFT_LSH_* envs pass an explicit override through for
+      // geometry experiments.
+      .config(Map.empty[String, String] ++
+        sys.env.get("SPARK_GRAFT_LSH_PLANES").map("spark.graft.lsh.planes" -> _) ++
+        sys.env.get("SPARK_GRAFT_LSH_BANDS").map("spark.graft.lsh.bands" -> _))
       // dev-only: SPARK_GRAFT_EVENTLOG=true dumps per-stage metrics
       .config("spark.eventLog.enabled",
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))

@@ -33,9 +33,18 @@ object Checkpoint {
     s.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
         // setCheckpointDir creates a fresh UUID subdir each call; the
-        // current dir reports fully qualified ("file:<dir>/<uuid>"),
-        // so substring-match to set once per configured path.
-        if (!s.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+        // current dir reports fully qualified ("file:<dir>/<uuid>").
+        // Compare the configured path EXACTLY against the parent of
+        // that UUID subdir after qualifying both through the target
+        // FileSystem — substring containment would mis-match prefixes
+        // (switching '/tmp/ck2' → '/tmp/ck' must re-point, not no-op).
+        val wanted = new org.apache.hadoop.fs.Path(dir)
+        val qualified = wanted
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .makeQualified(wanted)
+        val current = s.sparkContext.getCheckpointDir
+          .map(c => new org.apache.hadoop.fs.Path(c).getParent)
+        if (!current.contains(qualified))
           s.sparkContext.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()

@@ -55,24 +55,56 @@ object Similarity {
     * measured 100× t06 stall). */
   private def asDoubleVec(c: Column): Column = c.cast(ArrayType(DoubleType))
 
-  private val NumPlanes = 16 // default LSH signature bits
-  private val NumBands = 4   // default bands (16/4 = 4 bits per band)
+  private val NumBands = 4     // default bands
+  private val MinBitsPerBand = 4 // fixture-tuned floor (16 planes / 4 bands)
+
+  /** Target rows per LSH bucket at the floor geometry: 2000 fixture
+    * vectors / 2^4 buckets per band = 125. Corpora at or below 2000
+    * vectors (all driver fixtures) therefore keep the exact historical
+    * 16/4 geometry — and hashes; larger corpora get more signature
+    * bits automatically (below). */
+  private val TargetBucketOccupancy = 125.0
 
   /** LSH geometry is a function of corpus size: a FIXED signature
     * means a fixed bucket space, so bucket occupancy — and the
     * candidate-pair space of any bucket self-join (d08) — grows
     * QUADRATICALLY with the corpus (measured: d08 7.4× time at 10×
-    * rows on 4-bit bands). Production LSH sizes bits per band
-    * ~ log2(n / target_occupancy); these confs are that knob. The
-    * defaults match the fixture-tuned geometry so oracle/recall-gate
-    * outputs are unchanged unless a deployment opts in. */
+    * rows on 4-bit bands; 2.2× once re-sized to 32 planes).
+    * Production LSH sizes bits per band ~ log2(n / target_occupancy),
+    * and that is now the DEFAULT: geometry is derived from an
+    * `approx_count_distinct(vec_id)` pass over the corpus
+    * (bits/band = max(4, ⌈log2(n / 125)⌉), one cheap column-pruned
+    * job, memoized per plan per session), so a 100 TB run scales its
+    * bucket space without anyone remembering a knob. The confs
+    * OVERRIDE the heuristic for deployments that have tuned geometry
+    * (Bench passes them through from SPARK_GRAFT_LSH_* env). */
   val PlanesConf = "spark.graft.lsh.planes"
   val BandsConf = "spark.graft.lsh.bands"
 
+  private val geomCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Long), Int]()
+
   private def lshGeometry(df: DataFrame): (Int, Int) = {
     val c = df.sparkSession.conf
-    (c.get(PlanesConf, NumPlanes.toString).toInt,
-      c.get(BandsConf, NumBands.toString).toInt)
+    val bands = c.getOption(BandsConf).map(_.toInt).getOrElse(NumBands)
+    val planes = c.getOption(PlanesConf).map(_.toInt).getOrElse {
+      val key = (df.sparkSession, df.queryExecution.analyzed.semanticHash().toLong)
+      val bits = geomCache.computeIfAbsent(key, _ => {
+        val n = math.max(1L,
+          df.agg(approx_count_distinct(col("vec_id"))).head().getLong(0))
+        math.max(MinBitsPerBand,
+          math.ceil(math.log(n / TargetBucketOccupancy) / math.log(2.0)).toInt)
+      })
+      bits * bands
+    }
+    // Fail fast on a bad knob: bands that don't divide planes would
+    // silently drop trailing signature bits, and bands > planes makes
+    // every band_key empty — degenerating the d08 bucket self-join
+    // into an O(n²) cross product with no error.
+    require(planes > 0 && bands > 0 && planes % bands == 0,
+      s"bad LSH geometry: $PlanesConf=$planes must be a positive multiple of " +
+        s"$BandsConf=$bands")
+    (planes, bands)
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d weight
@@ -127,6 +159,28 @@ object Similarity {
       .select(col("vec_id"),
         col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
 
+  /** Per-query top-5 re-rank WITHOUT a window: groupBy(q_id) with the
+    * bounded-heap [[graft.functions.TopKRows]] aggregate. The window
+    * form (`row_number() OVER (PARTITION BY q_id)`) does get Spark's
+    * map-side WindowGroupLimit(Partial) before the exchange, but its
+    * partial phase still SORTS every scored row per task; the
+    * aggregate keeps a 5-element heap per (q_id, task) instead —
+    * O(n log 5) scan, ≤ 5 rows per query per map task across the
+    * shuffle, bounded memory at any corpus size. The ordering struct
+    * leads with the NEGATED score (score DESC ≡ -score ASC, exact for
+    * doubles) and tie-breaks on the unique neighbor id, so the heap's
+    * total order — and the emitted ranks — are bit-identical to the
+    * window form the DuckDB oracle mirrors. */
+  private def topkPerQuery(scored: DataFrame, score: Column, id: Column,
+                           idName: String, scoreName: String): DataFrame =
+    scored.groupBy("q_id")
+      .agg(graft.functions.TopKRows.topk(
+        struct((-score).as("nscore"), id.as("id"), score.as("score")), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).as("rk"),
+        col("e.id").as(idName), round(col("e.score"), 6).as(scoreName))
+      .orderBy("q_id", "rk")
+
   /** recall@5 of an ANN variant vs the exact baseline as ONE
     * oracle-checkable assertion row: n_queries / n_exact_pairs are
     * independently derivable by the DuckDB oracle from s01's
@@ -135,8 +189,13 @@ object Similarity {
     * un-oracle-able LSH/IVF internals get driver-visible teeth. */
   private def recallVsExact(exact: DataFrame, ann: DataFrame,
                             minHits: Int): DataFrame =
-    exact.select(col("q_id"), col("neighbor_id"))
-      .join(ann.select(col("q_id"), col("neighbor_id"), lit(1).as("hit")),
+    // Both inputs are ≤ 50-row top-k results sitting on top of heavy
+    // pipelines — truncate them so the gate's join runs over the two
+    // materialized result sets (each pipeline executes exactly once,
+    // inside the gate's own timing) rather than embedding both full
+    // plan trees in the comparison query.
+    exact.select(col("q_id"), col("neighbor_id")).truncated
+      .join(ann.select(col("q_id"), col("neighbor_id"), lit(1).as("hit")).truncated,
         Seq("q_id", "neighbor_id"), "left_outer")
       .agg(countDistinct(col("q_id")).as("n_queries"),
         count(lit(1)).as("n_exact_pairs"),
@@ -155,12 +214,7 @@ object Similarity {
       val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", cosine(col("qv"), col("v")))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
-          round(col("cos"), 6).as("cos_sim"))
-        .orderBy("q_id", "rk")
+      topkPerQuery(scored, col("cos"), col("vec_id"), "neighbor_id", "cos_sim")
     }),
 
     // ANN via sign-random-projection LSH with MULTI-PROBE queries:
@@ -175,13 +229,16 @@ object Similarity {
     // coarser bands which inflate every bucket. (Recall floor is
     // asserted in s04; no SQL oracle — LSH banding isn't expressible.)
     "s02_ann_lsh_topk" -> ((s, d) => {
-      val emb = signed(Tables.embeddings(s, d)
-        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v")))
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val emb = signed(base)
       val exploded = emb
         .select(col("vec_id"), col("v"), explode(col("bands")).as("band"))
         .select(col("vec_id"), col("v"),
           col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
-      val (planes2, bands2) = lshGeometry(Tables.embeddings(s, d))
+      // same df as signed()'s internal call → memoized geometry, no
+      // second corpus-count job
+      val (planes2, bands2) = lshGeometry(base)
       val bitsPerBand = planes2 / bands2
       // the exact key plus each single-bit flip, as plain string ops
       // (band keys are '0'/'1' strings) — all codegen'd
@@ -215,26 +272,38 @@ object Similarity {
     // ANN via IVF (inverted file): a coarse quantizer partitions the
     // corpus into K cells; queries probe only their nprobe nearest
     // cells, then exact cosine re-ranks the candidates. Corpus-side
-    // cost is one K-way assignment pass per training round (K tiny,
-    // centroids broadcast), probe cost is |cell| × nprobe — both
-    // linear and shuffle-local, the classic 100 TB layout (cell id =
-    // partition key). Centroids START as a deterministic corpus
-    // sample (16 vectors with the smallest xxhash64(vec_id)) and are
-    // REFINED by two data-parallel Lloyd iterations in long form
-    // (assign → per-(cid, dim) mean → repack): random-sample cells
-    // over near-uniform data are badly unbalanced, and the k-means
-    // step is what moves cell boundaries to where the data is. The
-    // per-dim means are rounded to 9 decimals so the double
-    // accumulation order (shuffle-dependent) can never leak into cell
-    // assignments — results stay deterministic across runs. No SQL
-    // oracle (cell assignment isn't expressible) — recall vs s01 is
-    // asserted by the s05 gate, rows-only check here.
+    // cost is ONE full K-way assignment pass (K tiny, centroids
+    // broadcast), probe cost is |cell| × nprobe — both linear and
+    // shuffle-local, the classic 100 TB layout (cell id = partition
+    // key). Centroids START as a deterministic corpus sample (16
+    // vectors with the smallest xxhash64(vec_id)) and are REFINED by
+    // Lloyd iterations in long form (assign → per-(cid, dim) mean →
+    // repack): random-sample cells over near-uniform data are badly
+    // unbalanced, and the k-means step is what moves cell boundaries
+    // to where the data is. Training runs on a deterministic 25%
+    // HASH-SAMPLE of the corpus (xxhash64(vec_id) mod 4 — the
+    // standard IVF practice: centroid quality needs representative
+    // data, not all of it), so the three refinement rounds cost ¾ of
+    // one full-corpus pass instead of three (round-4's measured 3×
+    // regression). The sample is lineage-truncated once and re-read
+    // per round; the FULL corpus is scored exactly once, and that
+    // scored set is truncated so the corpus leg and the query-probe
+    // leg share the materialization instead of re-running the
+    // crossJoin+rank twice. The per-dim means are rounded to 9
+    // decimals so double accumulation order (shuffle-dependent) can
+    // never leak into cell assignments — results stay deterministic
+    // across runs. No SQL oracle (cell assignment isn't expressible)
+    // — recall vs s01 is asserted by the s05 gate, rows-only check
+    // here.
     "s03_ann_ivf" -> ((s, d) => {
       val K = 16       // IVF cells
       val NProbe = 4   // cells probed per query
       val KmIters = 3  // Lloyd refinement rounds
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val train = emb
+        .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+        .truncated // read once per refinement round
       var cents = emb
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(K)
@@ -242,13 +311,13 @@ object Similarity {
         .withColumn("cid", row_number().over(
           Window.orderBy(col("c_seed"))))
         .select(col("cid"), col("cv"))
-      def assignAll(c: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(c))
+      def assign(data: DataFrame, c: DataFrame): DataFrame =
+        data.crossJoin(broadcast(c))
           .withColumn("sim", cosine(col("v"), col("cv")))
           .withColumn("crk", row_number().over(
             Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)))
       for (_ <- 1 to KmIters) {
-        val members = assignAll(cents).filter(col("crk") === 1)
+        val members = assign(train, cents).filter(col("crk") === 1)
           .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         cents = members
           .groupBy("cid", "dim").agg(round(avg(col("x")), 9).as("m"))
@@ -259,21 +328,22 @@ object Similarity {
           .select(col("cid"), expr("transform(dm, e -> e.m)").as("cv"))
           .truncated // 16 rows; stops each round re-running the last
       }
-      // corpus → nearest cell (rank 1); queries → nprobe nearest cells
-      val scoredCells = assignAll(cents)
-      val assigned = scoredCells.filter(col("crk") === 1)
+      // ONE full-corpus scoring pass, materialized slim (crk ≤ nprobe
+      // only): the corpus leg (crk=1) and the query-probe leg
+      // (vec_id<10, crk ≤ nprobe) both read this instead of each
+      // re-running the crossJoin + per-vector rank.
+      val cellRanks = assign(emb, cents)
+        .filter(col("crk") <= NProbe)
+        .select(col("vec_id"), col("v"), col("cid"), col("crk"))
+        .truncated
+      val assigned = cellRanks.filter(col("crk") === 1)
         .select(col("vec_id"), col("v"), col("cid"))
-      val q = scoredCells.filter(col("vec_id") < 10 && col("crk") <= NProbe)
+      val q = cellRanks.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-      assigned.join(broadcast(q), Seq("cid"))
+      val cands = assigned.join(broadcast(q), Seq("cid"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", cosine(col("qv"), col("v")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
-          round(col("cos"), 6).as("cos_sim"))
-        .orderBy("q_id", "rk")
+      topkPerQuery(cands, col("cos"), col("vec_id"), "neighbor_id", "cos_sim")
     }),
 
     // s04/s05: recall@5 assertion rows for the two ANN variants.
@@ -333,12 +403,7 @@ object Similarity {
         .join(broadcast(qnorms), Seq("q_id"))
         .withColumn("qcos", col("dot").cast(DoubleType) /
           (sqrt(col("n2").cast(DoubleType)) * sqrt(col("qn2").cast(DoubleType))))
-      val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("vec_id").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
-          round(col("qcos"), 6).as("q_cos"))
-        .orderBy("q_id", "rk")
+      topkPerQuery(scored, col("qcos"), col("vec_id"), "neighbor_id", "q_cos")
     })
   )
 

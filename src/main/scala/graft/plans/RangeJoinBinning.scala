@@ -112,8 +112,17 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       }
       val cfg = Cfg(bin, numeric, conf.getConfString(MaxBinsConf, "4096").toLong)
       plan.transformUp {
+        // Guard-leg detection is belt-and-suspenders: the SkipTag is
+        // set on the guard join, but optimizer rules that rebuild a
+        // Join through its constructor (rather than withNewChildren)
+        // silently drop tags — so ALSO recognize the guard leg by its
+        // "graft_g_"-renamed child attributes, which survive every
+        // plan rewrite (pruning keeps names; the guard's top Project
+        // maps back to the original names, so the sentinel never
+        // escapes the guard subtree).
         case j @ Join(_, _, Inner, Some(_), _)
-            if j.resolved && j.getTagValue(SkipTag).isEmpty =>
+            if j.resolved && j.getTagValue(SkipTag).isEmpty &&
+              !j.children.exists(_.output.exists(_.name.startsWith("graft_g_"))) =>
           rewrite(j, cfg).getOrElse(j)
       }
     }
@@ -304,12 +313,57 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       //   ordered && span > cap  → nested-loop guard leg, original
       //                            predicate, wide side broadcast
       //   inverted or null bound → cannot match; in neither leg
+      // The guard leg exists for RARE pathological rows; if the bin
+      // width is misconfigured for the data's scale (e.g. the seconds
+      // default against microsecond-magnitude numerics), MOST rows
+      // exceed the cap and an unbounded relation gets broadcast. Warn
+      // with the knobs so a fat guard leg is diagnosable from logs.
+      logWarning(s"graft range-join binning: interval span not provably ≤ " +
+        s"$MaxBinsConf=${cfg.maxBins} bins — adding a broadcast nested-loop " +
+        s"guard leg for over-wide rows. If most rows are wide, the guard " +
+        s"side broadcast can OOM: check $BinConf/$NumericWidthConf match " +
+        s"the data's scale (condition: ${cond.sql})")
       val narrow = binnedLeg(Filter(And(ordered, spanOk), intervalPlan))
-      val widePlan = Filter(And(ordered, Not(spanOk)), intervalPlan)
+      // The guard leg re-uses the same point/interval subtrees as the
+      // narrow leg. A post-analysis self-union with IDENTICAL ExprIds
+      // in both children executes correctly (Union is positional) but
+      // violates per-operator ExprId-uniqueness assumptions that
+      // plan-change validation and attribute-matching rules rely on —
+      // so re-alias the guard leg's subtrees with FRESH ExprIds (what
+      // analysis-time DeduplicateRelations would do) and rewrite the
+      // predicates to the new attributes.
+      //
+      // The aliases are RENAMES ("graft_g_" prefix), deliberately: a
+      // same-name Alias(attr) is "redundant" to RemoveRedundantAliases,
+      // which strips it and rebuilds the enclosing Join through the
+      // Join constructor — dropping the SkipTag and letting this rule
+      // re-fire on the guard join every optimizer iteration (observed:
+      // fixpoint hit max iterations, one extra Union leg per round).
+      // A rename is semantically load-bearing, so no rule removes it,
+      // the guard subtree reaches a fixed shape, and the tag survives.
+      val ptAliases = pointPlan.output.map(a => Alias(a, "graft_g_" + a.name)())
+      val ivAliases = intervalPlan.output.map(a => Alias(a, "graft_g_" + a.name)())
+      val ptCopy = Project(ptAliases, pointPlan)
+      val ivCopy = Project(ivAliases, intervalPlan)
+      val subst = AttributeMap(
+        (pointPlan.output ++ intervalPlan.output).zip(
+          (ptAliases ++ ivAliases).map(_.toAttribute)))
+      def rw(e: Expression): Expression = e.transform {
+        case a: Attribute => subst.getOrElse(a, a)
+      }
+      val widePlan = Filter(rw(And(ordered, Not(spanOk))), ivCopy)
       val wideHint = JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
-      val wideJoin = Join(pointPlan, widePlan, Inner, Some(cond), wideHint)
+      val wideJoin =
+        if (pointIsLeft) Join(ptCopy, widePlan, Inner, Some(rw(cond)), wideHint)
+        else             Join(widePlan, ptCopy, Inner, Some(rw(cond)), wideHint)
       wideJoin.setTagValue(SkipTag, true)
-      Some(Union(Seq(narrow, Project(j.output, wideJoin))))
+      // Project the guard leg back to j.output's NAMES with fresh
+      // ExprIds (Union output comes from the first child — the narrow
+      // leg already exposes j.output's ids; the guard child only needs
+      // positional compatibility).
+      val guard = Project(
+        j.output.map(a => Alias(rw(a), a.name)()), wideJoin)
+      Some(Union(Seq(narrow, guard)))
     }
   }
 }

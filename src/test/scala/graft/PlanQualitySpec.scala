@@ -80,6 +80,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pushed.contains("o_year"), s"o_year leaked into data filters:\n$p")
   }
 
+  test("s01/s06 re-rank is a bounded partial aggregate, not a corpus-wide window") {
+    // The per-query top-5 must partially aggregate map-side (a 5-row
+    // heap per (q_id, task) — graft.functions.TopKRows), so the
+    // re-rank exchange carries ≤ 5 rows per query per map task no
+    // matter the corpus size. The window form's partial phase
+    // (WindowGroupLimit) bounds the exchange too but still fully
+    // SORTS every scored row per task — reject both it and any plain
+    // Window re-rank.
+    Seq("s01_cosine_topk", "s06_quantized_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q lost its bounded top-k aggregate:\n$p")
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$q top-k aggregate is not partial (map-side) + final:\n$p")
+      assert(!p.contains("WindowGroupLimit") && !p.contains("Window ["),
+        s"$q re-ranks through a window again:\n$p")
+    }
+  }
+
   test("no query in the registered surface plans a cartesian product") {
     // Brute-force similarity scans legitimately cross-join a BROADCAST
     // side of bounded size (10 query vectors / K centroids) — the scan
