@@ -189,13 +189,17 @@ object Similarity {
     * un-oracle-able LSH/IVF internals get driver-visible teeth. */
   private def recallVsExact(exact: DataFrame, ann: DataFrame,
                             minHits: Int): DataFrame =
-    // Both inputs are ≤ 50-row top-k results sitting on top of heavy
-    // pipelines — truncate them so the gate's join runs over the two
-    // materialized result sets (each pipeline executes exactly once,
-    // inside the gate's own timing) rather than embedding both full
-    // plan trees in the comparison query.
-    exact.select(col("q_id"), col("neighbor_id")).truncated
-      .join(ann.select(col("q_id"), col("neighbor_id"), lit(1).as("hit")).truncated,
+    // Deliberately NOT truncated here: each input is used exactly once,
+    // so the gate runs both sub-pipelines as ONE DAG (their independent
+    // stages overlap; measured faster than eagerly materializing each
+    // side first). The re-execution hazard this gate used to have —
+    // s03 re-running its full training + assignment inside the
+    // comparison — is fixed at the source: s03 materializes its
+    // centroid rounds and its single full-corpus cell assignment
+    // internally, so the plan embedded here is a thin read over those
+    // checkpoints, and s01/s02 are single-pass by construction.
+    exact.select(col("q_id"), col("neighbor_id"))
+      .join(ann.select(col("q_id"), col("neighbor_id"), lit(1).as("hit")),
         Seq("q_id", "neighbor_id"), "left_outer")
       .agg(countDistinct(col("q_id")).as("n_queries"),
         count(lit(1)).as("n_exact_pairs"),
@@ -283,10 +287,13 @@ object Similarity {
     // to where the data is. Training runs on a deterministic 25%
     // HASH-SAMPLE of the corpus (xxhash64(vec_id) mod 4 — the
     // standard IVF practice: centroid quality needs representative
-    // data, not all of it), so the three refinement rounds cost ¾ of
+    // data, not all of it), so the two refinement rounds cost ½ of
     // one full-corpus pass instead of three (round-4's measured 3×
-    // regression). The sample is lineage-truncated once and re-read
-    // per round; the FULL corpus is scored exactly once, and that
+    // regression); the round cut is paid back on the probe side,
+    // nprobe 4 → 5, which RAISED recall@5 from 28 to 32 of 50 at a
+    // ~25% candidate-volume cost. The sample is lineage-truncated
+    // once and re-read per round; the FULL corpus is scored once, and
+    // that
     // scored set is truncated so the corpus leg and the query-probe
     // leg share the materialization instead of re-running the
     // crossJoin+rank twice. The per-dim means are rounded to 9
@@ -297,8 +304,8 @@ object Similarity {
     // here.
     "s03_ann_ivf" -> ((s, d) => {
       val K = 16       // IVF cells
-      val NProbe = 4   // cells probed per query
-      val KmIters = 3  // Lloyd refinement rounds
+      val NProbe = 5   // cells probed per query
+      val KmIters = 2  // Lloyd refinement rounds
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
       val train = emb
@@ -311,13 +318,27 @@ object Similarity {
         .withColumn("cid", row_number().over(
           Window.orderBy(col("c_seed"))))
         .select(col("cid"), col("cv"))
-      def assign(data: DataFrame, c: DataFrame): DataFrame =
+      // Per-vector nearest-k cells WITHOUT a window: the crossJoin
+      // preserves the corpus partitioning, so every vec_id's K scored
+      // rows sit in one task and the bounded-heap TopKRows aggregate
+      // finishes map-side — no sort, and the shuffle carries k rows
+      // per vector instead of all K. Ordering (-sim, cid) ≡ the
+      // row_number ordering (sim DESC, cid ASC), so cell assignments
+      // are unchanged. first(v) is safe: all rows of a vec_id carry
+      // the identical vector.
+      def assign(data: DataFrame, c: DataFrame, k: Int): DataFrame =
         data.crossJoin(broadcast(c))
           .withColumn("sim", cosine(col("v"), col("cv")))
-          .withColumn("crk", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)))
+          .groupBy("vec_id")
+          .agg(first(col("v")).as("v"),
+            graft.functions.TopKRows.topk(
+              struct((-col("sim")).as("ns"), col("cid").as("cid")), k).as("cells"))
+          .select(col("vec_id"), col("v"),
+            posexplode(col("cells")).as(Seq("pos", "e")))
+          .select(col("vec_id"), col("v"), col("e.cid").as("cid"),
+            (col("pos") + 1).as("crk"))
       for (_ <- 1 to KmIters) {
-        val members = assign(train, cents).filter(col("crk") === 1)
+        val members = assign(train, cents, 1)
           .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         cents = members
           .groupBy("cid", "dim").agg(round(avg(col("x")), 9).as("m"))
@@ -332,8 +353,7 @@ object Similarity {
       // only): the corpus leg (crk=1) and the query-probe leg
       // (vec_id<10, crk ≤ nprobe) both read this instead of each
       // re-running the crossJoin + per-vector rank.
-      val cellRanks = assign(emb, cents)
-        .filter(col("crk") <= NProbe)
+      val cellRanks = assign(emb, cents, NProbe)
         .select(col("vec_id"), col("v"), col("cid"), col("crk"))
         .truncated
       val assigned = cellRanks.filter(col("crk") === 1)
@@ -349,12 +369,13 @@ object Similarity {
     // s04/s05: recall@5 assertion rows for the two ANN variants.
     // The fixture embeddings are near-uniform random, the hardest case
     // for ANN (no cluster structure, top-5 is weakly separated):
-    // measured sf0.01 recall is 50/50 for multi-probe LSH and 28/50
-    // for k-means IVF at nprobe=4 (deterministic — fixed hashes,
-    // fixed data, rounded centroid means). Thresholds sit below those
-    // values (40 and 25), so any regression in banding/probing/
-    // training drops recall_ok to 0 and the driver's hash compare
-    // goes red, while genuine-but-small fixture drift doesn't flap.
+    // measured sf0.01 recall is 50/50 for multi-probe LSH and 32/50
+    // for sampled-2-round k-means IVF at nprobe=5 (deterministic —
+    // fixed hashes, fixed data, rounded centroid means; 48/50 and
+    // 32/50 at sf0.1). Thresholds sit below those values (40 and 25),
+    // so any regression in banding/probing/training drops recall_ok
+    // to 0 and the driver's hash compare goes red, while
+    // genuine-but-small fixture drift doesn't flap.
     "s04_lsh_recall" -> ((s, d) =>
       recallVsExact(queries("s01_cosine_topk")(s, d),
         queries("s02_ann_lsh_topk")(s, d), minHits = 40)),
