@@ -161,18 +161,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // AQE OFF for the local single-JVM benchmark, ON for a real
-      // cluster. AQE re-optimizes and re-CODEGENS every query stage:
-      // that multiplies the distinct generated classes ~4x, and the
-      // class churn flushes HotSpot inline caches (observed:
-      // ICBufferFull safepoint storms, shared Spark hot paths
-      // deoptimized to the interpreter). Locally AQE also has nothing
-      // left to decide: join strategies are hinted explicitly
-      // (broadcast()/shuffle_hash), partitions are fixed at core
-      // count, and fixture-scale skew is nil. On a 1000-executor
-      // cluster the codegen cost amortizes over GB-scale stages and
-      // skew/coalescing matter — set SPARK_GRAFT_AQE=true there.
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // AQE ON by default: this is the config a real cluster runs
+      // (runtime re-plan, skew splitting), and the recorded numbers
+      // should be the deployable profile, not a local special case.
+      // Measured on the full surface (BASELINE.md): AQE-on is within
+      // the run-to-run family lottery of AQE-off (round 4: 118.0 vs
+      // 123.3 s on 106 queries), because join strategies are already
+      // hinted and the per-stage re-codegen amortizes. The one local
+      // caveat stays separate: partition COALESCING (below) targets
+      // 64 MB by bytes, which would serialize the CPU-dense small-
+      // byte fixtures — that knob alone stays off locally.
+      // SPARK_GRAFT_AQE=false restores the round-3/4 off profile for
+      // comparison runs.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // AQE partition coalescing targets 64 MB partitions BY BYTES.
       // The fixtures are single-digit-MB but CPU-dense (hashing,
       // signatures, similarity math), so coalescing collapses every

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Streaming rate/latency characterization (VERDICT r4 item 8): the
+  * st-family is correctness-gated through its batch twins, but a
+  * stream's operative numbers are rows/second and per-micro-batch
+  * latency, which a batch `count()` never measures.
+  *
+  * Method: the sf events fixture is sliced into `SPARK_GRAFT_CHUNKS`
+  * (default 20) time-ordered parquet files — the "files landing in a
+  * directory" arrival shape the production file source consumes — and
+  * each streaming op runs over them with `maxFilesPerTrigger=1`, so
+  * the run is N genuine micro-batches with advancing watermarks, not
+  * one bulk batch. Sinks are `noop` (sink cost excluded; this measures
+  * the operator, not a writer). Metrics come from the engine's own
+  * `StreamingQueryProgress`: per-batch `triggerExecution` latency and
+  * input row counts.
+  *
+  * Reported per op: total input rows, micro-batch count, median and
+  * max batch latency, end-to-end rows/s (rows ÷ Σ triggerExecution).
+  * The first batch carries one-off stream initialization + codegen, so
+  * the median is the steady-state number; max shows the cold start.
+  *
+  * Prints one JSON line (same contract as [[Bench]]) so runs are
+  * diffable round-over-round.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "20").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val stage = "/tmp/graft-streambench"
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    // ---- stage the arrival directory: `chunks` time-ordered files
+    val root = new java.io.File(stage)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    if (root.exists()) rmrf(root)
+    val inDir = new java.io.File(root, "input"); inDir.mkdirs()
+
+    // raw read (ts stays the fixture's epoch-nanos long) so the staged
+    // chunk files are byte-compatible with EventStreams.rawSchema
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val totalRows = raw.count()
+    import org.apache.spark.sql.expressions.Window
+    val sliced = raw.withColumn("chunk",
+      ntile(chunks).over(Window.orderBy(col("ts"), col("event_id"))))
+    for (i <- 1 to chunks) {
+      val d = new java.io.File(root, s"c$i")
+      sliced.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.parquet(d.getPath)
+      val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(inDir, f"chunk-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1000000L + i * 1000L) // deterministic file order
+    }
+
+    def stream(): DataFrame = EventStreams.normalize(
+      spark.readStream.schema(EventStreams.rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath))
+
+    // Each op as (name, plan); all run in append mode against noop.
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      "stb_tumbling" -> (() => EventStreams.tumblingCountsStreaming(stream())),
+      "stb_sliding" -> (() =>
+        EventStreams.slidingCounts(stream().withWatermark("ts", "2 hours"))),
+      "stb_session" -> (() => EventStreams.sessionStatsStreaming(stream())),
+      "stb_dedup" -> (() => EventStreams.dedupedStream(stream())),
+      "stb_stream_join" -> (() => EventStreams.purchaseErrorJoinBatch(stream())),
+      "stb_stateful" -> (() => EventStreams.userTotalsStreaming(stream()).toDF))
+
+    val results = ops.map { case (name, mk) =>
+      val q = mk().writeStream
+        .outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", s"$stage/ck/$name")
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+      q.stop()
+      val lats = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
+      val rows = progress.map(_.numInputRows).sum
+      val sumMs = lats.sum.toDouble
+      val med = if (lats.isEmpty) 0L else lats(lats.size / 2)
+      val mx = if (lats.isEmpty) 0L else lats.last
+      val rps = if (sumMs > 0) rows / (sumMs / 1000.0) else 0.0
+      System.err.println(f"[streambench] $name%-18s rows=$rows%7d " +
+        f"batches=${lats.size}%3d med=${med}%5d ms max=${mx}%5d ms " +
+        f"rows/s=$rps%9.0f wall=$wall%6.1f s")
+      name -> (rows, lats.size, med, mx, rps)
+    }
+
+    val qs = results.map { case (n, (rows, nb, med, mx, rps)) =>
+      s""""$n":{"rows":$rows,"batches":$nb,"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream","chunks":$chunks,"total_rows":$totalRows,"ops":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
