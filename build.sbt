@@ -9,6 +9,17 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The image's offline maven cache happens to carry a DuckDB JDBC jar.
+// Glob it onto the TEST classpath when present — NOT a resolvable
+// dependency (zero-egress build stays green when it's absent) — so
+// RelationalSinkSpec can drive the live JdbcSink path against a second
+// real external database beyond Spark's embedded Derby. No Postgres
+// driver jar exists anywhere on this image (verified by full-disk
+// find), so the PG leg itself remains deployment-only (SURVEY §7.1).
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get().map(Attributed.blank(_))
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -161,19 +161,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // AQE ON by default: this is the config a real cluster runs
-      // (runtime re-plan, skew splitting), and the recorded numbers
-      // should be the deployable profile, not a local special case.
-      // Measured on the full surface (BASELINE.md): AQE-on is within
-      // the run-to-run family lottery of AQE-off (round 4: 118.0 vs
-      // 123.3 s on 106 queries), because join strategies are already
-      // hinted and the per-stage re-codegen amortizes. The one local
-      // caveat stays separate: partition COALESCING (below) targets
-      // 64 MB by bytes, which would serialize the CPU-dense small-
-      // byte fixtures — that knob alone stays off locally.
-      // SPARK_GRAFT_AQE=false restores the round-3/4 off profile for
-      // comparison runs.
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // AQE OFF for the local single-JVM benchmark, ON for a real
+      // cluster (DEPLOYMENT.md). Round 4's 106-query A/B (118.0 AQE-on
+      // vs 123.3 off) argued for on-by-default; the round-5 FULL
+      // surface falsified that for the iterative family: with scratch
+      // IO held constant (tmpfs local.dir), c03's contraction loop
+      // measured 73 s AQE-on vs 6–19 s off. Mechanism: every
+      // `.truncated` round re-enters AQE, which re-plans and re-
+      // CODEGENS each shuffle stage — O(rounds × stages) Janino
+      // compiles of single-use plans over KB-scale rounds, a fixed
+      // cost nothing amortizes locally. On a cluster each round is
+      // GB-scale and the same cost is noise — set SPARK_GRAFT_AQE=true
+      // there (the one-query delta is documented in BASELINE.md).
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       // AQE partition coalescing targets 64 MB partitions BY BYTES.
       // The fixtures are single-digit-MB but CPU-dense (hashing,
       // signatures, similarity math), so coalescing collapses every
@@ -211,6 +211,10 @@ object Bench {
       .config(Map.empty[String, String] ++
         sys.env.get("SPARK_GRAFT_LSH_PLANES").map("spark.graft.lsh.planes" -> _) ++
         sys.env.get("SPARK_GRAFT_LSH_BANDS").map("spark.graft.lsh.bands" -> _))
+      // tmpfs scratch for shuffle/broadcast blocks when available —
+      // the sandbox block device write-throttles intermittently and
+      // poisons shuffle-heavy timings (LocalScratch scaladoc).
+      .config(LocalScratch.conf)
       // dev-only: SPARK_GRAFT_EVENTLOG=true dumps per-stage metrics
       .config("spark.eventLog.enabled",
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))

@@ -28,7 +28,23 @@ object Checkpoint {
 
   /** Materialize `df` now and return it with truncated lineage —
     * reliably if [[DirConf]] is set, executor-locally otherwise. */
-  def truncate(df: DataFrame): DataFrame = {
+  def truncate(df: DataFrame): DataFrame = checkpointed(df, eager = true)
+
+  /** Like [[truncate]] but LAZY: the logical plan is cut to a
+    * `LogicalRDD` immediately (so downstream planning/codegen stays
+    * per-round small), while the blocks pin when the caller's next
+    * action first computes them. Use when the very next step is an
+    * action that scans every partition anyway (the CC loop's
+    * convergence fingerprint, a fixed-iteration loop's terminal
+    * collect): the materialization rides that job instead of paying a
+    * dedicated one — for checkpoint-per-round iterative operators the
+    * per-round job count halves, which is the dominant fixed cost at
+    * small-round scale. NOT for multi-consumer bases whose eager
+    * materialization intentionally isolates codegen/JIT into its own
+    * job (d04's gram stage — see BASELINE.md round-4). */
+  def truncateLazy(df: DataFrame): DataFrame = checkpointed(df, eager = false)
+
+  private def checkpointed(df: DataFrame, eager: Boolean): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
@@ -46,13 +62,14 @@ object Checkpoint {
           .map(c => new org.apache.hadoop.fs.Path(c).getParent)
         if (!current.contains(qualified))
           s.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
-      case None => df.localCheckpoint()
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
     }
   }
 
   /** Call-site sugar: `df.truncated` ≡ `Checkpoint.truncate(df)`. */
   implicit class TruncateOps(private val df: DataFrame) extends AnyVal {
     def truncated: DataFrame = truncate(df)
+    def truncatedLazy: DataFrame = truncateLazy(df)
   }
 }

@@ -1,0 +1,36 @@
+package graft
+
+/** Scratch-disk selection for the LOCAL harness mains (Bench / Verify /
+  * StreamBench / ScaleData) and the test session: prefer a tmpfs for
+  * `spark.local.dir`.
+  *
+  * Why: `spark.local.dir` hosts shuffle files, broadcast pieces and
+  * block-manager spill. This sandbox's block device is intermittently
+  * write-throttled (measured: a 512 MB fsync'd write took >120 s
+  * mid-bench vs 3.2 s idle). The Spark-side symptom was one c03 run
+  * recording 443 s of shuffle-WRITE time for 19 MB written, with all 32
+  * executor threads queued on TorrentBroadcast's per-broadcast KeyLock
+  * behind disk-backed broadcast pieces — 95–314 s wall for a query that
+  * costs ~6 s with a RAM scratch dir. Local benches shuffle MBs, so RAM
+  * is strictly better here; on a real cluster the scratch dir is the
+  * admin's fast-NVMe `SPARK_LOCAL_DIRS`, which WINS over this conf
+  * (`Utils.getConfiguredLocalDirs` checks the env first), so the
+  * default below can never override a deployment's choice.
+  */
+object LocalScratch {
+
+  /** Conf map to splat into a local `SparkSession.builder`: points
+    * `spark.local.dir` at a tmpfs path when one exists and the operator
+    * hasn't already chosen dirs via `SPARK_LOCAL_DIRS`. Empty map (no
+    * override) otherwise — including on hosts without /dev/shm. */
+  def conf: Map[String, String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (sys.env.contains("SPARK_LOCAL_DIRS") || !shm.isDirectory || !shm.canWrite)
+      Map.empty
+    else {
+      val d = new java.io.File(shm, "graft-spark-local")
+      d.mkdirs()
+      Map("spark.local.dir" -> d.getPath)
+    }
+  }
+}

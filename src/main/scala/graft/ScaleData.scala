@@ -25,6 +25,7 @@ object ScaleData {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(LocalScratch.conf) // tmpfs shuffle scratch (see scaladoc)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

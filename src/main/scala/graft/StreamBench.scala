@@ -40,6 +40,10 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ui.retainedExecutions", "10")
+      // tmpfs scratch for shuffle/broadcast blocks (LocalScratch
+      // scaladoc); stream CHECKPOINTS stay wherever `stage` points —
+      // they are part of the measured operator cost.
+      .config(LocalScratch.conf)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

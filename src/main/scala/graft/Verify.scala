@@ -35,6 +35,10 @@ object Verify {
       // function registry (graft.GraftExtensions scaladoc).
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.graft.rangeJoin.binSeconds", "3600")
+      // tmpfs scratch (LocalScratch scaladoc): the sandbox block device
+      // write-throttles intermittently; shuffle/broadcast scratch on
+      // RAM keeps the correctness drive off the pathological path.
+      .config(LocalScratch.conf)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -267,11 +267,16 @@ object Corpus {
             (col("rank") / col("deg").cast(DoubleType)).as("c"))
           .groupBy("id")
           .agg((lit(0.15) + lit(0.85) * sum(col("c"))).as("rank"))
-        // materialize every OTHER round (values are unaffected by
+        // cut the plan every OTHER round (values are unaffected by
         // where lineage is cut; two join+agg layers stay well inside
-        // codegen limits, and each skipped checkpoint saves an eager
-        // job over the full rank relation)
-        if (i % 2 == 0 || i == 5) rank = rank.truncated
+        // codegen limits). LAZY: the cut to LogicalRDD — what keeps
+        // per-round planning/codegen bounded — happens immediately,
+        // while the blocks pin when the terminal action computes the
+        // chain, so the fixed 5-iteration loop costs ONE job total
+        // instead of one per truncation point (see Checkpoint
+        // scaladoc; the round-5 host-noise measurements made serial
+        // job count the loop's dominant cost).
+        if (i % 2 == 0 || i == 5) rank = rank.truncatedLazy
       }
       rank.select(col("id").as("doc_id"), round(col("rank"), 6).as("pagerank"))
         .orderBy("doc_id")
@@ -331,8 +336,11 @@ object Corpus {
     // materialize before symmetrizing: `sym` references the edge
     // pipeline twice, and every contraction round re-reads it
     val canon = edges.select(col("doc_a"), col("doc_b")).truncated
+    // lazy: nodes' only consumer is the FINAL join — its blocks pin
+    // during that job; the plan cut (LogicalRDD) happens immediately
+    // either way, so no contraction round re-plans the edge pipeline
     val nodes = canon.select(col("doc_a").as("id"))
-      .union(canon.select(col("doc_b").as("id"))).distinct().truncated
+      .union(canon.select(col("doc_b").as("id"))).distinct().truncatedLazy
 
     def largeStar(e: DataFrame): DataFrame = {
       val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -361,7 +369,15 @@ object Corpus {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var e = canon.select(col("doc_a").as("u"), col("doc_b").as("v")).truncated
+    // LAZY truncation throughout the loop: each round's checkpoint
+    // blocks pin during the fingerprint aggregate that immediately
+    // follows (it scans every partition), so a round costs ONE job,
+    // not a materialize-job + a probe-job. Per-round serial job count
+    // is the loop's dominant fixed cost — each job pays scheduling +
+    // fresh per-stage codegen on KB-scale data (measured round 5: the
+    // two-job loop drew 95–314 s under host scheduling noise vs ~6 s
+    // quiet; halving the jobs halves the exposure and the fixed cost).
+    var e = canon.select(col("doc_a").as("u"), col("doc_b").as("v")).truncatedLazy
     var fp = (-1L, 0L)
     var next = fingerprint(e)
     var rounds = 0
@@ -374,7 +390,7 @@ object Corpus {
       // combinatorially AND doubles the fused codegen, widening the
       // JIT-lottery tail; the checkpoint between rounds keeps every
       // star input read-cheap and the generated methods small.
-      e = smallStar(largeStar(e)).truncated
+      e = smallStar(largeStar(e)).truncatedLazy
       fp = next
       next = fingerprint(e)
       rounds += 1

@@ -76,4 +76,37 @@ class RelationalSinkSpec extends AnyFunSuite {
     assert(back.select("o_orderkey").except(df.select("o_orderkey")).count() === 0)
     assert(df.select("o_orderkey").except(back.select("o_orderkey")).count() === 0)
   }
+
+  test("LIVE JDBC round-trip #2: DuckDB file database (second real dialect)") {
+    // build.sbt globs the offline cache's duckdb_jdbc jar onto the test
+    // classpath when present; this leg then runs the SAME JdbcSink path
+    // against a second real database engine — different SQL dialect,
+    // different driver, file-backed storage. Cancels (visible in the
+    // report, not silently green) on images without the jar.
+    assume(scala.util.Try(Class.forName("org.duckdb.DuckDBDriver")).isSuccess,
+      "duckdb_jdbc jar absent from the offline cache")
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val db = java.nio.file.Files.createTempDirectory("graft_duck").resolve("live.db")
+    val url = s"jdbc:duckdb:$db"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.duckdb.DuckDBDriver")
+    val df = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // One connection by design: DuckDB transactions are optimistically
+    // concurrent and cross-connection appends to one table can raise
+    // write-write conflicts — the fan-out shape is live-tested on the
+    // Derby leg above; THIS leg adds dialect + driver diversity.
+    new JdbcSink(url, props, batchSize = 300, numPartitions = 1)
+      .write(df, "orders_live", org.apache.spark.sql.SaveMode.Overwrite)
+    val back = spark.read.jdbc(url, "orders_live", props)
+    val (nIn, sumIn) = df.agg(count(lit(1)), sum(col("o_totalprice")))
+      .as[(Long, Double)](spark.implicits.newProductEncoder).head()
+    val (nOut, sumOut) = back.agg(count(lit(1)), sum(col("o_totalprice")))
+      .as[(Long, Double)](spark.implicits.newProductEncoder).head()
+    assert(nOut === nIn && nIn > 0)
+    assert(math.abs(sumOut - sumIn) < 1e-6)
+    assert(back.select("o_orderkey").except(df.select("o_orderkey")).count() === 0)
+    assert(df.select("o_orderkey").except(back.select("o_orderkey")).count() === 0)
+  }
 }
