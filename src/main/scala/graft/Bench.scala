@@ -97,13 +97,55 @@ object Bench {
     val isolate = sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "auto")
     if (args.headOption.contains("--child")) {
       // child: time the named queries in this JVM, print one JSON line
+      // (full names, full precision — the parent parses this)
       println(runSuite(args.drop(1), warmup = true))
-    } else if (isolate == "off" || args.nonEmpty) {
-      // single-JVM mode (dev subset runs keep the old behavior)
-      println(runSuite(args, warmup = true))
     } else {
-      println(runIsolated())
+      val line =
+        if (isolate == "off" || args.nonEmpty) runSuite(args, warmup = true)
+        else runIsolated()
+      // The driver's artifact capture keeps only the LAST ~2000 chars
+      // of stdout — the full-name 111-query line is ~3.5k and loses
+      // its front half (BENCH_r05 lost total_sec and families a..q12).
+      // So: full-precision line goes to a FILE, and stdout ends with a
+      // compact twin (unique short ids — the family prefix+number every
+      // query name starts with — and centisecond precision) that fits
+      // a 2000-char tail whole.
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/BENCH_FULL.json")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $outFile: $e") }
+      println(compact(line, outFile))
     }
+  }
+
+  /** Re-serialize a full bench line with short query ids ("q51", "st03")
+    * and 2-decimal seconds; every id is unique because names are
+    * `<prefix><number>_...`. Keeps the same envelope plus a pointer to
+    * the full-precision file. */
+  private[graft] def compact(line: String, fullPath: String): String = {
+    val q = """"([a-z]+[0-9]+)(?:_[a-z0-9_]*)?":([0-9.eE+-]+)""".r
+    val qsPart = line.substring(line.indexOf("\"queries\":") + 10)
+    val end = {  // matching close brace of the queries object
+      var depth = 0; var i = 0
+      while (i < qsPart.length && (depth != 0 || i == 0)) {
+        if (qsPart(i) == '{') depth += 1
+        else if (qsPart(i) == '}') depth -= 1
+        i += 1
+      }
+      i
+    }
+    val entries = q.findAllMatchIn(qsPart.substring(0, end))
+      .map(m => (m.group(1), m.group(2).toDouble)).toSeq
+    val total = entries.map(_._2).sum
+    val qs = entries.map { case (k, v) => f""""$k":$v%.2f""" }
+      .mkString("{", ",", "}")
+    val fPart = line.substring(line.indexOf("\"failed\":"))
+    val failed = fPart.substring(9, fPart.indexOf(']') + 1)
+    val sf = line.substring(line.indexOf("\"sf\":"))
+      .stripPrefix("\"sf\":").takeWhile(_ != '}')
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${entries.size},"queries":$qs,"failed":$failed,"sf":$sf,"full":"$fullPath"}"""
   }
 
   /** Fork one child JVM per query family, merge their JSON lines. */

@@ -142,8 +142,15 @@ object ScaleData {
         (h(col("o_orderkey"), lit("opr")) % 5 + 1).cast("int")))
     orders.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    // ~4 lines/order (1..7 hash-derived), l_shipdate = o_orderdate +
-    // 1..95 days — matches the fixture's 4.07 avg and shipdate tail.
+    // ~4 lines/order (1..7 hash-derived). l_shipdate is drawn
+    // INDEPENDENTLY of o_orderdate over the fixture's marginal span
+    // (OrderEpoch + 0..2498 days = orderdate span + the 95-day ship
+    // tail): in the driver fixture the two are uncorrelated (48% of
+    // lines "ship" before their order date), and the semi-join /
+    // 30-day-range queries that correlate them keep their fixture
+    // selectivity only if the scaled joint distribution matches — a
+    // +1..95-day offset made those joins ~100% selective and the
+    // growth-ratio bench measured a different workload.
     orders.select(col("o_orderkey"), col("o_orderdate"))
       .withColumn("l_linenumber",
         explode(sequence(lit(1), (h(col("o_orderkey"), lit("ln")) % 7 + 1).cast("int"))))
@@ -166,8 +173,8 @@ object ScaleData {
         element_at(array(Seq("F", "O").map(lit): _*),
           (h(col("o_orderkey"), col("l_linenumber"), lit("ll")) % 2 + 1).cast("int"))
           .as("l_linestatus"),
-        timestamp_seconds(unix_timestamp(col("o_orderdate")) +
-          (h(col("o_orderkey"), col("l_linenumber"), lit("lsd")) % 95 + 1) * 86400L)
+        timestamp_seconds(lit(OrderEpoch) +
+          (h(col("o_orderkey"), col("l_linenumber"), lit("lsd")) % (2404 + 95)) * 86400L)
           .as("l_shipdate"))
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
@@ -185,8 +192,11 @@ object ScaleData {
       // byte-compatible with both the batch loader and the streaming
       // rawSchema (ts: LongType).
       .withColumn("ts",
+        // step precomputed driver-side: `event_id * span / n` would
+        // overflow Long once event_id ≳ 3.5M (scale ≥ 36) and, with
+        // ANSI off, silently corrupt timestamps instead of erroring.
         ((lit(EventEpoch * 1000000L) +
-          col("event_id") * 2591900000000L / nEvents +
+          col("event_id") * lit(2591900000000L / nEvents) +
           h(col("event_id"), lit("ej")) % 50000000L) * 1000L).as("ts"))
       .withColumn("user_id", h(col("event_id"), lit("eu")) % nUsers)
       .withColumn("event_type", element_at(array(etypes.map(lit): _*),

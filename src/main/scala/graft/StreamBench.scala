@@ -48,6 +48,12 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // recentProgress retains only numRecentProgressUpdates entries
+    // (default 100): with more chunks than that the rows/batch/latency
+    // tallies below would silently undercount. Retain them all (and
+    // assert per-op that we actually saw every batch).
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      math.max(chunks * 2, 200).toString)
 
     // ---- stage the arrival directory: `chunks` time-ordered files
     val root = new java.io.File(stage)
@@ -102,6 +108,12 @@ object StreamBench {
       val progress = q.recentProgress.toSeq
         .filter(_.numInputRows > 0)
       q.stop()
+      // maxFilesPerTrigger=1 ⇒ exactly one data-carrying batch per
+      // staged chunk; anything less means progress entries were
+      // evicted (or a trigger coalesced files) and every number below
+      // would be silently wrong — fail loudly instead.
+      require(progress.size == chunks,
+        s"$name: expected $chunks data batches, saw ${progress.size} progress entries")
       val lats = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
       val rows = progress.map(_.numInputRows).sum
       val sumMs = lats.sum.toDouble

@@ -310,7 +310,7 @@ object Similarity {
         .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
       val train = emb
         .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
-        .truncated // read once per refinement round
+        .truncatedLazy // blocks pin inside round 1's job, rounds 2+ re-read
       var cents = emb
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(K)
@@ -346,8 +346,15 @@ object Similarity {
           .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
           // 16 centroid rows only — the interpreted lambda is off the
           // hot path; the per-row work upstream is all codegen'd
+          // 16 rows; the plan cut stops each round re-running the
+          // last, and LAZY means no dedicated per-round job — the
+          // next round's (or the assignment pass's) own job computes
+          // and pins the blocks. Round-6 A/B at sf0.1: eager
+          // checkpoints 4.73 s → lazy 1.68 s (s05 gate 2.57 → 1.38),
+          // same assignments — the 9-decimal mean rounding keeps the
+          // centroid values order-independent either way.
           .select(col("cid"), expr("transform(dm, e -> e.m)").as("cv"))
-          .truncated // 16 rows; stops each round re-running the last
+          .truncatedLazy
       }
       // ONE full-corpus scoring pass, materialized slim (crk ≤ nprobe
       // only): the corpus leg (crk=1) and the query-probe leg
@@ -355,7 +362,10 @@ object Similarity {
       // re-running the crossJoin + per-vector rank.
       val cellRanks = assign(emb, cents, NProbe)
         .select(col("vec_id"), col("v"), col("cid"), col("crk"))
-        .truncated
+        // LAZY: the probe leg's broadcast job computes+pins first, the
+        // corpus leg then reads pinned blocks — one assignment pass,
+        // no dedicated materialization job (cf. q51's round-6 fix).
+        .truncatedLazy
       val assigned = cellRanks.filter(col("crk") === 1)
         .select(col("vec_id"), col("v"), col("cid"))
       val q = cellRanks.filter(col("vec_id") < 10)

@@ -1,0 +1,41 @@
+package graft.sources
+
+import java.sql.SQLException
+
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects}
+
+/** Minimal DuckDB dialect so Spark's JDBC writer can probe table
+  * existence against `jdbc:duckdb:` URLs.
+  *
+  * Spark 4.x `JdbcUtils.tableExists` runs `SELECT 1 FROM t WHERE 1=0`
+  * and rethrows the probe exception UNLESS the dialect's
+  * `isObjectNotFoundException` classifies it as "object not found".
+  * DuckDB's JDBC driver reports no SQLState, so the default dialect
+  * can't classify `Catalog Error: Table with name t does not exist!`
+  * and an `Overwrite` write of a brand-new table dies inside the
+  * existence probe. This dialect closes exactly that gap — everything
+  * else (type mapping, identifier quoting) stays at the sane defaults,
+  * which DuckDB's ANSI-ish SQL surface accepts.
+  *
+  * Mirrors the reference's DDL-then-insert contract
+  * (`/root/reference/src/main.rs:71-72,149`) on a second real engine;
+  * exercised live by RelationalSinkSpec's DuckDB round-trip.
+  */
+object DuckDbDialect extends JdbcDialect {
+  override def canHandle(url: String): Boolean =
+    url.startsWith("jdbc:duckdb:")
+
+  override def isObjectNotFoundException(e: SQLException): Boolean = {
+    val msg = Option(e.getMessage).getOrElse("")
+    msg.contains("does not exist") ||
+      (msg.contains("Catalog Error") && msg.contains("not exist"))
+  }
+
+  /** Idempotent: Spark keeps a registration list; re-registering the
+    * same singleton is harmless, so callers can invoke this freely
+    * before any duckdb read/write. */
+  def ensureRegistered(): Unit = DuckDbDialect.synchronized {
+    JdbcDialects.unregisterDialect(DuckDbDialect)
+    JdbcDialects.registerDialect(DuckDbDialect)
+  }
+}

@@ -43,6 +43,11 @@ final class JdbcSink(url: String, props: java.util.Properties,
                      batchSize: Int = 1000, numPartitions: Int = 10)
     extends RelationalSink {
   override def write(df: DataFrame, table: String, mode: SaveMode): Unit = {
+    // DuckDB's driver reports no SQLState, so without a registered
+    // dialect Spark's table-existence probe rethrows and kills the
+    // write (see DuckDbDialect). Registration is idempotent and a
+    // no-op for every other URL scheme.
+    if (url.startsWith("jdbc:duckdb:")) DuckDbDialect.ensureRegistered()
     var w = JdbcSink.bounded(df, numPartitions).write.mode(mode)
     JdbcSink.writerOptions(df.schema, batchSize).foreach { case (k, v) =>
       w = w.option(k, v)

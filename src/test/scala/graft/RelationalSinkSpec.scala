@@ -77,6 +77,19 @@ class RelationalSinkSpec extends AnyFunSuite {
     assert(df.select("o_orderkey").except(back.select("o_orderkey")).count() === 0)
   }
 
+  test("DuckDbDialect classifies the catalog-miss probe exception (and only that)") {
+    // Spark 4.x rethrows the tableExists probe unless the dialect says
+    // "object not found"; DuckDB raises `Catalog Error: Table with name
+    // t does not exist!` with a null SQLState.
+    assert(DuckDbDialect.canHandle("jdbc:duckdb:/tmp/x.db"))
+    assert(!DuckDbDialect.canHandle("jdbc:derby:memory:g"))
+    assert(DuckDbDialect.isObjectNotFoundException(
+      new java.sql.SQLException("Catalog Error: Table with name orders_live does not exist!")))
+    assert(!DuckDbDialect.isObjectNotFoundException(
+      new java.sql.SQLException("Constraint Error: Duplicate key violates primary key constraint")))
+    assert(!DuckDbDialect.isObjectNotFoundException(new java.sql.SQLException()))
+  }
+
   test("LIVE JDBC round-trip #2: DuckDB file database (second real dialect)") {
     // build.sbt globs the offline cache's duckdb_jdbc jar onto the test
     // classpath when present; this leg then runs the SAME JdbcSink path
