@@ -62,7 +62,12 @@ object Bench {
     // round-4 additions, same evidence pattern: in-family 16.3/10.5/
     // 6.7 s vs fresh-JVM solo 8.2/2.0/2.4 s (c12 runs the full
     // d04+contraction pipeline like c03; d10/t08 are explode-heavy)
-    "c12_cluster_canonical", "d10_repeated_spans", "t08_bigram_logprob")
+    "c12_cluster_canonical", "d10_repeated_spans", "t08_bigram_logprob",
+    // round-6: q51 drew 5.17 s as the 25-plan q_c family's last query
+    // vs 1.43-1.50 s across four fresh-JVM solo draws (3.5×) — the
+    // double-correlation plan (two self-joins + lazy checkpoint) is
+    // codegen-heavy enough to inherit the family churn
+    "q51_sole_blame_supplier")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name
