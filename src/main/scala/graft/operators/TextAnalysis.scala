@@ -225,12 +225,30 @@ object TextAnalysis {
     // joins are hinted shuffle_hash (never a mis-broadcast of a
     // vocabulary² relation, which for real text is billions of rows).
     "t08_bigram_logprob" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      import graft.Checkpoint.TruncateOps
+      // Bigram construction is NARROW: arrays_zip of two slices of the
+      // one split() array pairs adjacent tokens with zero shuffle.
+      // Slice/ArraysZip are regular codegen'd expressions — NOT the
+      // interpreted HigherOrderFunction path whose per-element
+      // re-split made the original t06 array form O(words²) (see t06;
+      // here split re-evaluates a constant ~5× per doc, not per
+      // token). This replaces the previous posexplode + window-lead
+      // pairing, whose doc_id shuffle + sort of every token row was
+      // the query's dominant stage (gen-sf1: 5.3 s of the 5.7 s
+      // total; the narrow build does the same 2.68 M bigrams in
+      // ~0.5 s).
+      //
+      // `bi` feeds THREE consumers (both count aggregates and the
+      // join probe), so it is lazily truncated: the bigram rows pin
+      // inside the first aggregate's job and the other two consumers
+      // re-read blocks instead of re-running the scan+explode.
+      val toks = split(lower(col("text")), "\\s+")
+      val nPairs = greatest(size(toks) - 1, lit(0))
       val bi = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "w1")))
-        .withColumn("w2", lead("w1", 1).over(w))
-        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(toks, lit(1), nPairs), slice(toks, lit(2), nPairs))).as("p"))
+        .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+        .truncatedLazy
       val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
       val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
       bi.join(c2.hint("shuffle_hash"), Seq("w1", "w2"))
