@@ -26,36 +26,56 @@ object Dedup {
 
   /** One row per word-3-gram shingle hash: (doc_id, source, sh, full3).
     *
-    * Row-based on purpose. An earlier array-space version built shingle
-    * strings with an interpreted higher-order `transform` whose lambda
-    * re-evaluated `split(lower(text))` for every `element_at` — ~150
-    * regex splits per document once CollapseProject inlined it, all on
-    * the scan's single input partition. Here the `posexplode` generator
-    * evaluates the split ONCE per document, every per-token expression
-    * (xxhash64, lead) is codegen'd, and the window shuffle on doc_id is
-    * the same clustering the downstream signature groupBy needs, so no
-    * second exchange appears. Shingle identity = xxhash64 of the three
-    * consecutive token hashes — bijective with the token triple (and
-    * the gram string: tokens contain no whitespace) modulo negligible
-    * 64-bit collisions, which exact-gram set math already tolerates.
+    * Construction is NARROW: `arrays_zip` of three slices of the one
+    * `split()` array pairs each token with its two successors, then one
+    * generator explodes the triples — zero shuffle. Slice/ArraysZip are
+    * regular codegen'd expressions, NOT the interpreted
+    * HigherOrderFunction path whose per-element re-split made the
+    * original array form O(words²) (an earlier `transform`+`element_at`
+    * version re-ran the regex split ~150× per doc once CollapseProject
+    * inlined it); here the split re-evaluates a constant ~6× per
+    * document. This replaces a posexplode + window-lead pairing whose
+    * doc_id shuffle + sort of every token row was the gram pipeline's
+    * dominant stage (the t08 profile: 5.3 s of 5.7 s at gen-sf1 for the
+    * same shape; only d02's signature groupBy ever reused that
+    * clustering — d04's distinct and the band joins reshuffle on wider
+    * keys regardless, and the signature partial-agg shrinks rows
+    * ~tokens→32 per doc before its exchange, far cheaper than sorting
+    * every token row).
+    *
+    * Shingle identity = xxhash64 of the three consecutive token hashes
+    * — BIT-IDENTICAL to the previous window formulation (same
+    * `xxhash64(xxhash64(tok_i), xxhash64(tok_i+1), xxhash64(tok_i+2))`
+    * longs), so every downstream signature, band, and pair is
+    * unchanged. Bijective with the token triple (and the gram string:
+    * tokens contain no whitespace) modulo negligible 64-bit collisions,
+    * which exact-gram set math already tolerates.
     *
     * Docs with <3 tokens contribute one fallback shingle (full3=false)
-    * so fuzzy dedup still signs them; exact-gram ops filter on full3.
+    * via a second narrow leg so fuzzy dedup still signs them
+    * (`xxhash64(th0, th1|0, 0)`, exactly the old pos==0 row);
+    * exact-gram ops filter on full3.
     */
   private def shingleRows(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    docs
+    val toks = split(lower(col("text")), "\\s+")
+    val nTriples = greatest(size(toks) - 2, lit(0))
+    val triples = docs
+      .select(col("doc_id"), col("source"), explode(arrays_zip(
+        slice(toks, lit(1), nTriples),
+        slice(toks, lit(2), nTriples),
+        slice(toks, lit(3), nTriples))).as("p"))
       .select(col("doc_id"), col("source"),
-        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
-      .withColumn("th", xxhash64(col("tok")))
-      .withColumn("t1", lead("th", 1).over(w))
-      .withColumn("t2", lead("th", 2).over(w))
-      .filter(col("t2").isNotNull || col("pos") === 0)
-      .select(col("doc_id"), col("source"),
-        when(col("t2").isNotNull, xxhash64(col("th"), col("t1"), col("t2")))
-          .otherwise(xxhash64(col("th"), coalesce(col("t1"), lit(0L)), lit(0L)))
+        xxhash64(xxhash64(col("p.0")), xxhash64(col("p.1")), xxhash64(col("p.2")))
           .as("sh"),
-        col("t2").isNotNull.as("full3"))
+        lit(true).as("full3"))
+    val fallback = docs
+      .filter(size(toks) < 3 && size(toks) >= 1)
+      .select(col("doc_id"), col("source"),
+        xxhash64(xxhash64(toks(0)),
+          when(size(toks) >= 2, xxhash64(toks(1))).otherwise(lit(0L)),
+          lit(0L)).as("sh"),
+        lit(false).as("full3"))
+    triples.unionByName(fallback)
   }
 
   /** doc_id + minhash signature (array of 32 longs).
