@@ -300,7 +300,58 @@ object Corpus {
           least(lit(128), size(col("toks")) - col("start_tok")).as("n_chunk_tokens"),
           md5(concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(128))))
             .as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // c13: DOMAIN MIXTURE — reweight sources toward a target token
+    // distribution and MATERIALIZE the epoch-expanded corpus (public
+    // technique: domain reweighting as in The Pile's epoch counts and
+    // DoReMi's domain weights; the mechanism here is the standard
+    // deterministic one, target uniform over sources, upsampling
+    // capped at 3 epochs so no source is repeated into memorization).
+    //
+    // weight(source) = min(total_tokens / (n_sources · source_tokens), 3)
+    //   — every doc appears floor(weight) times (epochs 0..floor-1),
+    //   plus once more at epoch floor(weight) for the deterministically
+    //   chosen fraction (per-source md5 rank, the c04 mechanism) that
+    //   realizes the fractional part.
+    //
+    // Shape: per-source token totals are a tiny aggregate (≤ thousands
+    // of sources) — its over-() window and the docs⨝weights join stay
+    // broadcast-sized at any corpus scale. The epoch expansion is a
+    // narrow explode of at most ceil(weight) ≤ 3 rows per doc; the
+    // fractional pick is a per-source rank window, shuffle linear in
+    // docs. Nothing quadratic, nothing driver-side.
+    "c13_domain_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(lower(col("text")), "\\s+")).cast(LongType).as("n_toks"))
+      val perSrc = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+      val all = Window.partitionBy()
+      val weights = perSrc
+        .withColumn("total_toks", sum(col("toks")).over(all))
+        .withColumn("n_sources", count(lit(1)).over(all))
+        .select(col("source"), col("n_docs"),
+          least(col("total_toks").cast(DoubleType) /
+              (col("n_sources") * col("toks")).cast(DoubleType),
+            lit(3.0)).as("weight"))
+      val withW = docs.join(broadcast(weights), Seq("source"))
+        .withColumn("epochs", floor(col("weight")))
+      val fullLeg = withW.filter(col("epochs") >= 1)
+        .select(col("source"), col("doc_id"), col("weight"),
+          explode(sequence(lit(0L), col("epochs") - 1)).as("epoch"))
+      val byRank = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      val fracLeg = withW
+        .withColumn("rk", row_number().over(byRank))
+        .filter(col("rk") <= round(col("n_docs") * (col("weight") - col("epochs"))))
+        .select(col("source"), col("doc_id"), col("weight"),
+          col("epochs").as("epoch"))
+      fullLeg.unionByName(fracLeg)
+        .select(col("source"), col("doc_id"), col("epoch").cast(IntegerType).as("epoch"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("source", "doc_id", "epoch")
+    })
   )
 
   /** Rounds the last [[connectedComponents]] call took — exposed for
@@ -622,6 +673,42 @@ object Corpus {
         CAST(LEAST(128, len(toks) - start_tok) AS INT) AS n_chunk_tokens,
         md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 128), ' '))
           AS chunk_md5
-      FROM s ORDER BY doc_id, chunk_idx"""
+      FROM s ORDER BY doc_id, chunk_idx""",
+
+    // mirrors c13: weight = min(total/(n_sources*toks), 3), every doc
+    // repeated floor(weight) times, plus the md5-ranked fractional
+    // pick at epoch floor(weight). Same double-division order and
+    // ROUND-half-away semantics as the Spark side.
+    "c13_domain_mixture" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_toks
+        FROM documents),
+      s AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(n_toks) AS toks
+        FROM d GROUP BY source),
+      w AS (
+        SELECT source, n_docs,
+          LEAST(CAST(SUM(toks) OVER () AS DOUBLE)
+                  / CAST(COUNT(*) OVER () * toks AS DOUBLE),
+                3.0) AS weight
+        FROM s),
+      j AS (
+        SELECT d.source, d.doc_id, w.weight, w.n_docs,
+          CAST(FLOOR(w.weight) AS BIGINT) AS epochs
+        FROM d JOIN w USING (source)),
+      full_leg AS (
+        SELECT source, doc_id, weight, unnest(range(0, epochs)) AS epoch
+        FROM j WHERE epochs >= 1),
+      frac_leg AS (
+        SELECT source, doc_id, weight, epochs AS epoch
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM j)
+        WHERE rk <= ROUND(n_docs * (weight - epochs)))
+      SELECT source, doc_id, CAST(epoch AS INT) AS epoch,
+        ROUND(weight, 6) AS weight
+      FROM (SELECT * FROM full_leg UNION ALL SELECT * FROM frac_leg)
+      ORDER BY source, doc_id, epoch"""
   )
 }

@@ -369,6 +369,59 @@ object Dedup {
         .limit(100)
     }),
 
+    // d11: per-document SPAN COVERAGE — the dedup DECISION layer on
+    // top of d10's span discovery (Lee et al.: after finding verbatim
+    // spans repeated across documents, each document is judged by how
+    // much of it is duplicated material; docs that are mostly shared
+    // boilerplate get dropped, lightly-contaminated docs are kept).
+    // For every doc: n_tokens, how many token positions are covered
+    // by at least one cross-doc repeated span, the covered fraction,
+    // and the drop verdict (majority duplicated, compared in exact
+    // integer arithmetic: 2·covered > n_tokens).
+    //
+    // Shape: the stride-1 span explode is linear (len−4 rows/doc) and
+    // feeds two consumers, so it is lazily truncated — the repeated-
+    // span set and the coverage probe re-read pinned blocks instead
+    // of re-scanning. The repeated-span set (16-byte digests) joins
+    // back shuffle-hash on the digest; position coverage then explodes
+    // exactly SpanLen positions per surviving occurrence and distinct-
+    // counts them per doc — linear in repeated-span occurrences, never
+    // in the pair space. At 100 TB each stage shuffles on digest or
+    // doc_id; nothing is quadratic and nothing reaches the driver.
+    "d11_span_coverage" -> ((s, d) => {
+      import graft.Checkpoint.TruncateOps
+      val SpanLen = 5
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      val spans = base
+        .filter(size(col("toks")) >= SpanLen)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(1), size(col("toks")) - (SpanLen - 1)))
+            .as(Seq("i", "start")))
+        .select(col("doc_id"), col("start"),
+          md5(concat_ws(" ", slice(col("toks"), col("start"), lit(SpanLen))))
+            .as("span_md5"))
+        .truncatedLazy
+      val repeated = spans.groupBy("span_md5")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select("span_md5")
+      val covered = spans
+        .join(repeated.hint("shuffle_hash"), Seq("span_md5"))
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + (SpanLen - 1))).as("pos"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("pos")).as("cov"))
+      base.select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("cov"), lit(0L)).as("n_covered"),
+          round(coalesce(col("cov"), lit(0L)).cast(DoubleType) / col("n_tokens"), 6)
+            .as("dup_frac"),
+          (coalesce(col("cov"), lit(0L)) * 2 > col("n_tokens")).as("drop_doc"))
+        .orderBy("doc_id")
+    }),
+
     // d09: hash-checkable recall gate for d08, in the d06 style —
     // inject twin vectors (deterministic ±5% per-dim perturbation,
     // cosine ≈ 0.999) for every 5th vec_id and assert the LSH-banded
@@ -527,6 +580,37 @@ object Dedup {
         COUNT(*) AS n_occurrences
       FROM sp GROUP BY span_md5 HAVING COUNT(DISTINCT doc_id) >= 2
       ORDER BY n_occurrences DESC, n_docs DESC, span_md5 LIMIT 100""",
+
+    // mirrors d11: spans slide 1..len-4 (5-token windows), a span is
+    // "repeated" when seen in >=2 distinct docs, coverage = distinct
+    // token positions under any repeated-span occurrence, drop =
+    // integer-exact majority test (2*covered > n_tokens).
+    "d11_span_coverage" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        FROM documents),
+      sp AS (
+        SELECT doc_id, unnest(range(1, len(w) - 3)) AS start, w
+        FROM t WHERE len(w) >= 5),
+      sp2 AS (
+        SELECT doc_id, start,
+          md5(array_to_string(list_slice(w, start, start + 4), ' ')) AS span_md5
+        FROM sp),
+      rep AS (
+        SELECT span_md5 FROM sp2
+        GROUP BY span_md5 HAVING COUNT(DISTINCT doc_id) >= 2),
+      cov AS (
+        SELECT doc_id, COUNT(DISTINCT pos) AS n_covered
+        FROM (SELECT sp2.doc_id, unnest(range(sp2.start, sp2.start + 5)) AS pos
+              FROM sp2 JOIN rep USING (span_md5))
+        GROUP BY doc_id),
+      base AS (SELECT doc_id, len(w) AS n_tokens FROM t)
+      SELECT base.doc_id, CAST(base.n_tokens AS BIGINT) AS n_tokens,
+        CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+        ROUND(CAST(COALESCE(cov.n_covered, 0) AS DOUBLE) / base.n_tokens, 6) AS dup_frac,
+        COALESCE(cov.n_covered, 0) * 2 > base.n_tokens AS drop_doc
+      FROM base LEFT JOIN cov USING (doc_id)
+      ORDER BY base.doc_id""",
 
     "d04_ngram_jaccard" -> """
       WITH t AS (

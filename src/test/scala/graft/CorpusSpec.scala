@@ -173,4 +173,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(ent(2L) - 0.0) < 1e-9)   // degenerate → 0
     assert(math.abs(ent(3L) - 1.0) < 1e-9)   // two × two → 1 bit
   }
+
+  test("c13: weights realize the uniform target — per-doc copies are floor/ceil " +
+    "of the source weight and per-source totals match the fractional pick") {
+    val out = Corpus.queries("c13_domain_mixture")(s, d).collect()
+    assert(out.nonEmpty)
+    // independently derived expected weights from the raw table
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("n").as("toks"))
+      .collect().map(r => (r.getAs[String]("source"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("toks")))).toMap
+    val total = toks.values.map(_._2).sum
+    val nSources = toks.size
+    val expW = toks.map { case (src, (_, t)) =>
+      src -> math.min(total.toDouble / (nSources.toDouble * t), 3.0) }
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val w = expW(src); val fl = math.floor(w).toLong
+      assert(rows.forall(r => math.abs(r.getAs[Double]("weight") - w) < 1e-5))
+      val copies = rows.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
+      copies.foreach { case (id, c) =>
+        assert(c == fl || c == fl + 1, s"doc $id of $src appears $c times, weight $w")
+      }
+      // per-doc epochs are consecutive 0..c-1
+      rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Int]("epoch")).sorted.toSeq === (0 until rs.length))
+      }
+      val (nDocs, _) = toks(src)
+      val expected = nDocs * fl + math.round(nDocs * (w - fl))
+      assert(rows.length.toLong === expected,
+        s"$src: ${rows.length} rows vs expected $expected (w=$w)")
+      if (fl >= 1) // upsampled sources keep EVERY doc
+        assert(copies.size.toLong === nDocs)
+    }
+  }
 }

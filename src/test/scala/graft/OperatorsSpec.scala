@@ -132,4 +132,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert((w1, h1, b1) === (w2, h2, b2))
     assert(w1 >= 1 && w1 <= 640 && h1 >= 1 && h1 <= 480)
   }
+
+  test("d11 span coverage: bounds hold, the drop verdict is integer-exact, " +
+    "and coverage matches an in-memory reference implementation") {
+    val rows = Dedup.queries("d11_span_coverage")(s, d).collect()
+    assert(rows.length === Tables.documents(s, d).count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val c = r.getAs[Long]("n_covered")
+      assert(c >= 0 && c <= n, s"coverage $c outside [0, $n]")
+      assert(math.abs(r.getAs[Double]("dup_frac") - c.toDouble / n) < 1e-5)
+      assert(r.getAs[Boolean]("drop_doc") === (2 * c > n))
+    }
+    // independent in-memory reference implementation over the same
+    // fixture: sliding 5-token windows, repeated = seen in >=2 docs,
+    // coverage = distinct positions under any repeated occurrence
+    val texts = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").toSeq)
+    val spans = texts.flatMap { case (id, toks) =>
+      toks.sliding(5).zipWithIndex.collect {
+        case (w, i) if w.length == 5 => (id, i, w.mkString(" ")) } }
+    val repeatedSpans = spans.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expCovered = spans.filter(t => repeatedSpans(t._3)).groupBy(_._1)
+      .map { case (id, ss) =>
+        id -> ss.flatMap(t => t._2 until t._2 + 5).distinct.length.toLong }
+    assert(expCovered.nonEmpty, "fixture should contain cross-doc repeated spans")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_covered") ===
+        expCovered.getOrElse(r.getAs[Long]("doc_id"), 0L),
+        s"doc ${r.getAs[Long]("doc_id")} coverage mismatch vs reference")
+    }
+  }
 }
