@@ -115,8 +115,13 @@ object Bench {
       // compact twin (unique short ids — the family prefix+number every
       // query name starts with — and centisecond precision) that fits
       // a 2000-char tail whole.
-      val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/root/repo/BENCH_FULL.json")
+      // Default artifact path is cwd-relative (not a hardcoded repo
+      // location), and dev SUBSET runs (args given) get a distinct
+      // default so a partial run never clobbers the last full-suite
+      // artifact the driver and BASELINE.md refer to.
+      val defaultOut =
+        if (args.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>
@@ -144,13 +149,17 @@ object Bench {
     val entries = q.findAllMatchIn(qsPart.substring(0, end))
       .map(m => (m.group(1), m.group(2).toDouble)).toSeq
     val total = entries.map(_._2).sum
-    val qs = entries.map { case (k, v) => f""""$k":$v%.2f""" }
+    // Locale-pinned formatting: the f-interpolator uses the JVM default
+    // locale, which on comma-decimal locales would emit "1,23" and
+    // break the JSON contract.
+    def s2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = entries.map { case (k, v) => s""""$k":${s2(v)}""" }
       .mkString("{", ",", "}")
     val fPart = line.substring(line.indexOf("\"failed\":"))
     val failed = fPart.substring(9, fPart.indexOf(']') + 1)
     val sf = line.substring(line.indexOf("\"sf\":"))
       .stripPrefix("\"sf\":").takeWhile(_ != '}')
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${entries.size},"queries":$qs,"failed":$failed,"sf":$sf,"full":"$fullPath"}"""
+    s"""{"metric":"total","value":${s2(total)},"unit":"sec","n":${entries.size},"queries":$qs,"failed":$failed,"sf":$sf,"full":"$fullPath"}"""
   }
 
   /** Fork one child JVM per query family, merge their JSON lines. */

@@ -41,7 +41,19 @@ object Checkpoint {
     * per-round job count halves, which is the dominant fixed cost at
     * small-round scale. NOT for multi-consumer bases whose eager
     * materialization intentionally isolates codegen/JIT into its own
-    * job (d04's gram stage — see BASELINE.md round-4). */
+    * job (d04's gram stage — see BASELINE.md round-4).
+    *
+    * RELIABLE-CHECKPOINT CAVEAT: the one-scan rationale holds only for
+    * `localCheckpoint` (blocks pin as a side effect of the caller's
+    * next action). A reliable `checkpoint(eager = false)` writes its
+    * files in a SEPARATE job that recomputes the full unpersisted
+    * lineage — the caller's action pays the scan once and the
+    * checkpoint write pays it again, so with [[DirConf]] set the lazy
+    * variant would cost MORE than the eager one, not less. Therefore
+    * when [[DirConf]] is set this method falls back to an eager
+    * reliable checkpoint (one dedicated materialization job, lineage
+    * scanned exactly once); correctness is identical either way since
+    * all lineage here is deterministic. */
   def truncateLazy(df: DataFrame): DataFrame = checkpointed(df, eager = false)
 
   private def checkpointed(df: DataFrame, eager: Boolean): DataFrame = {
@@ -62,7 +74,9 @@ object Checkpoint {
           .map(c => new org.apache.hadoop.fs.Path(c).getParent)
         if (!current.contains(qualified))
           s.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager)
+        // Always eager on the reliable path: lazy reliable checkpoints
+        // recompute lineage in their separate write job (scaladoc above).
+        df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager)
     }
   }

@@ -64,8 +64,8 @@ object StreamBench {
     if (root.exists()) rmrf(root)
     val inDir = new java.io.File(root, "input"); inDir.mkdirs()
 
-    // raw read (ts stays the fixture's epoch-nanos long) so the staged
-    // chunk files are byte-compatible with EventStreams.rawSchema
+    // raw read (ts stays the fixture's physical shape) so the staged
+    // chunk files are byte-compatible with the stream's declared schema
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val totalRows = raw.count()
     import org.apache.spark.sql.expressions.Window
@@ -81,8 +81,11 @@ object StreamBench {
       dest.setLastModified(1000000L + i * 1000L) // deterministic file order
     }
 
+    // The staged chunks are written from `raw`, so their schema IS
+    // raw.schema — whatever physical ts shape this fixture generation
+    // has (epoch-nanos long or native micros); normalize maps both.
     def stream(): DataFrame = EventStreams.normalize(
-      spark.readStream.schema(EventStreams.rawSchema)
+      spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.getPath))
 

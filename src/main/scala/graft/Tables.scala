@@ -21,18 +21,25 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a long of epoch-nanos
-    * (legacy conf) and floor-truncate to a microsecond TimestampType —
-    * the same truncation DuckDB applies when it reads TIMESTAMP_NS,
-    * so oracle comparisons stay exact.
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations: Parquet TIMESTAMP(NANOS) — which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as a long of epoch-nanos via
+    * the legacy conf — and plain TIMESTAMP(MICROS), which Spark reads
+    * natively. Normalize both to a microsecond TimestampType: the
+    * nanos leg floor-truncates exactly like DuckDB reading
+    * TIMESTAMP_NS, so oracle comparisons stay exact either way.
     */
   private def eventsNormalized(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
-    // integral `div`, not `/`: epoch-nanos (~1.7e18) overflow double's
-    // 53-bit mantissa, so floating division would corrupt microseconds.
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integral `div`, not `/`: epoch-nanos (~1.7e18) overflow
+        // double's 53-bit mantissa, so floating division would corrupt
+        // microseconds.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // already TimestampType (micros)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -27,8 +27,12 @@ object DuckDbDialect extends JdbcDialect {
 
   override def isObjectNotFoundException(e: SQLException): Boolean = {
     val msg = Option(e.getMessage).getOrElse("")
-    msg.contains("does not exist") ||
-      (msg.contains("Catalog Error") && msg.contains("not exist"))
+    // Tight match on DuckDB's table-miss shape ("Catalog Error: Table
+    // with name t does not exist!"). A loose "does not exist" would
+    // also classify schema/column/sequence misses as table-not-found,
+    // sending Spark down CREATE TABLE and masking the real error.
+    msg.contains("Catalog Error") &&
+      msg.contains("Table with name") && msg.contains("does not exist")
   }
 
   /** Idempotent: Spark keeps a registration list; re-registering the

@@ -19,19 +19,25 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema for streaming reads (streams can't infer): ts arrives as
-    * epoch-nanos int64 (the fixture's TIMESTAMP(NANOS) physical type,
-    * which Spark reads via nanosAsLong — see graft.Tables). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Schema for streaming reads (streams can't infer). The fixture's
+    * `ts` has shipped as both TIMESTAMP(NANOS) — readable only as
+    * epoch-nanos int64 via nanosAsLong — and TIMESTAMP(MICROS), which
+    * Spark reads natively (see graft.Tables). The stream declares
+    * whichever shape the batch footer reports and [[normalize]] maps
+    * both to microsecond TimestampType. */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def normalize(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _        => raw // already TimestampType (micros)
+  }
 
   /** Open the events fixture as an unbounded file stream. The file
     * source wants a directory, so stream the sf dir with a glob filter
@@ -39,7 +45,9 @@ object EventStreams {
     * directory is exactly how a 100 TB stream arrives. */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.readStream.schema(rawSchema)
+    // one footer read decides which physical ts shape this fixture has
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    normalize(spark.readStream.schema(rawSchema(tsType))
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir))

@@ -27,4 +27,23 @@ class CheckpointSpec extends AnyFunSuite {
       assert(wrote > 0, "reliable checkpoint wrote no files")
     } finally s.conf.unset(Checkpoint.DirConf)
   }
+
+  test("truncateLazy falls back to EAGER on the reliable path (no double lineage scan)") {
+    // A lazy reliable checkpoint would recompute the full lineage in
+    // its separate write job (Checkpoint scaladoc); the fallback makes
+    // the reliable variant eager, so the returned frame's RDD must
+    // already be checkpointed BEFORE any caller action runs.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_lazy").toString
+    s.conf.set(Checkpoint.DirConf, dir)
+    try {
+      import s.implicits._
+      val out = Checkpoint.truncateLazy(Seq(1, 2, 3).toDF("x"))
+      // no action has run on `out` — eager fallback means the reliable
+      // checkpoint files already exist on disk
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable truncateLazy must materialize eagerly")
+      assert(out.count() === 3)
+    } finally s.conf.unset(Checkpoint.DirConf)
+  }
 }
