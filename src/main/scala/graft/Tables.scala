@@ -16,18 +16,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` has shipped in two physical shapes across testdata
+  /** `events.ts` has shipped in THREE physical shapes across testdata
     * generations: Parquet TIMESTAMP(NANOS) — which Spark 4 rejects
     * ([PARQUET_TYPE_ILLEGAL]) unless read as a long of epoch-nanos via
-    * the legacy conf — and plain TIMESTAMP(MICROS), which Spark reads
-    * natively. Normalize both to a microsecond TimestampType: the
-    * nanos leg floor-truncates exactly like DuckDB reading
-    * TIMESTAMP_NS, so oracle comparisons stay exact either way.
+    * the legacy conf — TIMESTAMP(MICROS, adjustedToUTC=true) which
+    * Spark reads as TimestampType, and TIMESTAMP(MICROS,
+    * adjustedToUTC=false) which Spark reads as TIMESTAMP_NTZ.
+    * Normalize all three to a microsecond TimestampType: the nanos leg
+    * floor-truncates exactly like DuckDB reading TIMESTAMP_NS, and the
+    * NTZ→LTZ cast is value-identical under the UTC session timezone
+    * every entry point pins — so oracle comparisons stay exact in
+    * every shape. Downstream consumers (watermarks, unix_millis, the
+    * range-join binning rule) all require plain TimestampType, which
+    * is why the normalization lives here at the source.
     */
   private def eventsNormalized(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -38,6 +44,8 @@ object Tables {
         // double's 53-bit mantissa, so floating division would corrupt
         // microseconds.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw // already TimestampType (micros)
     }
   }

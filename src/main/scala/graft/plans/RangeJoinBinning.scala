@@ -143,16 +143,24 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
 
   private def supported(t: DataType): Boolean = t match {
     case TimestampType    => true
+    case TimestampNTZType => true
     case _: NumericType   => true
     case _                => false
   }
 
   /** Bin id as a codegen-friendly scalar: floor(value / width).
-    * Timestamps go through unix_micros (ANSI-safe; no ts→numeric cast). */
+    * Timestamps go through unix_micros (ANSI-safe; no ts→numeric cast).
+    * TIMESTAMP_NTZ — the shape Spark reads from Parquet
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) footers — is widened to
+    * TimestampType first (value-identical under the UTC session zone
+    * every entry point pins); without this arm the rule silently
+    * no-fires on NTZ columns and the join degrades to a nested loop. */
   private def toBin(e: Expression, cfg: Cfg): Expression = {
     val (asDouble, width) = e.dataType match {
-      case TimestampType => (Cast(UnixMicros(e), DoubleType), cfg.seconds * 1e6)
-      case _             => (Cast(e, DoubleType), cfg.numeric)
+      case TimestampType    => (Cast(UnixMicros(e), DoubleType), cfg.seconds * 1e6)
+      case TimestampNTZType =>
+        (Cast(UnixMicros(Cast(e, TimestampType)), DoubleType), cfg.seconds * 1e6)
+      case _                => (Cast(e, DoubleType), cfg.numeric)
     }
     Floor(Divide(asDouble, Literal(width)))
   }

@@ -20,11 +20,13 @@ import org.apache.spark.sql.types._
 object EventStreams {
 
   /** Schema for streaming reads (streams can't infer). The fixture's
-    * `ts` has shipped as both TIMESTAMP(NANOS) — readable only as
-    * epoch-nanos int64 via nanosAsLong — and TIMESTAMP(MICROS), which
-    * Spark reads natively (see graft.Tables). The stream declares
-    * whichever shape the batch footer reports and [[normalize]] maps
-    * both to microsecond TimestampType. */
+    * `ts` has shipped as TIMESTAMP(NANOS) — readable only as
+    * epoch-nanos int64 via nanosAsLong — TIMESTAMP(MICROS) UTC-adjusted
+    * (TimestampType), and TIMESTAMP(MICROS) non-adjusted
+    * (TIMESTAMP_NTZ); see graft.Tables. The stream declares whichever
+    * shape the batch footer reports and [[normalize]] maps all of them
+    * to microsecond TimestampType — watermarks and event-time windows
+    * require the LTZ type. */
   private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
     StructType(Seq(
       StructField("event_id", LongType),
@@ -35,8 +37,12 @@ object EventStreams {
       StructField("props", StringType)))
 
   def normalize(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
-    case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    case _        => raw // already TimestampType (micros)
+    case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // value-identical under the UTC session timezone; watermarks
+    // reject NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) so the cast is
+    // mandatory for every streaming path
+    case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => raw // already TimestampType (micros)
   }
 
   /** Open the events fixture as an unbounded file stream. The file
@@ -99,19 +105,27 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val stateEnc = Encoders.product[UserTotals]
     implicit val longEnc = Encoders.scalaLong
-    events
+    // Event-time is reduced to epoch-millis IN THE PLAN, not inside the
+    // state function: a Row accessor sees whichever JVM type the
+    // physical ts shape maps to (java.sql.Timestamp for LTZ,
+    // java.time.LocalDateTime for NTZ) and a hard getAs cast is
+    // shape-fragile — a column cast + unix_millis is not, and it keeps
+    // the conversion codegen'd instead of per-row reflective.
+    val prepared = events.select(
+      col("user_id"), col("value"),
+      unix_millis(col("ts").cast(TimestampType)).as("ts_ms"))
+    prepared
       .groupByKey((r: Row) => r.getAs[Long]("user_id"))(longEnc)
       .flatMapGroupsWithState[UserTotals, UserTotals](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Row], state: GroupState[UserTotals]) =>
           val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0, Long.MinValue))
           val next = rows.foldLeft(prev) { (acc, r) =>
-            val micros = r.getAs[java.sql.Timestamp]("ts").getTime * 1000L
             UserTotals(userId, acc.n_events + 1,
               // cents-exact accumulation (value has 2dp) so the final
               // snapshot is order-independent
               math.rint(acc.sum_value * 100 + r.getAs[Double]("value") * 100) / 100,
-              math.max(acc.last_seen_ms, micros / 1000))
+              math.max(acc.last_seen_ms, r.getAs[Long]("ts_ms")))
           }
           state.update(next)
           Iterator(next)
@@ -163,13 +177,15 @@ object EventStreams {
   def purchaseErrorJoinBatch(events: DataFrame): DataFrame =
     purchaseErrorJoin(events, events)
 
-  /** Batch equivalent of the final state of [[userTotalsStreaming]]. */
+  /** Batch equivalent of the final state of [[userTotalsStreaming]].
+    * The ts cast is a no-op on normalized input and keeps unix_millis
+    * legal if a caller hands in a raw NTZ frame. */
   def userTotalsBatch(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(14, 2)))
           .cast(org.apache.spark.sql.types.DoubleType)).as("sum_value"),
-        (unix_millis(max(col("ts")))).as("last_seen_ms"))
+        (unix_millis(max(col("ts").cast(TimestampType)))).as("last_seen_ms"))
 }
 
 /** State/output record for the stateful stream. */
