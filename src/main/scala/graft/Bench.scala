@@ -126,7 +126,9 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $outFile: $e") }
-      println(compact(line, outFile))
+      // absolute pointer: consumers resolve "full" from arbitrary cwds
+      println(compact(line,
+        java.nio.file.Paths.get(outFile).toAbsolutePath.toString))
     }
   }
 
@@ -179,6 +181,7 @@ object Bench {
       .groupBy(family)
     val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for ((fam, names) <- families.toSeq.sortBy(_._1)) {
       System.err.println(s"[bench] --- family $fam (${names.size} queries) ---")
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench", "--child") ++ names
@@ -192,6 +195,7 @@ object Bench {
       if (rc != 0 || !line.startsWith("{")) {
         System.err.println(s"[bench] family $fam FAILED rc=$rc: ${out.take(500)}")
         failed ++= names
+        names.foreach(n => errors(n) = s"family $fam child exited rc=$rc")
       } else {
         // extract {"name":seconds} pairs and the failed list
         val q = """"([a-z0-9_]+)":([0-9.eE+-]+)""".r
@@ -202,10 +206,23 @@ object Bench {
         val fq = """"([a-z0-9_]+)"""".r
         failed ++= fq.findAllMatchIn(fPart.substring(0, fPart.indexOf(']')))
           .map(_.group(1)).filterNot(_ == "failed").filter(names.contains)
+        // merge the child's per-query error messages (values are
+        // JSON-escaped by the child's json(); unescape so the parent's
+        // re-emission doesn't double-escape). The key filter also keeps
+        // the trailing "sf" field from matching.
+        val eIdx = line.indexOf("\"errors\":")
+        if (eIdx >= 0) {
+          val er = """"([a-z0-9_]+)":"((?:[^"\\]|\\.)*)"""".r
+          for (m <- er.findAllMatchIn(line.substring(eIdx + 9))
+               if names.contains(m.group(1)))
+            errors(m.group(1)) =
+              m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")
+        }
       }
     }
     json(perQuery.toSeq.sortBy(_._1), failed.toList.distinct.sorted,
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      errors.toMap)
   }
 
   /** The original single-JVM suite: time each named query (all if
@@ -299,6 +316,7 @@ object Bench {
     val names = (if (args.isEmpty) SparkEntry.queries.keys.toSeq
       else SparkEntry.queries.keys.toSeq.filter(args.toSet)).sorted
     var failed = List.empty[String]
+    var errors = Map.empty[String, String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
       // Stall watchdog: the residual JIT lottery (BASELINE.md) makes a
@@ -324,6 +342,11 @@ object Bench {
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case e: Throwable =>
         failed ::= name
+        // keep the actual failure diagnosable from the artifact alone
+        // (stderr is truncated by the driver's capture); class name
+        // covers null-message throwables like NPE
+        errors += name -> (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").take(400))
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       } finally watchdog.interrupt()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -331,15 +354,29 @@ object Bench {
       name -> dt
     }
     spark.stop()
-    json(results, failed.sorted, sfDir)
+    json(results, failed.sorted, sfDir, errors)
+  }
+
+  /** Minimal JSON string escape for error messages (quotes, backslash,
+    * control chars → space). Keys are query names and never need it. */
+  private def esc(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case c if c < ' '  => " "
+    case c             => c.toString
   }
 
   private def json(results: Seq[(String, Double)], failed: Seq[String],
-                   sfDir: String): String = {
+                   sfDir: String, errors: Map[String, String]): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // placed AFTER "failed": compact() and the driver locate the failed
+    // array by its first ']', which must not be preceded by message text
+    val ej = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"errors":$ej,"sf":"$sfDir"}"""
   }
 }

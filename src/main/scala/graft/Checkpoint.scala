@@ -28,7 +28,7 @@ object Checkpoint {
 
   /** Materialize `df` now and return it with truncated lineage —
     * reliably if [[DirConf]] is set, executor-locally otherwise. */
-  def truncate(df: DataFrame): DataFrame = checkpointed(df, eager = true)
+  def truncate(df: DataFrame): DataFrame = checkpointed(df, eagerLocal = true)
 
   /** Like [[truncate]] but LAZY: the logical plan is cut to a
     * `LogicalRDD` immediately (so downstream planning/codegen stays
@@ -54,9 +54,12 @@ object Checkpoint {
     * reliable checkpoint (one dedicated materialization job, lineage
     * scanned exactly once); correctness is identical either way since
     * all lineage here is deterministic. */
-  def truncateLazy(df: DataFrame): DataFrame = checkpointed(df, eager = false)
+  def truncateLazy(df: DataFrame): DataFrame = checkpointed(df, eagerLocal = false)
 
-  private def checkpointed(df: DataFrame, eager: Boolean): DataFrame = {
+  /** `eagerLocal` governs ONLY the executor-local branch; the reliable
+    * branch is always eager (scaladoc on [[truncateLazy]]) — the name
+    * makes that override explicit at the call site. */
+  private def checkpointed(df: DataFrame, eagerLocal: Boolean): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
@@ -77,7 +80,7 @@ object Checkpoint {
         // Always eager on the reliable path: lazy reliable checkpoints
         // recompute lineage in their separate write job (scaladoc above).
         df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager)
+      case None => df.localCheckpoint(eagerLocal)
     }
   }
 

@@ -28,11 +28,14 @@ object DuckDbDialect extends JdbcDialect {
   override def isObjectNotFoundException(e: SQLException): Boolean = {
     val msg = Option(e.getMessage).getOrElse("")
     // Tight match on DuckDB's table-miss shape ("Catalog Error: Table
-    // with name t does not exist!"). A loose "does not exist" would
-    // also classify schema/column/sequence misses as table-not-found,
+    // with name t does not exist!") plus the schema-miss shape a
+    // schema-qualified target raises from the same existence probe
+    // ("Catalog Error: Schema with name s does not exist!") — both
+    // mean "the write target isn't there". A loose "does not exist"
+    // would also classify column/sequence misses as table-not-found,
     // sending Spark down CREATE TABLE and masking the real error.
-    msg.contains("Catalog Error") &&
-      msg.contains("Table with name") && msg.contains("does not exist")
+    msg.contains("Catalog Error") && msg.contains("does not exist") &&
+      (msg.contains("Table with name") || msg.contains("Schema with name"))
   }
 
   /** Idempotent: Spark keeps a registration list; re-registering the
