@@ -44,7 +44,7 @@ object Bucketing {
     val tag = java.lang.Integer.toHexString(d.hashCode)
     val od = s"orders_bkt_$tag"
     val cd = s"customer_bkt_$tag"
-    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_bucketed"
+    val base = graft.LocalScratch.scratchDir + "/graft_bucketed"
     if (!s.catalog.tableExists(od))
       writeBucketed(Tables.orders(s, d), od, "o_custkey", base)
     if (!s.catalog.tableExists(cd))

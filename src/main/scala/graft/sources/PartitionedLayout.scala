@@ -17,11 +17,19 @@ import graft.Tables
   */
 object PartitionedLayout {
 
-  /** Write orders partitioned by order year under `/tmp`, once per
-    * (JVM, sfDir). */
+  /** Write orders partitioned by order year under the scratch dir
+    * ([[graft.LocalScratch.scratchDir]]), once per (JVM, sfDir). */
   def ordersPartitioned(s: SparkSession, d: String): String = {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
-    val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+    // stamp the cache key with the source's size+mtime (the i06
+    // lesson): a regenerated fixture invalidates instead of serving
+    // stale partitions across JVMs
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val st = fs.getFileStatus(src)
+    val tag = java.lang.Integer.toHexString(d.hashCode) +
+      s"_${st.getModificationTime}_${fs.getContentSummary(src).getLength}"
+    val dir = graft.LocalScratch.scratchDir +
       s"/graft_partitioned/orders_$tag"
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.orders(s, d)

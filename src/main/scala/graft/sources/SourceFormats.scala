@@ -40,7 +40,7 @@ object SourceFormats {
     val st = fs.getFileStatus(src)
     val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
       s"_${st.getModificationTime}_${fs.getContentSummary(src).getLength}"
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + s"/graft_${name}_$tag"
+    graft.LocalScratch.scratchDir + s"/graft_${name}_$tag"
   }
 
   def roundTrip(s: SparkSession, d: String): DataFrame = {
