@@ -33,7 +33,13 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "20").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val stage = "/tmp/graft-streambench"
+    // same scratch policy as the batch fixtures (LocalScratch.scratchDir
+    // scaladoc): the staged arrival files and the stream checkpoints
+    // both live here, and the sandbox device's intermittent
+    // write-throttle would otherwise poison the per-batch latencies
+    // that checkpoint commits sit inside
+    val stage = sys.env.getOrElse("SPARK_GRAFT_STREAM_STAGE",
+      LocalScratch.scratchDir + "/graft-streambench")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -34,21 +34,53 @@ object Bucketing {
       .option("path", s"$baseDir/$table")
       .saveAsTable(table)
 
+  /** Make `table` available in the session catalog: first caller in
+    * the FIRST JVM writes the bucketed layout; later JVMs re-ATTACH to
+    * the existing files with bucketed DDL (`CLUSTERED BY ... INTO n
+    * BUCKETS LOCATION ...`) instead of rewriting — which is also the
+    * 100 TB operating shape: a bucketed table is written once and
+    * every subsequent session's catalog just points at it. The
+    * attach carries the same bucket metadata, so the no-Exchange join
+    * plan (BucketingSpec) is identical on either path. */
+  private def ensureBucketed(s: SparkSession, df: DataFrame, table: String,
+      key: String, base: String): Unit = {
+    if (s.catalog.tableExists(table)) return
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/$table/_SUCCESS"))) {
+      s.sql(s"""CREATE TABLE $table (${df.schema.toDDL})
+        USING PARQUET
+        CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS
+        LOCATION '$base/$table'""")
+    } else writeBucketed(df, table, key, base)
+  }
+
   /** orders ⋈ customer both bucketed on custkey, then the revenue
     * rollup — the i03 query. The bucket metadata satisfies both
     * sides' hash-distribution requirement, so the join itself plans
     * with no Exchange (asserted in BucketingSpec); only the final
     * small aggregate shuffles. */
-  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    // per-sfDir table names: one session may touch several SF dirs
+  /** Catalog names of the bucketed (orders, customer) tables for
+    * `sfDir`: per-sfDir, stamped with the source's size+mtime so a
+    * regenerated fixture invalidates instead of re-attaching to a
+    * stale layout (one session may also touch several SF dirs). */
+  def tableNames(s: SparkSession, d: String): (String, String) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    def stamp(t: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
+      s"${fs.getFileStatus(p).getModificationTime}_${fs.getContentSummary(p).getLength}"
+    }
     val tag = java.lang.Integer.toHexString(d.hashCode)
-    val od = s"orders_bkt_$tag"
-    val cd = s"customer_bkt_$tag"
+    (s"orders_bkt_${tag}_${stamp("orders")}",
+      s"customer_bkt_${tag}_${stamp("customer")}")
+  }
+
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (od, cd) = tableNames(s, d)
     val base = graft.LocalScratch.scratchDir + "/graft_bucketed"
-    if (!s.catalog.tableExists(od))
-      writeBucketed(Tables.orders(s, d), od, "o_custkey", base)
-    if (!s.catalog.tableExists(cd))
-      writeBucketed(Tables.customer(s, d), cd, "c_custkey", base)
+    ensureBucketed(s, Tables.orders(s, d), od, "o_custkey", base)
+    ensureBucketed(s, Tables.customer(s, d), cd, "c_custkey", base)
     s.table(od)
       .join(s.table(cd), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")

@@ -28,4 +28,22 @@ class BenchCompactSpec extends AnyFunSuite {
     assert(c.contains(""""failed":["q51_sole_blame_supplier"]"""))
     assert(c.contains(""""sf":"/root/testdata/sf0.1""""))
   }
+
+  test("compact tolerates the errors object (messages with brackets/escapes)") {
+    // a failed query's message may contain ']', '}', escaped quotes —
+    // compact's positional parsing (brace-match on queries, first ']'
+    // for failed, indexOf for sf) must not be derailed because errors
+    // sits AFTER failed and BEFORE sf in the envelope
+    val full =
+      """{"metric":"total","value":9.9,"unit":"sec","queries":{"q01_pricing_summary":1.25,"st05_stateful_user_totals":0.1},""" +
+        """"failed":["st05_stateful_user_totals"],""" +
+        """"errors":{"st05_stateful_user_totals":"AnalysisException: [DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE] unix_millis(ts) \" [x] {y}"},""" +
+        """"sf":"/root/testdata/sf0.1"}"""
+    val c = Bench.compact(full, "/root/repo/BENCH_FULL.json")
+    assert(c.contains(""""q01":1.25"""), c)
+    assert(c.contains(""""st05":0.10"""), c)
+    assert(c.contains(""""failed":["st05_stateful_user_totals"]"""), c)
+    assert(c.contains(""""sf":"/root/testdata/sf0.1""""), c)
+    assert(c.contains(""""n":2"""), c)
+  }
 }

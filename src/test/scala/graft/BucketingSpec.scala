@@ -29,10 +29,9 @@ class BucketingSpec extends AnyFunSuite {
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val tag = java.lang.Integer.toHexString(d.hashCode)
-      val joined = s.table(s"orders_bkt_$tag")
-        .join(s.table(s"customer_bkt_$tag"),
-          col("o_custkey") === col("c_custkey"))
+      val (od, cd) = Bucketing.tableNames(s, d)
+      val joined = s.table(od)
+        .join(s.table(cd), col("o_custkey") === col("c_custkey"))
       joined.collect()
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
@@ -40,6 +39,35 @@ class BucketingSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"),
         s"bucketed join still shuffles:\n$p")
       assert(p.contains("Bucketed: true"), s"scan did not use buckets:\n$p")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("a fresh catalog re-attaches to the existing layout instead of rewriting") {
+    Bucketing.bucketedJoin(s, d).collect() // ensure the layout exists
+    val (od, cd) = Bucketing.tableNames(s, d)
+    val success = new java.io.File(
+      LocalScratch.scratchDir + s"/graft_bucketed/$od/_SUCCESS")
+    assert(success.exists())
+    val before = success.lastModified()
+    // dropping the EXTERNAL tables empties the catalog but keeps the
+    // files — the state a brand-new JVM's in-memory catalog starts in
+    s.sql(s"DROP TABLE $od")
+    s.sql(s"DROP TABLE $cd")
+    val out = Bucketing.bucketedJoin(s, d).collect()
+    assert(out.nonEmpty)
+    assert(success.lastModified() == before,
+      "layout was rewritten; expected a DDL attach to the existing files")
+    // the attach carries the bucket metadata: distribution-requiring
+    // join still plans with no exchange
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table(od)
+        .join(s.table(cd), col("o_custkey") === col("c_custkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"attached bucketed join shuffles:\n$p")
+      assert(p.contains("Bucketed: true"), s"attached scan did not use buckets:\n$p")
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
