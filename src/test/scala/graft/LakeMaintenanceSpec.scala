@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{LakeMaintenance, PartitionedLayout}
+
+/** The lake-maintenance rewrites' LAYOUT properties — the part the
+  * DuckDB oracle cannot see (it only proves the rewrites are
+  * lossless). Compaction must actually end at one file per partition;
+  * z-ordering must actually give every file a narrow min/max envelope
+  * on BOTH clustered dimensions, because that envelope is what parquet
+  * row-group pruning keys off at scale.
+  */
+class LakeMaintenanceSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val d = TestSpark.sf0001
+
+  private def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles).getOrElse(Array.empty).toSeq.flatMap { f =>
+      if (f.isDirectory) parquetFiles(f)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    }
+
+  test("i09: compaction leaves exactly one file per partition, fewer than before") {
+    val before = parquetFiles(
+      new java.io.File(PartitionedLayout.ordersPartitioned(s, d)))
+    val dir = new java.io.File(LakeMaintenance.compactedOrders(s, d))
+    val years = Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("o_year="))
+    assert(years.nonEmpty)
+    years.foreach { y =>
+      val n = parquetFiles(y).size
+      assert(n == 1, s"${y.getName} has $n files after compaction")
+    }
+    // strict reduction only shows at SFs where ingest actually left
+    // multiple files per partition; the invariant is files == partitions
+    assert(parquetFiles(dir).size == years.length)
+    assert(parquetFiles(dir).size <= before.size,
+      s"compaction increased file count (${before.size} before)")
+  }
+
+  test("i10: z-ordered files have narrow envelopes on BOTH dimensions") {
+    val dir = LakeMaintenance.zorderedOrders(s, d)
+    val df = s.read.parquet(dir)
+      .withColumn("f", input_file_name())
+    // per-file min/max span of each dimension, relative to the global span
+    val spans = df.groupBy("f").agg(
+      (max("o_custkey") - min("o_custkey")).as("ck_span"),
+      (unix_micros(max(col("o_orderdate")).cast("timestamp")) -
+        unix_micros(min(col("o_orderdate")).cast("timestamp"))).as("dd_span"))
+    val g = df.agg(
+      (max("o_custkey") - min("o_custkey")).cast("double"),
+      (unix_micros(max(col("o_orderdate")).cast("timestamp")) -
+        unix_micros(min(col("o_orderdate")).cast("timestamp"))).cast("double")).head()
+    val (gCk, gDd) = (g.getDouble(0), g.getDouble(1))
+    val rel = spans.select(
+      avg(col("ck_span").cast("double") / gCk),
+      avg(col("dd_span").cast("double") / gDd)).head()
+    // a random layout would average ~1.0 on both; z-order trades a bit
+    // of each dimension for locality in both — require a real win
+    assert(rel.getDouble(0) < 0.5,
+      f"mean per-file custkey span ${rel.getDouble(0)}%.2f of global — not clustered")
+    assert(rel.getDouble(1) < 0.5,
+      f"mean per-file date span ${rel.getDouble(1)}%.2f of global — not clustered")
+    // and the clustered copy holds every source row
+    assert(df.count() === Tables.orders(s, d).count())
+  }
+}
