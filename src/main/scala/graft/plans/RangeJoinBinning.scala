@@ -158,8 +158,12 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
   private def toBin(e: Expression, cfg: Cfg): Expression = {
     val (asDouble, width) = e.dataType match {
       case TimestampType    => (Cast(UnixMicros(e), DoubleType), cfg.seconds * 1e6)
+      // the NTZ→LTZ cast is TimeZoneAwareExpression: without an
+      // explicit zone it reports unresolved and fails optimizer plan
+      // validation (same trap as Sequence below)
       case TimestampNTZType =>
-        (Cast(UnixMicros(Cast(e, TimestampType)), DoubleType), cfg.seconds * 1e6)
+        (Cast(UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))),
+          DoubleType), cfg.seconds * 1e6)
       case _                => (Cast(e, DoubleType), cfg.numeric)
     }
     Floor(Divide(asDouble, Literal(width)))

@@ -115,6 +115,42 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(got.sameElements(want) && got.nonEmpty)
   }
 
+  test("TIMESTAMP_NTZ operands bin with a single hash leg and stay exact") {
+    // The fixtures have shipped ts as TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) — Spark's TIMESTAMP_NTZ. Tables normalizes
+    // events to LTZ at the source, so q47 no longer exercises the NTZ
+    // arm; this pins it directly: the rule must fire on NTZ bounds
+    // (widening through a cast before UnixMicros), prove the
+    // fixed-length +INTERVAL window statically, and stay exact.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+    val pts = (0 until 500).map(i => Tuple1(base.plusMinutes(i * 7L))).toDF("p")
+    assert(pts.schema("p").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val ivs = (0 until 24).map(i => Tuple1(base.plusHours(i * 2L))).toDF("lo")
+      .withColumn("hi", col("lo") + expr("INTERVAL 45 MINUTES"))
+    val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bin"), s"NTZ range join did not bin:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Union"),
+      s"static fan-out proof failed on NTZ (+INTERVAL window):\n$plan")
+    val got = joined.collect().map(r =>
+      (r.getAs[java.time.LocalDateTime]("p"), r.getAs[java.time.LocalDateTime]("lo")))
+      .sorted(Ordering.Tuple2(
+        Ordering.by((d: java.time.LocalDateTime) => d.toString),
+        Ordering.by((d: java.time.LocalDateTime) => d.toString)))
+    val want = (for {
+      i <- 0 until 500; j <- 0 until 24
+      p = base.plusMinutes(i * 7L); lo = base.plusHours(j * 2L)
+      if !p.isBefore(lo) && !p.isAfter(lo.plusMinutes(45))
+    } yield (p, lo)).sorted(Ordering.Tuple2(
+      Ordering.by((d: java.time.LocalDateTime) => d.toString),
+      Ordering.by((d: java.time.LocalDateTime) => d.toString)))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"binned=${got.length} rows, expected=${want.length}")
+  }
+
   test("numeric bin width is independently configurable") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
