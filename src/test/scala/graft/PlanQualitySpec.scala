@@ -99,6 +99,15 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("i10: both box-filter dimensions are pushed to the z-ordered scan") {
+    // z-ordering exists so row-group min/max stats can prune; that
+    // only happens if the filters actually reach the parquet reader
+    val p = plan("i10_zorder_box")
+    val pushed = p.split("PushedFilters: ").last.takeWhile(_ != ']')
+    assert(pushed.contains("o_custkey") && pushed.contains("o_orderdate"),
+      s"box filters not pushed to the scan:\n$p")
+  }
+
   test("no query in the registered surface plans a cartesian product") {
     // Brute-force similarity scans legitimately cross-join a BROADCAST
     // side of bounded size (10 query vectors / K centroids) — the scan
