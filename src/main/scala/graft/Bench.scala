@@ -103,10 +103,10 @@ object Bench {
     if (args.headOption.contains("--child")) {
       // child: time the named queries in this JVM, print one JSON line
       // (full names, full precision — the parent parses this)
-      println(runSuite(args.drop(1), warmup = true))
+      println(runSuite(args.drop(1).toIndexedSeq, warmup = true))
     } else {
       val line =
-        if (isolate == "off" || args.nonEmpty) runSuite(args, warmup = true)
+        if (isolate == "off" || args.nonEmpty) runSuite(args.toIndexedSeq, warmup = true)
         else runIsolated()
       // The driver's artifact capture keeps only the LAST ~2000 chars
       // of stdout — the full-name 111-query line is ~3.5k and loses

@@ -103,7 +103,7 @@ object StreamBench {
       "stb_session" -> (() => EventStreams.sessionStatsStreaming(stream())),
       "stb_dedup" -> (() => EventStreams.dedupedStream(stream())),
       "stb_stream_join" -> (() => EventStreams.purchaseErrorJoinBatch(stream())),
-      "stb_stateful" -> (() => EventStreams.userTotalsStreaming(stream()).toDF))
+      "stb_stateful" -> (() => EventStreams.userTotalsStreaming(stream()).toDF()))
 
     val results = ops.map { case (name, mk) =>
       val q = mk().writeStream

@@ -88,7 +88,7 @@ object Upsert {
     val skeys = source.select(col(key).as("_sk")).distinct()
     val closedOrKept = target.as("t")
       .join(broadcast(skeys), col(s"t.$key") === col("_sk"), "left_outer")
-      .select(target.columns.map(c => col(s"t.$c")) :+
+      .select(target.columns.toIndexedSeq.map(c => col(s"t.$c")) :+
         col("_sk").isNotNull.as("_matched"): _*)
       .withColumn("_close", col("_matched") && col("is_current") === 1)
       .withColumn("valid_to", when(col("_close"), effective)

@@ -45,7 +45,7 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
 
   test("cosine_sim resolves from SQL text via the injected registry entry") {
     val r = spark.sql(
-      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head.getDouble(0)
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
 

@@ -189,8 +189,8 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val back = s.read.jdbc(url, "events_live", props)
       assert(back.count() === Tables.events(s, d).count())
-      assert(back.agg(sum(col("user_id"))).head.getLong(0) ===
-        Tables.events(s, d).agg(sum(col("user_id"))).head.getLong(0))
+      assert(back.agg(sum(col("user_id"))).head().getLong(0) ===
+        Tables.events(s, d).agg(sum(col("user_id"))).head().getLong(0))
     } finally q.stop()
   }
 }
