@@ -67,7 +67,12 @@ object Bench {
     // vs 1.43-1.50 s across four fresh-JVM solo draws (3.5×) — the
     // double-correlation plan (two self-joins + lazy checkpoint) is
     // codegen-heavy enough to inherit the family churn
-    "q51_sole_blame_supplier")
+    "q51_sole_blame_supplier",
+    // round-8: d09 drew 12.40 s in dedup_b (sharing with d08's banded
+    // join plans) vs 2.26-2.37 s across three fresh-JVM solo draws
+    // (5.4×) — it re-runs BOTH the d05 exact and d08 LSH pipelines,
+    // the heaviest plan pair in the family
+    "d09_embedding_lsh_recall")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name
