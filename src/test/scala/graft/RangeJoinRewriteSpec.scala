@@ -167,6 +167,43 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.rangeJoin.numericBinWidth")
   }
 
+  test("property: rewrite is exact on randomized interval shapes") {
+    // Seeded ScalaCheck generators (RoundTripPropertySpec pattern):
+    // random points and random intervals mixing narrow, bin-straddling,
+    // WIDE (guard-leg), inverted (matchless) and degenerate (lo == hi)
+    // shapes — the rewrite must agree with an in-memory nested loop on
+    // every draw, whatever mix of legs the plan ends up with.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+    val ptGen = Gen.listOfN(300, Gen.choose(0L, 1000000L))
+    val ivGen = Gen.listOfN(40, for {
+      lo <- Gen.choose(0L, 1000000L)
+      len <- Gen.oneOf(
+        Gen.choose(0L, 100L),                 // sub-bin
+        Gen.choose(3000L, 20000L),            // straddles 3600-wide bins
+        Gen.choose(50000000L, 90000000L),     // wide → guard leg
+        Gen.const(-500L))                     // inverted → matchless
+    } yield (lo, lo + len))
+    for (round <- 0 until 3) {
+      val pts = samples(ptGen, 1, 100L + round).head.toDF("p")
+      val ivs = samples(ivGen, 1, 200L + round).head.toDF("lo", "hi")
+      val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(joined.queryExecution.executedPlan.toString.contains("graft_bin"))
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val want = (for {
+        p <- samples(ptGen, 1, 100L + round).head
+        (lo, hi) <- samples(ivGen, 1, 200L + round).head
+        if p >= lo && p <= hi
+      } yield (p, lo, hi)).sorted
+      assert(got.sameElements(want),
+        s"round $round: binned=${got.length} rows, naive=${want.length}")
+    }
+  }
+
   test("rule ignores non-inner joins and half-bounded conditions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
