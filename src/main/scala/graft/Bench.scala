@@ -132,8 +132,25 @@ object Bench {
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $outFile: $e") }
       // absolute pointer: consumers resolve "full" from arbitrary cwds
-      println(compact(line,
-        java.nio.file.Paths.get(outFile).toAbsolutePath.toString))
+      val compactLine = compact(line,
+        java.nio.file.Paths.get(outFile).toAbsolutePath.toString)
+      // The compact line ALSO goes to a fixed file: under sbt every
+      // stdout line carries an "[info] " prefix, so a driver that
+      // captures the log tail has to regex the JSON back out (r07/r08
+      // artifacts ended up with "parsed": null). A machine-readable
+      // artifact belongs at a stable path, not inside a log. Full runs
+      // only — a dev SUBSET run must not clobber the driver's artifact.
+      if (args.isEmpty) {
+        val compactFile =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPACT", "BENCH_COMPACT.json")
+        try java.nio.file.Files.write(java.nio.file.Paths.get(compactFile),
+          (compactLine + "\n").getBytes("UTF-8"))
+        catch { case e: Exception =>
+          System.err.println(s"[bench] could not write $compactFile: $e") }
+      }
+      // ... and stays the process's FINAL stdout line (bare when run
+      // outside sbt, e.g. via java -cp).
+      println(compactLine)
     }
   }
 
@@ -213,12 +230,15 @@ object Bench {
           .map(_.group(1)).filterNot(_ == "failed").filter(names.contains)
         // merge the child's per-query error messages (values are
         // JSON-escaped by the child's json(); unescape so the parent's
-        // re-emission doesn't double-escape). The key filter also keeps
-        // the trailing "sf" field from matching.
+        // re-emission doesn't double-escape). The scan is bounded at
+        // the errors object's own closing brace (string-aware), so a
+        // future envelope field placed after it — even one whose key
+        // collides with a query name — can never leak into the merge.
         val eIdx = line.indexOf("\"errors\":")
         if (eIdx >= 0) {
+          val eEnd = objectEnd(line, eIdx + 9)
           val er = """"([a-z0-9_]+)":"((?:[^"\\]|\\.)*)"""".r
-          for (m <- er.findAllMatchIn(line.substring(eIdx + 9))
+          for (m <- er.findAllMatchIn(line.substring(eIdx + 9, eEnd))
                if names.contains(m.group(1)))
             errors(m.group(1)) =
               m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")
@@ -320,10 +340,21 @@ object Bench {
 
     val names = (if (args.isEmpty) SparkEntry.queries.keys.toSeq
       else SparkEntry.queries.keys.toSeq.filter(args.toSet)).sorted
+    // Repeat-until-two-draws-agree (the round-9 de-noiser): identical
+    // code measured 116.6–182.6 s across five closing round-8 runs —
+    // ambient load and the residual JIT lottery, not plans, set that
+    // spread. Per query: run, run again; if the two draws agree within
+    // 10% take the min, else take one tie-breaker draw and the min of
+    // three. The min is the right statistic here — noise in this
+    // environment is strictly additive (throttled IO, safepoint storms,
+    // unlucky inline caches), so the fastest draw is the closest to the
+    // plan's true cost. SPARK_GRAFT_REPEAT=1 restores single-draw mode
+    // (used by the scale-growth sweeps, where run-count × SF is the
+    // budget and relative growth, not absolute seconds, is the signal).
+    val maxDraws = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     var failed = List.empty[String]
     var errors = Map.empty[String, String]
     val results = names.map { name =>
-      val t0 = System.nanoTime()
       // Stall watchdog: the residual JIT lottery (BASELINE.md) makes a
       // query nondeterministically run ~10-100× slow, too rarely to
       // catch interactively (< 1-in-10 after the round-3 family split
@@ -344,22 +375,61 @@ object Bench {
       })
       watchdog.setDaemon(true)
       watchdog.start()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        failed ::= name
-        // keep the actual failure diagnosable from the artifact alone
-        // (stderr is truncated by the driver's capture); class name
-        // covers null-message throwables like NPE
-        errors += name -> (e.getClass.getSimpleName + ": " +
-          Option(e.getMessage).getOrElse("").take(400))
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val draws = scala.collection.mutable.ListBuffer[Double]()
+      try {
+        var done = false
+        while (!done && draws.size < maxDraws) {
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            failed ::= name
+            // keep the actual failure diagnosable from the artifact
+            // alone (stderr is truncated by the driver's capture);
+            // class name covers null-message throwables like NPE
+            errors += name -> (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").take(400))
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            done = true // failures are not retried — a red query must
+                        // stay red in the artifact, not flake green
+          }
+          draws += (System.nanoTime() - t0) / 1e9
+          // two draws within 10% of the faster one = agreement
+          if (!done && draws.size >= 2) {
+            val sorted = draws.sorted
+            done = maxDraws <= draws.size ||
+              (sorted(1) - sorted(0)) <= 0.1 * sorted(0)
+          } else if (maxDraws <= 1) done = true
+        }
       } finally watchdog.interrupt()
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      val dt = draws.min
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s  (${draws.size} draws: ${draws.map(d => f"$d%.2f").mkString(", ")})")
       name -> dt
     }
     spark.stop()
     json(results, failed.sorted, sfDir, errors)
+  }
+
+  /** Index just past the matching '}' of the JSON object whose opening
+    * brace is at `s(start)`, skipping string literals (with escapes) so
+    * braces inside error-message values cannot derail the match.
+    * Returns `s.length` if unbalanced — callers then scan to the end,
+    * which is the old (pre-bounded) behavior. */
+  private[graft] def objectEnd(s: String, start: Int): Int = {
+    var i = start; var depth = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) return i + 1
+        case _   => ()
+      }
+      i += 1
+    }
+    s.length
   }
 
   /** Minimal JSON string escape for error messages (quotes, backslash,

@@ -35,11 +35,20 @@ import graft.Tables
   */
 object LakeMaintenance {
 
-  /** Range partitions for the z-ordered layout — each becomes one
-    * file with a narrow envelope on both dimensions. At 100 TB this is
-    * "files of ~1 GB", i.e. proportional to data; fixed here because
-    * the fixtures are MB-scale. */
-  val ZFiles = 64
+  /** Z-ordered layout sizing: the file count is proportional to input
+    * bytes (~1 GiB target files — the Delta OPTIMIZE shape), floored at
+    * [[MinZFiles]] so the range partitioning stays wide enough to
+    * parallelize on a cluster even for a small table. At 100 TB the
+    * bytes term dominates (≈100k files); on the MB-scale fixtures the
+    * floor dominates and the layout is exactly the spec-pinned 64. */
+  val MinZFiles = 64
+  val TargetZFileBytes: Long = 1L << 30
+
+  /** ceil(bytes / target), floored at MinZFiles. */
+  def zFileCount(inputBytes: Long): Int = {
+    val proportional = (inputBytes + TargetZFileBytes - 1) / TargetZFileBytes
+    math.max(MinZFiles.toLong, proportional).min(Int.MaxValue).toInt
+  }
 
   private def stamped(s: SparkSession, d: String, name: String): String = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -111,6 +120,10 @@ object LakeMaintenance {
   def zorderedOrders(s: SparkSession, d: String): String = {
     val dir = stamped(s, d, "zorder")
     if (!success(s, dir)) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val nFiles = zFileCount(fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$d/orders.parquet")).getLength)
       val o = Tables.orders(s, d)
         .withColumn("o_orderdate_day",
           datediff(col("o_orderdate").cast(DateType), lit("1990-01-01").cast(DateType))
@@ -124,7 +137,7 @@ object LakeMaintenance {
         .bitwiseOR(shiftleft(spread16(norm16(col("o_orderdate_day"), dd0, dd1)), 1))
       o.withColumn("zval", z)
         .drop("o_orderdate_day")
-        .repartitionByRange(ZFiles, col("zval"))
+        .repartitionByRange(nFiles, col("zval"))
         .sortWithinPartitions("zval")
         .write.mode("overwrite").parquet(dir)
     }

@@ -69,11 +69,13 @@ object JdbcSink {
   /** Caps concurrent DB connections exactly like the reference's
     * `Semaphore::new(10)` capped in-flight inserts: one JDBC
     * connection per partition, so ≤ numPartitions connections
-    * regardless of cluster parallelism. Narrow (coalesce, no
-    * shuffle); never widens an already-thin input. */
+    * regardless of cluster parallelism. Unconditional `coalesce`:
+    * it is already a planning no-op on an input at or under the cap
+    * (coalesce never widens), so no partition-count probe is needed —
+    * probing via `df.rdd` would force a second physical planning of
+    * the whole lineage just to learn a number the operator ignores. */
   def bounded(df: DataFrame, numPartitions: Int = 10): DataFrame =
-    if (df.rdd.getNumPartitions > numPartitions) df.coalesce(numPartitions)
-    else df
+    df.coalesce(numPartitions)
 }
 
 /** Test/offline sink: same trait, parquet directory instead of a DB. */

@@ -40,6 +40,16 @@ class LakeMaintenanceSpec extends AnyFunSuite {
       s"compaction increased file count (${before.size} before)")
   }
 
+  test("z-file count is proportional to bytes, floored for small tables") {
+    // fixtures (MB-scale): floor dominates, layout stays the pinned 64
+    assert(LakeMaintenance.zFileCount(2700000L) == 64)
+    assert(LakeMaintenance.zFileCount(0L) == 64)
+    // at scale: ~1 GiB files, proportional (the scaladoc's 100 TB story)
+    assert(LakeMaintenance.zFileCount(100L << 40) == 100L * 1024)
+    assert(LakeMaintenance.zFileCount((1L << 30) + 1) == 64) // still under floor*target
+    assert(LakeMaintenance.zFileCount(65L << 30) == 65)
+  }
+
   test("i10: z-ordered files have narrow envelopes on BOTH dimensions") {
     val dir = LakeMaintenance.zorderedOrders(s, d)
     val df = s.read.parquet(dir)
