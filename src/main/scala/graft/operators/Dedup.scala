@@ -98,15 +98,31 @@ object Dedup {
       .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** (doc_id, band_idx, band_hash) LSH band keys from the minhash
-    * signature — the candidate-join key space. */
-  def bandedKeys(docs: DataFrame): DataFrame = {
+  /** (doc_id, band_idx, band_hash) rows from a (doc_id, sig) relation —
+    * the banding step alone, reusable over signatures that were
+    * PERSISTED instead of just computed (the d12 incremental path). */
+  private def bandsFromSigs(sigs: DataFrame): DataFrame = {
     val r = NumHashes / Bands
-    minhashSignatures(docs).select(col("doc_id"),
+    sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map { b =>
         xxhash64((col("sig")(b * r) +: (1 until r).map(i => col("sig")(b * r + i))): _*)
       }: _*)).as(Seq("band_idx", "band_hash")))
   }
+
+  /** (doc_id, band_idx, band_hash) LSH band keys from the minhash
+    * signature — the candidate-join key space. */
+  def bandedKeys(docs: DataFrame): DataFrame =
+    bandsFromSigs(minhashSignatures(docs))
+
+  /** Estimated jaccard from two 32-long minhash signatures: 32 unrolled
+    * element comparisons, NOT zip_with∘filter — higher-order functions
+    * evaluate interpreted (outside whole-stage codegen) and their
+    * lambda dispatch goes megamorphic as more plans run in the JVM; a
+    * plain sum of element_at equality terms stays inside codegen. */
+  private def sigOverlap(a: Column, b: Column): Column =
+    ((0 until NumHashes).map(i =>
+      when(a(i) === b(i), 1).otherwise(0))
+      .reduce(_ + _).cast(DoubleType) / NumHashes)
 
   /** Full MinHash+LSH candidate-pair pipeline (the d02 body) over any
     * (doc_id, source, text) corpus: band-bucket self-join → unique id
@@ -136,14 +152,74 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
         .hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        // 32 unrolled element comparisons, NOT zip_with∘filter:
-        // higher-order functions evaluate interpreted (outside
-        // whole-stage codegen) and their lambda dispatch goes
-        // megamorphic as more plans run in the JVM; a plain sum of
-        // element_at equality terms stays inside codegen.
-        ((0 until NumHashes).map(i =>
-          when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
-          .reduce(_ + _).cast(DoubleType) / NumHashes).as("est_jaccard"))
+        sigOverlap(col("sig_a"), col("sig_b")).as("est_jaccard"))
+  }
+
+  /** Persisted MinHash band index of a corpus — the artifact that makes
+    * dedup INCREMENTAL (d12). A real 100 TB pipeline ingests daily
+    * shards; rescanning and re-shingling the whole corpus to dedup one
+    * shard would be O(corpus) per day. Instead the corpus is signed
+    * ONCE and two slim tables persist: `sigs` (doc_id, 32-long
+    * signature — ~260 B/doc) and `bands` (doc_id, band_idx, band_hash —
+    * 8 rows × ~24 B/doc). A new shard then signs only ITSELF and joins
+    * its band keys against the persisted index; corpus text is never
+    * read again. Layout is stamped with the source file identity AND
+    * the signature geometry (NumHashes/Bands), so either a fixture
+    * regeneration or a constant change invalidates the cache instead of
+    * silently joining against keys hashed under the old scheme. */
+  def minhashIndexDir(s: SparkSession, d: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val st = fs.getFileStatus(src)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${st.getModificationTime}_${fs.getContentSummary(src).getLength}" +
+      s"_h${NumHashes}b$Bands"
+    val dir = graft.LocalScratch.scratchDir + s"/graft_minhash_idx_$tag"
+    val built = Seq("sigs", "bands").forall(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t/_SUCCESS")))
+    if (!built) {
+      minhashSignatures(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(s"$dir/sigs")
+      // bands derive from the WRITTEN sigs, so corpus text is scanned
+      // exactly once even during the build
+      bandsFromSigs(s.read.parquet(s"$dir/sigs"))
+        .write.mode("overwrite").parquet(s"$dir/bands")
+    }
+    dir
+  }
+
+  /** Dedup a NEW shard against a persisted corpus index (d12): sign the
+    * shard, band-join its keys against the index's `bands` table,
+    * dedupe candidate id pairs, then score each pair once from the two
+    * signature relations (shard-side in-plan, corpus-side from the
+    * index's `sigs` table). Returns (new_id, dup_of, est_jaccard). The
+    * corpus side of this plan reads ONLY the index parquet — no
+    * document text (pinned by PlanQualitySpec). Same shapes and hints
+    * as [[minhashPairs]]: slim (band, id) rows through the candidate
+    * join, signatures joined after pair-dedup, shuffle_hash everywhere
+    * a post-aggregate estimate could mis-broadcast. */
+  def incrementalDupes(s: SparkSession, shard: DataFrame,
+                       indexDir: String): DataFrame = {
+    // referenced twice (banding + scoring): truncate so the shard is
+    // shingled/signed once, not re-run per consumer
+    val shardSigs = minhashSignatures(shard).truncatedLazy
+    val cands = bandsFromSigs(shardSigs)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
+      .hint("shuffle_hash")
+      .join(s.read.parquet(s"$indexDir/bands")
+          .select(col("band_idx"), col("band_hash"), col("doc_id").as("dup_of")),
+        Seq("band_idx", "band_hash"))
+      .select("new_id", "dup_of")
+      .distinct()
+    cands
+      .join(shardSigs.select(col("doc_id").as("new_id"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), Seq("new_id"))
+      .join(s.read.parquet(s"$indexDir/sigs")
+        .select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), Seq("dup_of"))
+      .select(col("new_id"), col("dup_of"),
+        sigOverlap(col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
 
   /** Full SimHash near-dup pipeline (the d03 body): 64-bit fingerprint
@@ -214,14 +290,14 @@ object Dedup {
     * doubled every pipeline stage and made the gate cost 2.5× the
     * operator it checks) while still spanning ~100 ground-truth pairs
     * at the gate SF. */
-  private def withTwins(docs: DataFrame): DataFrame = {
-    val twins = docs
-      .filter(col("doc_id") % 5 === 0 &&
-        size(split(col("text"), "\\s+")) >= 4)
-      .withColumn("doc_id", col("doc_id") + lit(TwinOffset))
-      .withColumn("text", regexp_replace(col("text"), "\\s+\\S+$", ""))
-    docs.unionByName(twins)
-  }
+  private def twinsOf(docs: DataFrame): DataFrame = docs
+    .filter(col("doc_id") % 5 === 0 &&
+      size(split(col("text"), "\\s+")) >= 4)
+    .withColumn("doc_id", col("doc_id") + lit(TwinOffset))
+    .withColumn("text", regexp_replace(col("text"), "\\s+\\S+$", ""))
+
+  private def withTwins(docs: DataFrame): DataFrame =
+    docs.unionByName(twinsOf(docs))
 
   /** (n_twins, found) → single assertion row mirrored by a literal in
     * the oracle. Join on a literal key, not crossJoin: two 1-row
@@ -422,6 +498,66 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // d12: INCREMENTAL dedup recall gate — the daily-ingest shape. The
+    // "existing corpus" is indexed once (persisted sigs + band keys,
+    // cached per source stamp under scratch); the "new shard" is the
+    // d06 twin set (known near-dups of every 5th corpus doc). The gate
+    // asserts the shard-vs-index path recovers ≥ 95% of the twins
+    // WITHOUT rescanning corpus text — the plan-shape half of that
+    // claim is pinned in PlanQualitySpec, the recall half here. Oracle
+    // derives the twin count by plain SQL exactly like d06.
+    "d12_incremental_dedup" -> ((s, d) => {
+      val idx = minhashIndexDir(s, d)
+      val shard = twinsOf(Tables.documents(s, d))
+      val found = incrementalDupes(s, shard, idx)
+        .filter(col("dup_of") === col("new_id") - TwinOffset &&
+          col("est_jaccard") >= 0.5)
+      recallRow(
+        shard.agg(count(lit(1)).as("n_twins")),
+        found.agg(count(lit(1)).as("n_found")),
+        minRecall = 0.95)
+    }),
+
+    // d13: SemDeDup-style semantic dedup DROP LIST — for every vector
+    // that has a same-cell neighbor above the cosine threshold with a
+    // SMALLER id, emit (vec_id, dup_of, max_cos): the min-id keeper
+    // policy, consistent with c12's canonicalization (keeper = min id;
+    // d13 applies it per-pair greedily — the SemDeDup paper's policy —
+    // rather than per connected component, so a chain a~b~c keeps a
+    // and drops b, c exactly like c12 would). Threshold 0.3 is
+    // fixture-honest (the synthetic embeddings are near-uniform, so a
+    // production-style 0.9 matches nothing but injected twins — d14
+    // asserts that path); only the constant changes at 100 TB. Cell
+    // assignment isn't SQL-expressible (same as s03) → rows-only
+    // check here, recall teeth in d14.
+    "d13_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      semanticDupePairs(emb, minCos = 0.3)
+        .groupBy(col("id_b").as("vec_id"))
+        .agg(min(col("id_a")).as("dup_of"),
+          round(max(col("cos")), 6).as("max_cos"))
+        .orderBy("vec_id")
+    }),
+
+    // d14: hash-checkable recall gate for d13, in the d09 style —
+    // inject twin vectors (cosine ≈ 0.999) for every 5th vec_id and
+    // assert the clustered pipeline drops ≥ 95% of them: a twin and
+    // its original are near-identical in embedding space, so they must
+    // share a probed cell (nProbe=2 covers the boundary straddle) and
+    // the twin (larger id) must land on the drop list.
+    "d14_semdedup_recall" -> ((s, d) => {
+      val corpus = withVectorTwins(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v")))
+      val found = semanticDupePairs(corpus, minCos = 0.9)
+        .filter(col("id_b") === col("id_a") + TwinOffset)
+      recallRow(
+        corpus.filter(col("vec_id") >= TwinOffset)
+          .agg(count(lit(1)).as("n_twins")),
+        found.agg(count(lit(1)).as("n_found")),
+        minRecall = 0.95)
+    }),
+
     // d09: hash-checkable recall gate for d08, in the d06 style —
     // inject twin vectors (deterministic ±5% per-dim perturbation,
     // cosine ≈ 0.999) for every 5th vec_id and assert the LSH-banded
@@ -469,6 +605,47 @@ object Dedup {
       .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cos") > minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (the d13 body; public
+    * technique: Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — cluster the
+    * embedding space coarsely, then compare only WITHIN clusters, so
+    * the pair space is Σ|cell|² with |cell| held at ~125 by sizing the
+    * cell count to the corpus). This is the embedding-space complement
+    * of d08's pairwise LSH: LSH buckets catch near-identical
+    * DIRECTIONS; k-means cells group by REGION, the shape SemDeDup
+    * uses to find semantic (not just angular) duplicates.
+    *
+    * Reuses the s03 IVF machinery (Similarity.ivfCellRanks) with
+    * nProbe = 2: each vector belongs to its TWO nearest cells, and a
+    * pair is a candidate if any probed cell is shared — the multi-
+    * probe overlap de-flakes the classic SemDeDup miss where two
+    * near-identical vectors straddle a cell boundary. Candidate join
+    * carries slim (cid, id) rows; vectors re-join AFTER pair dedup
+    * (the minhashPairs/d08 shape); exact cosine re-ranks. Cell count
+    * scales as corpus/125 (memoized approx-count job), so occupancy —
+    * and the within-cell pair space — stays bounded at any corpus
+    * size. */
+  def semanticDupePairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val k = math.max(16,
+      math.ceil(Similarity.approxCorpusSize(emb) / 125.0).toInt)
+    val probed = Similarity.ivfCellRanks(emb, k, nProbe = 2, kmIters = 2)
+      .select(col("cid"), col("vec_id"))
+    val pairs = probed.select(col("cid"), col("vec_id").as("id_a"))
+      .hint("shuffle_hash")
+      .join(probed.select(col("cid"), col("vec_id").as("id_b")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") > minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Twin vectors for the d09 gate: every 5th vec_id duplicated at
@@ -563,6 +740,18 @@ object Dedup {
       WHERE doc_id % 5 = 0 AND len(string_split_regex(text, '\s+')) >= 4""",
 
     "d09_embedding_lsh_recall" -> """
+      SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
+      FROM embeddings WHERE vec_id % 5 = 0""",
+
+    // d12's shard is exactly the d06 twin set, so the oracle's twin
+    // count is the same plain SQL; recall_ok pins the assertion.
+    "d12_incremental_dedup" -> """
+      SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
+      FROM documents
+      WHERE doc_id % 5 = 0 AND len(string_split_regex(text, '\s+')) >= 4""",
+
+    // d14's twin set mirrors d09's (every 5th vec_id).
+    "d14_semdedup_recall" -> """
       SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
       FROM embeddings WHERE vec_id % 5 = 0""",
 

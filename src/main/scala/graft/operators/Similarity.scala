@@ -84,6 +84,18 @@ object Similarity {
   private val geomCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Long), Int]()
 
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Long), Long]()
+
+  /** Approximate corpus cardinality for geometry sizing (LSH bits, IVF
+    * cell count) — one cheap column-pruned job, memoized per plan per
+    * session exactly like [[lshGeometry]]'s bit sizing. */
+  private[operators] def approxCorpusSize(df: DataFrame): Long =
+    sizeCache.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.analyzed.semanticHash().toLong),
+      _ => math.max(1L,
+        df.agg(approx_count_distinct(col("vec_id"))).head().getLong(0)))
+
   private def lshGeometry(df: DataFrame): (Int, Int) = {
     val c = df.sparkSession.conf
     val bands = c.getOption(BandsConf).map(_.toInt).getOrElse(NumBands)
@@ -158,6 +170,84 @@ object Similarity {
       .select(col("vec_id"), explode(col("bands")).as("band"))
       .select(col("vec_id"),
         col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+
+  /** The IVF (inverted-file) core, shared by s03 and the SemDeDup-
+    * style semantic dedup (graft.operators.Dedup d13): coarse k-means
+    * over a deterministic 25% hash-sample, then ONE full-corpus
+    * scoring pass returning each vector's nProbe nearest cells as
+    * (vec_id, v, cid, crk), lineage-truncated so every consumer leg
+    * reads the materialized assignment instead of re-running it.
+    *
+    * Centroids START as a deterministic corpus sample (k vectors with
+    * the smallest xxhash64(vec_id)) and are REFINED by Lloyd
+    * iterations in long form (assign → per-(cid, dim) mean → repack):
+    * random-sample cells over near-uniform data are badly unbalanced,
+    * and the k-means step is what moves cell boundaries to where the
+    * data is. Training runs on the 25% hash-sample (xxhash64(vec_id)
+    * mod 4 — the standard IVF practice: centroid quality needs
+    * representative data, not all of it). The per-dim means are
+    * rounded to 9 decimals so double accumulation order (shuffle-
+    * dependent) can never leak into cell assignments — results stay
+    * deterministic across runs. */
+  private[operators] def ivfCellRanks(emb: DataFrame, k: Int,
+                                      nProbe: Int, kmIters: Int): DataFrame = {
+    val train = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .truncatedLazy // blocks pin inside round 1's job, rounds 2+ re-read
+    var cents = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("c_seed"), col("v").as("cv"))
+      .withColumn("cid", row_number().over(
+        Window.orderBy(col("c_seed"))))
+      .select(col("cid"), col("cv"))
+    // Per-vector nearest-k cells WITHOUT a window: the crossJoin
+    // preserves the corpus partitioning, so every vec_id's k scored
+    // rows sit in one task and the bounded-heap TopKRows aggregate
+    // finishes map-side — no sort, and the shuffle carries kk rows
+    // per vector instead of all k. Ordering (-sim, cid) ≡ the
+    // row_number ordering (sim DESC, cid ASC), so cell assignments
+    // are unchanged. first(v) is safe: all rows of a vec_id carry
+    // the identical vector.
+    def assign(data: DataFrame, c: DataFrame, kk: Int): DataFrame =
+      data.crossJoin(broadcast(c))
+        .withColumn("sim", cosine(col("v"), col("cv")))
+        .groupBy("vec_id")
+        .agg(first(col("v")).as("v"),
+          graft.functions.TopKRows.topk(
+            struct((-col("sim")).as("ns"), col("cid").as("cid")), kk).as("cells"))
+        .select(col("vec_id"), col("v"),
+          posexplode(col("cells")).as(Seq("pos", "e")))
+        .select(col("vec_id"), col("v"), col("e.cid").as("cid"),
+          (col("pos") + 1).as("crk"))
+    for (_ <- 1 to kmIters) {
+      val members = assign(train, cents, 1)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      cents = members
+        .groupBy("cid", "dim").agg(round(avg(col("x")), 9).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        // k centroid rows only — the interpreted lambda is off the
+        // hot path; the per-row work upstream is all codegen'd.
+        // The plan cut stops each round re-running the last, and
+        // LAZY means no dedicated per-round job — the next round's
+        // (or the assignment pass's) own job computes and pins the
+        // blocks. Round-6 A/B at sf0.1: eager checkpoints 4.73 s →
+        // lazy 1.68 s (s05 gate 2.57 → 1.38), same assignments — the
+        // 9-decimal mean rounding keeps the centroid values
+        // order-independent either way.
+        .select(col("cid"), expr("transform(dm, e -> e.m)").as("cv"))
+        .truncatedLazy
+    }
+    // ONE full-corpus scoring pass, materialized slim (crk ≤ nProbe
+    // only): every consumer leg reads this instead of re-running the
+    // crossJoin + per-vector rank. LAZY: the first consumer's job
+    // computes+pins the blocks — no dedicated materialization job
+    // (cf. q51's round-6 fix).
+    assign(emb, cents, nProbe)
+      .select(col("vec_id"), col("v"), col("cid"), col("crk"))
+      .truncatedLazy
+  }
 
   /** Per-query top-5 re-rank WITHOUT a window: groupBy(q_id) with the
     * bounded-heap [[graft.functions.TopKRows]] aggregate. The window
@@ -303,69 +393,9 @@ object Similarity {
     // — recall vs s01 is asserted by the s05 gate, rows-only check
     // here.
     "s03_ann_ivf" -> ((s, d) => {
-      val K = 16       // IVF cells
-      val NProbe = 5   // cells probed per query
-      val KmIters = 2  // Lloyd refinement rounds
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-      val train = emb
-        .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
-        .truncatedLazy // blocks pin inside round 1's job, rounds 2+ re-read
-      var cents = emb
-        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-        .limit(K)
-        .select(col("vec_id").as("c_seed"), col("v").as("cv"))
-        .withColumn("cid", row_number().over(
-          Window.orderBy(col("c_seed"))))
-        .select(col("cid"), col("cv"))
-      // Per-vector nearest-k cells WITHOUT a window: the crossJoin
-      // preserves the corpus partitioning, so every vec_id's K scored
-      // rows sit in one task and the bounded-heap TopKRows aggregate
-      // finishes map-side — no sort, and the shuffle carries k rows
-      // per vector instead of all K. Ordering (-sim, cid) ≡ the
-      // row_number ordering (sim DESC, cid ASC), so cell assignments
-      // are unchanged. first(v) is safe: all rows of a vec_id carry
-      // the identical vector.
-      def assign(data: DataFrame, c: DataFrame, k: Int): DataFrame =
-        data.crossJoin(broadcast(c))
-          .withColumn("sim", cosine(col("v"), col("cv")))
-          .groupBy("vec_id")
-          .agg(first(col("v")).as("v"),
-            graft.functions.TopKRows.topk(
-              struct((-col("sim")).as("ns"), col("cid").as("cid")), k).as("cells"))
-          .select(col("vec_id"), col("v"),
-            posexplode(col("cells")).as(Seq("pos", "e")))
-          .select(col("vec_id"), col("v"), col("e.cid").as("cid"),
-            (col("pos") + 1).as("crk"))
-      for (_ <- 1 to KmIters) {
-        val members = assign(train, cents, 1)
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        cents = members
-          .groupBy("cid", "dim").agg(round(avg(col("x")), 9).as("m"))
-          .groupBy("cid")
-          .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
-          // 16 centroid rows only — the interpreted lambda is off the
-          // hot path; the per-row work upstream is all codegen'd
-          // 16 rows; the plan cut stops each round re-running the
-          // last, and LAZY means no dedicated per-round job — the
-          // next round's (or the assignment pass's) own job computes
-          // and pins the blocks. Round-6 A/B at sf0.1: eager
-          // checkpoints 4.73 s → lazy 1.68 s (s05 gate 2.57 → 1.38),
-          // same assignments — the 9-decimal mean rounding keeps the
-          // centroid values order-independent either way.
-          .select(col("cid"), expr("transform(dm, e -> e.m)").as("cv"))
-          .truncatedLazy
-      }
-      // ONE full-corpus scoring pass, materialized slim (crk ≤ nprobe
-      // only): the corpus leg (crk=1) and the query-probe leg
-      // (vec_id<10, crk ≤ nprobe) both read this instead of each
-      // re-running the crossJoin + per-vector rank.
-      val cellRanks = assign(emb, cents, NProbe)
-        .select(col("vec_id"), col("v"), col("cid"), col("crk"))
-        // LAZY: the probe leg's broadcast job computes+pins first, the
-        // corpus leg then reads pinned blocks — one assignment pass,
-        // no dedicated materialization job (cf. q51's round-6 fix).
-        .truncatedLazy
+      val cellRanks = ivfCellRanks(emb, k = 16, nProbe = 5, kmIters = 2)
       val assigned = cellRanks.filter(col("crk") === 1)
         .select(col("vec_id"), col("v"), col("cid"))
       val q = cellRanks.filter(col("vec_id") < 10)

@@ -108,6 +108,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"box filters not pushed to the scan:\n$p")
   }
 
+  test("d12: the corpus side reads only the persisted band index, never corpus text") {
+    // The whole point of the incremental path: dedup a NEW shard
+    // against the index WITHOUT rescanning/re-shingling the corpus.
+    // Build the plan over a hand-made shard whose lineage is
+    // independent of the documents table — the only parquet scans
+    // left must be the index's sigs/bands tables.
+    import org.apache.spark.sql.functions._
+    val idx = graft.operators.Dedup.minhashIndexDir(s, d)
+    val shard = s.range(1).select(
+      (col("id") + 9000000L).as("doc_id"),
+      lit("web").as("source"),
+      lit("the quick brown fox jumps over the lazy dog").as("text"))
+    val p = graft.operators.Dedup.incrementalDupes(s, shard, idx)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      s"d12 rescans corpus text — the incremental contract is broken:\n$p")
+    assert(p.contains("graft_minhash_idx_") || p.contains("/sigs") || p.contains("/bands"),
+      s"d12 does not read the persisted index:\n$p")
+    // and the operator itself, as registered, also keeps its corpus
+    // side on the index: its ONLY documents scans are shard-side
+    // (twin construction), which read-prunes to (doc_id, source, text)
+    val full = plan("d12_incremental_dedup")
+    assert(full.contains("graft_minhash_idx_"),
+      s"registered d12 lost the persisted index:\n$full")
+  }
+
   test("no query in the registered surface plans a cartesian product") {
     // Brute-force similarity scans legitimately cross-join a BROADCAST
     // side of bounded size (10 query vectors / K centroids) — the scan
@@ -121,6 +147,10 @@ class PlanQualitySpec extends AnyFunSuite {
     val broadcastNljOk = Set("s01_cosine_topk", "s03_ann_ivf",
       "s04_lsh_recall", "s05_ivf_recall",
       "d06_minhash_recall", "d07_simhash_recall", "d09_embedding_lsh_recall",
+      // d12's recall row is the same two-1-row-aggregates literal join;
+      // d13/d14 assign IVF cells via crossJoin(broadcast(K centroids))
+      // — bounded by construction, the s03 class.
+      "d12_incremental_dedup", "d13_semantic_dedup", "d14_semdedup_recall",
       "a05_hll_union_bounds", "c06_vocab_coverage")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
