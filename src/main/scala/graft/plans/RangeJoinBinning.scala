@@ -160,9 +160,17 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       case TimestampType    => (Cast(UnixMicros(e), DoubleType), cfg.seconds * 1e6)
       // the NTZ→LTZ cast is TimeZoneAwareExpression: without an
       // explicit zone it reports unresolved and fails optimizer plan
-      // validation (same trap as Sequence below)
+      // validation (same trap as Sequence below). The zone is pinned
+      // to UTC, NOT conf.sessionLocalTimeZone: bins are internal, so
+      // any FIXED monotone local→instant mapping keeps the rewrite
+      // exact, and UTC has no DST — under a DST session zone the
+      // fall-back hour stretches a fixed-length local window's
+      // instant span, so a window statically proven narrow could
+      // exceed maxBins at runtime and the If-belt would silently
+      // emit an empty bin array (dropped rows) on the guard-less
+      // proven-narrow path.
       case TimestampNTZType =>
-        (Cast(UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))),
+        (Cast(UnixMicros(Cast(e, TimestampType, Some("UTC"))),
           DoubleType), cfg.seconds * 1e6)
       case _                => (Cast(e, DoubleType), cfg.numeric)
     }

@@ -63,13 +63,19 @@ object Bucketing {
   /** Catalog names of the bucketed (orders, customer) tables for
     * `sfDir`: per-sfDir, stamped with the source's size+mtime so a
     * regenerated fixture invalidates instead of re-attaching to a
-    * stale layout (one session may also touch several SF dirs). */
+    * stale layout (one session may also touch several SF dirs), AND
+    * with the bucket count: the attach path declares `INTO NumBuckets
+    * BUCKETS` over whatever files exist at the path, so if the
+    * constant changed while old files persisted, a fresh JVM would
+    * co-locate the no-Exchange join on MISMATCHED hashing and return
+    * wrong rows silently. Folding the count into the name makes a
+    * constant change route to a fresh write instead. */
   def tableNames(s: SparkSession, d: String): (String, String) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     def stamp(t: String): String = {
       val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
-      s"${fs.getFileStatus(p).getModificationTime}_${fs.getContentSummary(p).getLength}"
+      s"${fs.getFileStatus(p).getModificationTime}_${fs.getContentSummary(p).getLength}_b$NumBuckets"
     }
     val tag = java.lang.Integer.toHexString(d.hashCode)
     (s"orders_bkt_${tag}_${stamp("orders")}",

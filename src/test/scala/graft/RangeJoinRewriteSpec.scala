@@ -151,6 +151,39 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       s"binned=${got.length} rows, expected=${want.length}")
   }
 
+  test("NTZ binning is DST-independent: exact under a non-UTC session zone") {
+    // Binning maps NTZ operands to instants through a FIXED UTC zone,
+    // not the session zone: under a DST zone the fall-back hour
+    // stretches a fixed-length local window's instant span, so a
+    // window statically proven narrow could exceed maxBins at runtime
+    // and the If-belt would silently drop its rows. This pins the fix:
+    // same join as the NTZ test above but spanning the US fall-back
+    // transition (2 a.m. Nov 3 1996) under America/New_York — counts
+    // must match the plain nested-loop ground truth exactly.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val base = java.time.LocalDateTime.parse("1996-11-03T00:00:00")
+      val pts = (0 until 300).map(i => Tuple1(base.plusMinutes(i * 3L))).toDF("p")
+      assert(pts.schema("p").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      val ivs = (0 until 8).map(i => Tuple1(base.plusHours(i))).toDF("lo")
+        .withColumn("hi", col("lo") + expr("INTERVAL 45 MINUTES"))
+      val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_bin"), s"NTZ range join did not bin:\n$plan")
+      val want = (for {
+        i <- 0 until 300; j <- 0 until 8
+        p = base.plusMinutes(i * 3L); lo = base.plusHours(j.toLong)
+        if !p.isBefore(lo) && !p.isAfter(lo.plusMinutes(45))
+      } yield 1).size
+      assert(joined.count() === want,
+        s"NTZ rewrite dropped rows across the DST fall-back under a non-UTC zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
+
   test("numeric bin width is independently configurable") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
