@@ -259,19 +259,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // AQE OFF for the local single-JVM benchmark, ON for a real
-      // cluster (DEPLOYMENT.md). Round 4's 106-query A/B (118.0 AQE-on
-      // vs 123.3 off) argued for on-by-default; the round-5 FULL
-      // surface falsified that for the iterative family: with scratch
-      // IO held constant (tmpfs local.dir), c03's contraction loop
-      // measured 73 s AQE-on vs 6–19 s off. Mechanism: every
-      // `.truncated` round re-enters AQE, which re-plans and re-
-      // CODEGENS each shuffle stage — O(rounds × stages) Janino
-      // compiles of single-use plans over KB-scale rounds, a fixed
-      // cost nothing amortizes locally. On a cluster each round is
-      // GB-scale and the same cost is noise — set SPARK_GRAFT_AQE=true
-      // there (the one-query delta is documented in BASELINE.md).
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // AQE ON by default — matching the DEPLOYMENT.md cluster
+      // recommendation, so the measured config IS the shipped config.
+      // History: round-5's FULL surface saw c03's contraction loop hit
+      // 73 s AQE-on (re-planning + re-codegen of every lazily-cut
+      // round), arguing for off-locally. The round-6 lazy-truncation
+      // rework removed that pathology, and two same-surface A/Bs since
+      // (r8: 112.3 s on vs 116.6 s off; c03 4.6 s, c11 4.1 s AQE-on)
+      // confirm on is now neutral-to-faster everywhere. Set
+      // SPARK_GRAFT_AQE=false only to reproduce historical off runs.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // AQE partition coalescing targets 64 MB partitions BY BYTES.
       // The fixtures are single-digit-MB but CPU-dense (hashing,
       // signatures, similarity math), so coalescing collapses every

@@ -16,7 +16,7 @@ object Verify {
       // verifies are the plans the bench measures.
       .config("spark.sql.autoBroadcastJoinThreshold", "4m")
       // see Bench.scala: AQE off locally (codegen-class churn), on for clusters
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // Align whole-stage-codegen fallback with HotSpot's 8000-bytecode
       // JIT ceiling (DontCompileHugeMethods): a fused method over this
       // size would never be JIT-compiled and runs interpreted at 10-50x.
