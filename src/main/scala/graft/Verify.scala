@@ -15,7 +15,7 @@ object Verify {
       // Same join-planning knobs as Bench, so the plans the oracle
       // verifies are the plans the bench measures.
       .config("spark.sql.autoBroadcastJoinThreshold", "4m")
-      // see Bench.scala: AQE off locally (codegen-class churn), on for clusters
+      // see Bench.scala: AQE on by default everywhere since round 9
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // Align whole-stage-codegen fallback with HotSpot's 8000-bytecode
       // JIT ceiling (DontCompileHugeMethods): a fused method over this

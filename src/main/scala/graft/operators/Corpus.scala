@@ -199,15 +199,7 @@ object Corpus {
     // docs) no matter how big the corpus grows, so at 100 TB this
     // stays one scan + broadcast hash join + two hash aggregates.
     "c08_decontaminate" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
-        .withColumn("t2", lead("tok", 1).over(w))
-        .withColumn("t3", lead("tok", 2).over(w))
-        .filter(col("t3").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("gram"))
-        .distinct()
+      val grams = distinctTrigrams(s, d)
       val bench = grams.filter(col("doc_id") % 97 === 0)
         .select("gram").distinct()
       val corp = grams.filter(col("doc_id") % 97 =!= 0)
@@ -351,8 +343,66 @@ object Corpus {
         .select(col("source"), col("doc_id"), col("epoch").cast(IntegerType).as("epoch"),
           round(col("weight"), 6).as("weight"))
         .orderBy("source", "doc_id", "epoch")
+    }),
+
+    // c14: Bloom-filter decontamination — the constant-memory variant
+    // of c08 for when even the benchmark gram SET is inconvenient to
+    // ship: the bench grams fold into a ~60 KB Bloom sketch
+    // (fpp 1e-4) once, and every corpus gram probes the broadcast
+    // sketch with zero shuffle — no join at all on the corpus side,
+    // the shape used for web-scale decontamination passes. A Bloom
+    // filter has NO false negatives, so every exactly-contaminated
+    // doc must be flagged (n_false_neg pinned 0 in the gate row), and
+    // per-gram false positives are bounded by fpp — the doc-level FP
+    // rate (1 - (1-fpp)^grams ≈ grams·fpp ≈ 1–2%) is asserted ≤ 5%.
+    // The sketch probe is a closure over the driver-built filter —
+    // the one place a UDF is the right tool (no Catalyst builtin
+    // evaluates a BloomFilter; the sketch itself is the a06-class
+    // bounded driver object, constant-size in corpus rows). Gate-row
+    // oracle in the d06 style: the exact legs come from SQL, the
+    // sketch-dependent legs are structural constants (0 false
+    // negatives by the filter's contract, fp bound by geometry).
+    "c14_bloom_decontaminate" -> ((s, d) => {
+      val grams = distinctTrigrams(s, d).truncatedLazy // bench + corpus legs
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      val nBench = bench.count()
+      val bf = bench.stat.bloomFilter("gram", math.max(1000L, nBench), 1e-4)
+      val mightContain = udf((g: String) => bf.mightContain(g))
+      val corp = grams.filter(col("doc_id") % 97 =!= 0)
+      val flagged = corp
+        .groupBy("doc_id")
+        .agg(max(when(mightContain(col("gram")), 1L).otherwise(0L)).as("bloom_hit"))
+      val exact = corp.join(broadcast(bench.withColumn("hit", lit(1L))),
+          Seq("gram"), "left_outer")
+        .groupBy("doc_id")
+        .agg(max(coalesce(col("hit"), lit(0L))).as("exact_hit"))
+      flagged.join(exact, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_corpus_docs"),
+          sum(col("exact_hit")).as("n_contaminated"),
+          sum(when(col("exact_hit") === 1L && col("bloom_hit") === 0L, 1L)
+            .otherwise(0L)).as("n_false_neg"),
+          when(sum(when(col("exact_hit") === 0L && col("bloom_hit") === 1L, 1L)
+              .otherwise(0L)).cast(DoubleType) <=
+            sum(when(col("exact_hit") === 0L, 1L).otherwise(0L))
+              .cast(DoubleType) * 0.05, 1L).otherwise(0L).as("fp_ok"))
     })
   )
+
+  /** Distinct word 3-grams per doc (shared by c08 and c14): built
+    * row-wise — posexplode + window leads, the t06/shingleRows shape,
+    * no interpreted HOF — and deduped per doc. */
+  private def distinctTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead("tok", 1).over(w))
+      .withColumn("t3", lead("tok", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("gram"))
+      .distinct()
+  }
 
   /** Rounds the last [[connectedComponents]] call took — exposed for
     * the CorpusSpec round-bound assertion (a path graph that plain
@@ -709,6 +759,34 @@ object Corpus {
       SELECT source, doc_id, CAST(epoch AS INT) AS epoch,
         ROUND(weight, 6) AS weight
       FROM (SELECT * FROM full_leg UNION ALL SELECT * FROM frac_leg)
-      ORDER BY source, doc_id, epoch"""
+      ORDER BY source, doc_id, epoch""",
+
+    // c14: the exact legs (doc universe + contamination count) come
+    // from SQL exactly like c08; the sketch legs are the Bloom
+    // filter's structural guarantees (no false negatives ever; FP
+    // rate under the geometric bound) — a regression in the sketch
+    // path flips them and the hash compare goes red
+    "c14_bloom_decontaminate" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      g0 AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+        FROM t WHERE len(toks) >= 3),
+      bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g0 WHERE doc_id % 97 = 0),
+      corp AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g0 WHERE doc_id % 97 <> 0),
+      perdoc AS (
+        SELECT corp.doc_id,
+          MAX(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS exact_hit
+        FROM corp LEFT JOIN bench USING (gram)
+        GROUP BY corp.doc_id)
+      SELECT COUNT(*) AS n_corpus_docs,
+        CAST(SUM(exact_hit) AS BIGINT) AS n_contaminated,
+        CAST(0 AS BIGINT) AS n_false_neg,
+        CAST(1 AS BIGINT) AS fp_ok
+      FROM perdoc"""
   )
 }

@@ -465,8 +465,137 @@ object Similarity {
         .withColumn("qcos", col("dot").cast(DoubleType) /
           (sqrt(col("n2").cast(DoubleType)) * sqrt(col("qn2").cast(DoubleType))))
       topkPerQuery(scored, col("qcos"), col("vec_id"), "neighbor_id", "q_cos")
-    })
+    }),
+
+    // s07: ANN via PRODUCT QUANTIZATION (Jégou et al., "Product
+    // Quantization for Nearest Neighbor Search", TPAMI'11 — the
+    // codebook half of the FAISS IVF-PQ layout). The 64-dim space
+    // splits into M=8 independent 8-dim subspaces; each learns a
+    // K=16-entry codebook (deterministic hash-seeded sample + one
+    // Lloyd round on a 25% hash sample, the s03 recipe), so a vector
+    // compresses to 8 half-byte codes — 4 bytes instead of 256, a 64×
+    // memory cut, the knob that makes a 100 TB corpus fit a RAM tier.
+    // Queries never touch full vectors until re-rank: each query
+    // builds a (M×K)-entry lookup table of subspace dot products and
+    // partial norms (asymmetric distance computation), the corpus
+    // side joins CODES to the broadcast table — sum of M lookups per
+    // candidate, no vector arithmetic in the scan — and the top-50
+    // shortlist re-ranks by exact cosine. All long-form relational
+    // ops: the ADC scan is a broadcast join + hash aggregate over
+    // (vec_id, m, cid) rows. Per-dim codebook means are rounded to 9
+    // decimals (the s03 rule) so shuffle order never leaks into code
+    // assignments. No SQL oracle (codebook training isn't
+    // expressible); s08 gates recall vs exact s01, rows-only here.
+    "s07_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val codebook = pqCodebook(emb) // (m, cid, cv, cn2)
+      val codes = pqCodes(emb, codebook) // (vec_id, m, cid)
+      // per-query subspace lookup table: dot(q_sub, centroid) and the
+      // centroid's own |c|² — 10 queries × 8 subspaces × 16 cids
+      val luts = pqSubvectors(emb.filter(col("vec_id") < 10))
+        .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
+        .join(codebook, Seq("m"))
+        .select(col("q_id"), col("m"), col("cid"),
+          dot(col("qsub"), col("cv")).as("pdot"), col("cn2"))
+      // ADC: approx dot(q,v) = Σ_m pdot(m, code_m);  |v|² ≈ Σ_m |c_m|²
+      val scored = codes.join(broadcast(luts), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("pdot")).as("adot"), sum(col("cn2")).as("an2"))
+        .withColumn("acos", col("adot") / sqrt(col("an2")))
+      // shortlist 100 per query on the approximate score, then exact
+      // cosine re-rank — the standard PQ two-phase search. 100 (not
+      // 50): near-uniform fixture embeddings are the worst case for a
+      // 16-entry codebook (sf0.001 recall was 32/50 at shortlist 50,
+      // 50/50 at 100); the re-rank side stays 100 rows × |queries|,
+      // constant in corpus size.
+      val short = scored.groupBy("q_id")
+        .agg(graft.functions.TopKRows.topk(
+          struct((-col("acos")).as("ns"), col("vec_id").as("vec_id")), 100).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("e"))
+        .select(col("q_id"), col("e.vec_id").as("vec_id"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val reranked = short
+        .join(emb, Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+      topkPerQuery(reranked, col("cos"), col("vec_id"), "neighbor_id", "cos_sim")
+    }),
+
+    // s08: recall@5 gate for the PQ path vs exact s01 — same teeth as
+    // s04/s05. Measured recall at sf0.01 is 50/50 (the 50-candidate
+    // exact re-rank recovers everything the ADC shortlist surfaces);
+    // threshold 40 sits below that the way s04's does, so the gate
+    // fails only if codebook training, code assignment, or the ADC
+    // shortlist actually breaks — not on benign fixture drift.
+    "s08_pq_recall" -> ((s, d) =>
+      recallVsExact(queries("s01_cosine_topk")(s, d),
+        queries("s07_pq_topk")(s, d), minHits = 40))
   )
+
+  private val PqM = 8       // subspaces
+  private val PqSubDim = 8  // dims per subspace (8×8 = 64)
+  private val PqK = 16      // codebook entries per subspace
+
+  /** (vec_id, m, sub): the M disjoint 8-dim subvectors of each
+    * embedding, via codegen'd slice — no HOF lambda. */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("v"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+
+  /** Squared L2 distance of two equal-length double arrays (left-fold,
+    * same evaluation order class as [[dot]]). */
+  private def l2sq(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), (acc, v) => acc + v)
+
+  /** Per-subspace K-entry codebook: deterministic hash-seeded sample
+    * (the PqK subvectors with the smallest xxhash64(vec_id, m), picked
+    * by a bounded TopKRows heap — no per-subspace sort), refined by
+    * one Lloyd round over a 25% hash sample. Returns
+    * (m, cid, cv, cn2 = |cv|²). */
+  private def pqCodebook(emb: DataFrame): DataFrame = {
+    val subs = pqSubvectors(emb).truncatedLazy // seeds + train + codes read it
+    val seeds = subs
+      .withColumn("h", xxhash64(col("vec_id"), col("m")))
+      .groupBy("m")
+      .agg(graft.functions.TopKRows.topk(
+        struct(col("h"), col("vec_id"), col("sub")), PqK).as("tk"))
+      .select(col("m"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("m"), (col("pos") + 1).as("cid"), col("e.sub").as("cv"))
+    val train = subs.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+    val assigned = pqAssign(train, seeds)
+    val refined = train.join(assigned, Seq("vec_id", "m"))
+      .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .groupBy("m", "cid", "dim").agg(round(avg(col("x")), 9).as("mv"))
+      .groupBy("m", "cid")
+      .agg(sort_array(collect_list(struct(col("dim"), col("mv")))).as("dm"))
+      .select(col("m"), col("cid"), expr("transform(dm, e -> e.mv)").as("cv"))
+    refined
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+      .truncatedLazy // luts + the full-corpus code assignment read it
+  }
+
+  /** Nearest-codebook-entry assignment: (vec_id, m, cid). Candidates
+    * = broadcast codebook (M×K ≤ 128 rows); argmin via the bounded
+    * 1-element TopKRows heap — map-side, no window, ties broken on
+    * cid so assignments are total-ordered and deterministic. */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs.join(broadcast(codebook.select(col("m"), col("cid"), col("cv"))), Seq("m"))
+      .withColumn("d2", l2sq(col("sub"), col("cv")))
+      .groupBy("vec_id", "m")
+      .agg(graft.functions.TopKRows.topk(
+        struct(col("d2"), col("cid").as("cid")), 1).as("tk"))
+      .select(col("vec_id"), col("m"), col("tk").getItem(0).getField("cid").as("cid"))
+
+  /** Full-corpus PQ codes, materialized slim — (vec_id, m, cid) longs
+    * only, the 64×-compressed representation the ADC scan reads. */
+  private def pqCodes(emb: DataFrame, codebook: DataFrame): DataFrame =
+    pqAssign(pqSubvectors(emb), codebook).truncatedLazy
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> """
@@ -508,6 +637,24 @@ object Similarity {
       FROM ranked WHERE rk <= 5""",
 
     "s05_ivf_recall" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) /
+          (SQRT(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+           SQRT(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS n_exact_pairs,
+        CAST(1 AS BIGINT) AS recall_ok
+      FROM ranked WHERE rk <= 5""",
+
+    "s08_pq_recall" -> """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),

@@ -224,42 +224,71 @@ object TextAnalysis {
     // corpus-count tables are post-aggregate intermediates, so the
     // joins are hinted shuffle_hash (never a mis-broadcast of a
     // vocabulary² relation, which for real text is billions of rows).
-    "t08_bigram_logprob" -> ((s, d) => {
+    "t08_bigram_logprob" -> ((s, d) => bigramScores(s, d).orderBy("doc_id")),
+
+    // t09: quality FILTER on the t08 fluency score — the CCNet-style
+    // "drop the worst decile by LM score" pass a corpus pipeline runs
+    // right after scoring. The cutoff is a data-derived quantile, NOT
+    // a global rank: one exact-percentile aggregate reduces the score
+    // column to a single broadcast row, so there is no global sort and
+    // no single-partition window anywhere (`row_number() OVER (ORDER
+    // BY score)` would funnel every doc row through one task). At
+    // 100 TB the only change is percentile → approx_percentile (the
+    // t-digest sketch); the plan shape — linear score pass, 1-row
+    // reduce, broadcast compare — is already the scale shape. The
+    // threshold is rounded to 2 decimals so the Spark and DuckDB
+    // interpolation arithmetic can never disagree in the last ulp.
+    "t09_lm_quality_filter" -> ((s, d) => {
       import graft.Checkpoint.TruncateOps
-      // Bigram construction is NARROW: arrays_zip of two slices of the
-      // one split() array pairs adjacent tokens with zero shuffle.
-      // Slice/ArraysZip are regular codegen'd expressions — NOT the
-      // interpreted HigherOrderFunction path whose per-element
-      // re-split made the original t06 array form O(words²) (see t06;
-      // here split re-evaluates a constant ~5× per doc, not per
-      // token). This replaces the previous posexplode + window-lead
-      // pairing, whose doc_id shuffle + sort of every token row was
-      // the query's dominant stage (gen-sf1: 5.3 s of the 5.7 s
-      // total; the narrow build does the same 2.68 M bigrams in
-      // ~0.5 s).
-      //
-      // `bi` feeds THREE consumers (both count aggregates and the
-      // join probe), so it is lazily truncated: the bigram rows pin
-      // inside the first aggregate's job and the other two consumers
-      // re-read blocks instead of re-running the scan+explode.
-      val toks = split(lower(col("text")), "\\s+")
-      val nPairs = greatest(size(toks) - 1, lit(0))
-      val bi = Tables.documents(s, d)
-        .select(col("doc_id"), explode(arrays_zip(
-          slice(toks, lit(1), nPairs), slice(toks, lit(2), nPairs))).as("p"))
-        .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
-        .truncatedLazy
-      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
-      bi.join(c2.hint("shuffle_hash"), Seq("w1", "w2"))
-        .join(c1.hint("shuffle_hash"), Seq("w1"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(log(col("n2").cast(DoubleType) / col("n1").cast(DoubleType))), 6)
-            .as("bigram_logprob"))
+      // two consumers (threshold agg + final projection) — truncate so
+      // the bigram-LM pipeline runs once, not twice
+      val sc = bigramScores(s, d).truncatedLazy
+      val thr = sc.agg(
+        round(expr("percentile(bigram_logprob, 0.10)"), 2).as("thr"))
+      sc.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_bigrams"), col("bigram_logprob"),
+          when(col("bigram_logprob") > col("thr"), 1L).otherwise(0L)
+            .as("lm_keep"))
         .orderBy("doc_id")
     })
   )
+
+  /** Per-doc mean bigram log-probability (the t08 body, unsorted —
+    * shared by t08 and the t09 quality filter).
+    *
+    * Bigram construction is NARROW: arrays_zip of two slices of the
+    * one split() array pairs adjacent tokens with zero shuffle.
+    * Slice/ArraysZip are regular codegen'd expressions — NOT the
+    * interpreted HigherOrderFunction path whose per-element re-split
+    * made the original t06 array form O(words²) (see t06; here split
+    * re-evaluates a constant ~5× per doc, not per token). This
+    * replaces the previous posexplode + window-lead pairing, whose
+    * doc_id shuffle + sort of every token row was the query's dominant
+    * stage (gen-sf1: 5.3 s of the 5.7 s total; the narrow build does
+    * the same 2.68 M bigrams in ~0.5 s).
+    *
+    * `bi` feeds THREE consumers (both count aggregates and the join
+    * probe), so it is lazily truncated: the bigram rows pin inside the
+    * first aggregate's job and the other two consumers re-read blocks
+    * instead of re-running the scan+explode. */
+  private def bigramScores(s: SparkSession, d: String): DataFrame = {
+    import graft.Checkpoint.TruncateOps
+    val toks = split(lower(col("text")), "\\s+")
+    val nPairs = greatest(size(toks) - 1, lit(0))
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(toks, lit(1), nPairs), slice(toks, lit(2), nPairs))).as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+      .truncatedLazy
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
+    bi.join(c2.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(c1.hint("shuffle_hash"), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("n2").cast(DoubleType) / col("n1").cast(DoubleType))), 6)
+          .as("bigram_logprob"))
+  }
 
   val oracle: Map[String, String] = {
     // token-membership counts mirror size(filter(toks, in marker set))
@@ -384,7 +413,36 @@ object TextAnalysis {
         FROM bi
         JOIN c2 USING (bg)
         JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.w1
-        GROUP BY doc_id ORDER BY doc_id"""
+        GROUP BY doc_id ORDER BY doc_id""",
+
+      // t09: quantile_cont mirrors Spark's exact `percentile` (same
+      // linear interpolation at rank p*(n-1)); both operate on the
+      // identical rounded-6 scores and the threshold is re-rounded to
+      // 2 decimals, so the keep flag cannot split on ulp noise
+      "t09_lm_quality_filter" -> """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+          FROM documents),
+        bi AS (
+          SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), i -> concat_ws(' ', w[i], w[i+1]))
+            ELSE [] END) AS bg
+          FROM t),
+        c2 AS (SELECT bg, COUNT(*) AS n2 FROM bi GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS n1 FROM bi GROUP BY 1),
+        scored AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+            ROUND(AVG(ln(CAST(n2 AS DOUBLE) / n1)), 6) AS bigram_logprob
+          FROM bi
+          JOIN c2 USING (bg)
+          JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.w1
+          GROUP BY doc_id),
+        thr AS (
+          SELECT ROUND(quantile_cont(bigram_logprob, 0.10), 2) AS thr
+          FROM scored)
+        SELECT doc_id, n_bigrams, bigram_logprob,
+          CASE WHEN bigram_logprob > thr THEN 1 ELSE 0 END AS lm_keep
+        FROM scored, thr ORDER BY doc_id"""
     )
   }
 }

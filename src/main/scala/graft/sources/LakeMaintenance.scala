@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 
-/** Lake maintenance — the two rewrite operations a 100 TB parquet lake
-  * runs continuously, neither of which the reference has any notion of
-  * (it reads one file straight through, `/root/reference/src/main.rs:52`):
+/** Lake maintenance — the rewrite operations a 100 TB parquet lake
+  * runs continuously plus the file-statistics index that makes the
+  * rewritten layout cheap to query, none of which the reference has
+  * any notion of (it reads one file straight through,
+  * `/root/reference/src/main.rs:52`):
   *
   *   - **i09 compaction**: streaming/micro-batch ingest leaves each
   *     partition directory full of small files (here: the partitioned
@@ -161,9 +163,73 @@ object LakeMaintenance {
         coalesce(countDistinct(col("o_custkey")), lit(0L)).as("n_custs"))
   }
 
+  /** Zone-map (file-statistics) index over the z-ordered layout: one
+    * row per data file with the min/max envelope of the two clustered
+    * dimensions plus a row count — the manifest-stats pattern every
+    * table format keeps (Iceberg manifests, Delta Add.stats, Hudi
+    * column_stats). Parquet row-group stats (i10) prune INSIDE files
+    * the scan already opened; the zone map prunes files BEFORE the
+    * scan plans, which at 100 TB is the difference between planning
+    * over ~100k file entries and opening ~100k footers. Built with one
+    * linear pass (`_metadata.file_path` group-by — no footer parsing,
+    * no driver loop) and persisted next to the layout, re-used across
+    * JVMs via the same source stamp. */
+  def zoneMapIndex(s: SparkSession, d: String): String = {
+    val dir = stamped(s, d, "zonemap")
+    if (!success(s, dir)) {
+      s.read.parquet(zorderedOrders(s, d))
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
+          min(col("o_orderdate")).as("od_min"), max(col("o_orderdate")).as("od_max"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1) // index is 1 row per data file — single tiny file
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** Files of the z-ordered layout whose [min, max] envelope overlaps
+    * the query box. The collect is bounded by the FILE count (=
+    * [[zFileCount]], ~1 entry/GiB — ~100k strings at 100 TB), the
+    * same driver-side footprint Spark's own `InMemoryFileIndex`
+    * carries for any file-source scan; the zone map hands the planner
+    * a shorter list, never a longer one. */
+  private[graft] def overlappingFiles(s: SparkSession, d: String,
+      ckLo: Long, ckHi: Long,
+      odLo: java.time.LocalDateTime, odHi: java.time.LocalDateTime): Seq[String] =
+    s.read.parquet(zoneMapIndex(s, d))
+      .filter(col("ck_max") >= ckLo && col("ck_min") <= ckHi &&
+        col("od_max") >= lit(odLo) && col("od_min") < lit(odHi))
+      .select(col("file")).collect().toIndexedSeq.map(_.getString(0)).sorted
+
+  /** i11: the i10-style box query executed through zone-map file
+    * pruning — scan ONLY the overlapping files, then apply the exact
+    * residual predicate (zone maps are a superset filter, so the
+    * residual keeps the answer exact; the oracle proves it against
+    * the unclustered source table). LakeMaintenanceSpec asserts the
+    * pruning actually bites (pruned file list ≪ layout file count)
+    * and that the pruned scan equals the unpruned one. */
+  def zoneMapPrunedBox(s: SparkSession, d: String): DataFrame = {
+    val lo = java.time.LocalDateTime.parse("1995-07-01T00:00:00")
+    val hi = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+    val (ckLo, ckHi) = (1000L, 1400L)
+    val files = overlappingFiles(s, d, ckLo, ckHi, lo, hi)
+    val scan =
+      if (files.isEmpty) s.read.parquet(zorderedOrders(s, d)).limit(0)
+      else s.read.parquet(files: _*)
+    scan
+      .filter(col("o_custkey").between(ckLo, ckHi) &&
+        col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType)
+          .as("revenue"),
+        coalesce(countDistinct(col("o_custkey")), lit(0L)).as("n_custs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i09_compaction" -> ((s, d) => compactionRollup(s, d)),
-    "i10_zorder_box" -> ((s, d) => zorderBoxQuery(s, d))
+    "i10_zorder_box" -> ((s, d) => zorderBoxQuery(s, d)),
+    "i11_zonemap_prune" -> ((s, d) => zoneMapPrunedBox(s, d))
   )
 
   val oracle: Map[String, String] = Map(
@@ -183,6 +249,18 @@ object LakeMaintenance {
       FROM orders
       WHERE o_custkey BETWEEN 100 AND 500
         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'"""
+        AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'""",
+
+    // i11 reads only zone-map-selected files; the oracle reads the
+    // whole source table — a green hash proves file pruning is a
+    // pure optimization, never a filter
+    "i11_zonemap_prune" -> """
+      SELECT COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        COUNT(DISTINCT o_custkey) AS n_custs
+      FROM orders
+      WHERE o_custkey BETWEEN 1000 AND 1400
+        AND o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'"""
   )
 }

@@ -76,4 +76,36 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     // and the clustered copy holds every source row
     assert(df.count() === Tables.orders(s, d).count())
   }
+
+  test("i11: zone map has one row per layout file, envelopes match the files") {
+    val layout = LakeMaintenance.zorderedOrders(s, d)
+    val nFiles = parquetFiles(new java.io.File(layout)).size
+    val idx = s.read.parquet(LakeMaintenance.zoneMapIndex(s, d))
+    assert(idx.count() === nFiles.toLong)
+    // index row counts must re-add to the table row count (no file
+    // missed, none double-counted)
+    assert(idx.agg(sum("n_rows")).head().getLong(0) ===
+      Tables.orders(s, d).count())
+  }
+
+  test("i11: zone-map pruning bites and the pruned scan stays exact") {
+    import java.time.LocalDateTime
+    val layout = LakeMaintenance.zorderedOrders(s, d)
+    val all = parquetFiles(new java.io.File(layout)).size
+    val lo = LocalDateTime.parse("1995-07-01T00:00:00")
+    val hi = LocalDateTime.parse("1996-01-01T00:00:00")
+    val picked = LakeMaintenance.overlappingFiles(s, d, 1000L, 1400L, lo, hi)
+    // the box covers a narrow rectangle of a z-ordered plane: most
+    // files' envelopes must miss it entirely
+    assert(picked.size < all,
+      s"zone map selected all $all files — pruning never bites")
+    // pruned scan ≡ unpruned scan (file stats prune a superset; the
+    // residual predicate restores exactness)
+    val pruned = LakeMaintenance.zoneMapPrunedBox(s, d).head()
+    val full = s.read.parquet(layout)
+      .filter(col("o_custkey").between(1000L, 1400L) &&
+        col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .agg(count(lit(1))).head()
+    assert(pruned.getLong(0) === full.getLong(0))
+  }
 }

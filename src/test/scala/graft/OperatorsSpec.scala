@@ -116,6 +116,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"quantized recall $recall below int8 floor")
   }
 
+  test("s07 PQ top-k: 5 per query, deterministic, high recall after re-rank") {
+    val exact = Similarity.queries("s01_cosine_topk")(s, d).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val run1 = Similarity.queries("s07_pq_topk")(s, d).collect()
+    val run2 = Similarity.queries("s07_pq_topk")(s, d).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq,
+      "PQ results must be reproducible (deterministic codebooks)")
+    assert(run1.groupBy(_.getAs[Long]("q_id")).forall(_._2.length == 5))
+    val ann = run1.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // 50-candidate exact re-rank over a 64×-compressed shortlist:
+    // measured 50/50 at sf0.01 and sf0.001 — leave drift headroom
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall collapsed")
+  }
+
+  test("c14 bloom decontamination: no false negatives, FP bound holds") {
+    val row = Corpus.queries("c14_bloom_decontaminate")(s, d).head()
+    assert(row.getAs[Long]("n_corpus_docs") > 0)
+    assert(row.getAs[Long]("n_false_neg") === 0L,
+      "a Bloom filter can never miss an inserted gram")
+    assert(row.getAs[Long]("fp_ok") === 1L, "doc-level FP rate above bound")
+    // exact contamination must agree with c08's per-doc verdicts
+    val c08 = Corpus.queries("c08_decontaminate")(s, d).collect()
+    assert(row.getAs[Long]("n_contaminated") ===
+      c08.count(_.getAs[Long]("contaminated") == 1L).toLong)
+  }
+
+  test("t09 LM filter drops about a decile, never the best-scored docs") {
+    val rows = TextAnalysis.queries("t09_lm_quality_filter")(s, d).collect()
+    val dropped = rows.filter(_.getAs[Long]("lm_keep") == 0L)
+    val frac = dropped.length.toDouble / rows.length
+    // exact 10th-percentile threshold: the dropped mass sits near 10%
+    // (ties and the rounded cutoff move it a little, never a lot)
+    assert(frac >= 0.02 && frac <= 0.25, s"dropped fraction $frac")
+    val maxDropped = dropped.map(_.getAs[Double]("bigram_logprob")).maxOption
+    val maxAll = rows.map(_.getAs[Double]("bigram_logprob")).max
+    maxDropped.foreach(md => assert(md < maxAll,
+      "filter dropped the best-scored doc"))
+  }
+
   test("t02 quality metrics are bounded") {
     val rows = TextAnalysis.queries("t02_quality_score")(s, d).collect()
     assert(rows.forall { r =>

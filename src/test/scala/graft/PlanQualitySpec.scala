@@ -151,6 +151,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // d13/d14 assign IVF cells via crossJoin(broadcast(K centroids))
       // — bounded by construction, the s03 class.
       "d12_incremental_dedup", "d13_semantic_dedup", "d14_semdedup_recall",
+      // s08 is the s04-class recall row; t09 attaches a 1-row exact-
+      // percentile threshold via explicit broadcast crossJoin —
+      // bounded by construction, the c06 class.
+      "s08_pq_recall", "t09_lm_quality_filter",
       "a05_hll_union_bounds", "c06_vocab_coverage")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
