@@ -124,8 +124,11 @@ object Bench {
       // location), and dev SUBSET runs (args given) get a distinct
       // default so a partial run never clobbers the last full-suite
       // artifact the driver and BASELINE.md refer to.
+      // a SPARK_GRAFT_ONLY-restricted run is a subset too, even with
+      // empty args — it must never clobber the driver's full artifacts
+      val fullRun = args.isEmpty && sys.env.get("SPARK_GRAFT_ONLY").isEmpty
       val defaultOut =
-        if (args.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
+        if (fullRun) "BENCH_FULL.json" else "BENCH_SUBSET.json"
       val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes("UTF-8"))
@@ -140,7 +143,7 @@ object Bench {
       // artifacts ended up with "parsed": null). A machine-readable
       // artifact belongs at a stable path, not inside a log. Full runs
       // only — a dev SUBSET run must not clobber the driver's artifact.
-      if (args.isEmpty) {
+      if (fullRun) {
         val compactFile =
           sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPACT", "BENCH_COMPACT.json")
         try java.nio.file.Files.write(java.nio.file.Paths.get(compactFile),
