@@ -193,4 +193,50 @@ class StreamingSpec extends AnyFunSuite {
         Tables.events(s, d).agg(sum(col("user_id"))).head().getLong(0))
     } finally q.stop()
   }
+
+  test("streaming incremental dedup: micro-batched shards dedup against the " +
+      "persisted MinHash index, union of batches equals the batch run") {
+    // The d12 daily-ingest shape with the shard arriving as a STREAM:
+    // each micro-batch is one shard, deduped via foreachBatch against
+    // the band index built once from the corpus — corpus text is never
+    // rescanned, per-batch cost is O(shard), and the union of
+    // per-batch results must equal running the whole shard as one
+    // batch (dedup-vs-static-index is embarrassingly parallel across
+    // shard rows, so micro-batching cannot change the answer).
+    import graft.operators.Dedup
+    val idx = Dedup.minhashIndexDir(s, d)
+    val shard = Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    val batchFound = Dedup.incrementalDupes(s, shard, idx)
+      .filter(col("dup_of") === col("new_id") - 2000000L)
+      .select("new_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact self-copies of every 5th doc: the index must recover
+    // essentially all of them (same floor as the d12 gate)
+    assert(batchFound.size >= (shard.count() * 0.95).toInt, "index recall collapsed")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_stream").toString
+    shard.repartition(3).write.mode("overwrite").parquet(dir) // ≥2 files → ≥2 batches
+    val streamedFound = scala.collection.mutable.Set[(Long, Long)]()
+    var batches = 0
+    val q = s.readStream.schema(shard.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches += 1
+        streamedFound ++= Dedup.incrementalDupes(s, batch, idx)
+          .filter(col("dup_of") === col("new_id") - 2000000L)
+          .select("new_id", "dup_of").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches >= 2, s"expected ≥2 micro-batches, got $batches")
+      assert(streamedFound.toSet === batchFound,
+        "micro-batched dedup diverged from the single-batch run")
+    } finally q.stop()
+  }
 }
