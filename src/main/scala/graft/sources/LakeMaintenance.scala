@@ -177,16 +177,28 @@ object LakeMaintenance {
   def zoneMapIndex(s: SparkSession, d: String): String = {
     val dir = stamped(s, d, "zonemap")
     if (!success(s, dir)) {
-      s.read.parquet(zorderedOrders(s, d))
-        .groupBy(col("_metadata.file_path").as("file"))
-        .agg(min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
-          min(col("o_orderdate")).as("od_min"), max(col("o_orderdate")).as("od_max"),
-          count(lit(1)).as("n_rows"))
+      fileStats(s.read.parquet(zorderedOrders(s, d)))
         .coalesce(1) // index is 1 row per data file — single tiny file
         .write.mode("overwrite").parquet(dir)
     }
     dir
   }
+
+  /** Per-file stats rows for any orders-shaped scan — the zone map's
+    * one aggregation, factored so INCREMENTAL maintenance reuses it:
+    * per-file stats are embarrassingly decomposable, so appending a
+    * shard of files to the layout updates the index with
+    * `fileStats(read(shardDir))` unioned onto the existing rows —
+    * O(appended bytes), never a table rescan. At 100 TB this is the
+    * difference between a daily index refresh costing one day's
+    * ingest and costing the whole lake (the Iceberg incremental-
+    * manifest / Delta Add.stats-on-commit behavior).
+    * LakeMaintenanceSpec pins incremental-update ≡ full-rebuild. */
+  def fileStats(scan: DataFrame): DataFrame =
+    scan.groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
+        min(col("o_orderdate")).as("od_min"), max(col("o_orderdate")).as("od_max"),
+        count(lit(1)).as("n_rows"))
 
   /** Files of the z-ordered layout whose [min, max] envelope overlaps
     * the query box. The collect is bounded by the FILE count (=

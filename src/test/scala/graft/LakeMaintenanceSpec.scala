@@ -108,4 +108,26 @@ class LakeMaintenanceSpec extends AnyFunSuite {
       .agg(count(lit(1))).head()
     assert(pruned.getLong(0) === full.getLong(0))
   }
+
+  test("i12: incremental zone-map update over an appended shard equals a full rebuild") {
+    val layout = LakeMaintenance.zorderedOrders(s, d)
+    val idx = s.read.parquet(LakeMaintenance.zoneMapIndex(s, d))
+    // a day's "append": a slim slice of orders written as fresh files
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft_zm_shard").toString
+    Tables.orders(s, d).filter(col("o_orderkey") % 101 === 0)
+      .repartition(2).write.mode("overwrite").parquet(shardDir)
+    // incremental: stats over ONLY the shard files, unioned onto the
+    // existing index (file paths are disjoint — no merge logic needed)
+    val incremental = idx.unionByName(
+      LakeMaintenance.fileStats(s.read.parquet(shardDir)))
+    // ground truth: full rebuild over layout + shard together
+    val rebuild = LakeMaintenance.fileStats(s.read.parquet(layout, shardDir))
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0)
+    val a = incremental.collect().map(r => key(r) -> r.toSeq.drop(1)).toMap
+    val b = rebuild.collect().map(r => key(r) -> r.toSeq.drop(1)).toMap
+    assert(a === b, "incremental index diverged from a full rebuild")
+    // and the shard contributed real rows (the test isn't vacuous)
+    assert(a.size > idx.count(), "shard files missing from the index")
+  }
 }
