@@ -338,8 +338,14 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // honor SPARK_GRAFT_ONLY here too: with SPARK_GRAFT_ISOLATE=off the
+    // parent calls runSuite directly (no runIsolated filter), and a
+    // restriction the user set must not silently run the full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = (if (args.isEmpty) SparkEntry.queries.keys.toSeq
-      else SparkEntry.queries.keys.toSeq.filter(args.toSet)).sorted
+      else SparkEntry.queries.keys.toSeq.filter(args.toSet))
+      .filter(n => only.forall(_.contains(n))).sorted
     // Repeat-until-two-draws-agree (the round-9 de-noiser): identical
     // code measured 116.6–182.6 s across five closing round-8 runs —
     // ambient load and the residual JIT lottery, not plans, set that
@@ -351,7 +357,9 @@ object Bench {
     // plan's true cost. SPARK_GRAFT_REPEAT=1 restores single-draw mode
     // (used by the scale-growth sweeps, where run-count × SF is the
     // budget and relative growth, not absolute seconds, is the signal).
-    val maxDraws = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    // floored at 1: REPEAT=0 plausibly means "no repeats", and an
+    // empty draws buffer would crash the whole run at draws.min
+    val maxDraws = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt)
     var failed = List.empty[String]
     var errors = Map.empty[String, String]
     val results = names.map { name =>

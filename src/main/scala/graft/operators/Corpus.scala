@@ -193,8 +193,8 @@ object Corpus {
     // c08: benchmark decontamination — per-doc count of distinct word
     // 3-grams shared with a held-out benchmark set (deterministically
     // doc_id % 97 == 0, standing in for an eval suite). Grams are
-    // built row-wise (posexplode + window leads, the t06/shingleRows
-    // shape — no interpreted HOF), deduped per doc, and the benchmark
+    // built narrow ([[distinctTrigrams]]: arrays_zip of slices, no
+    // shuffle, no interpreted HOF), deduped per doc, and the benchmark
     // gram set is BROADCAST: eval suites are fixed-size (thousands of
     // docs) no matter how big the corpus grows, so at 100 TB this
     // stays one scan + broadcast hash join + two hash aggregates.
@@ -364,8 +364,11 @@ object Corpus {
     // negatives by the filter's contract, fp bound by geometry).
     "c14_bloom_decontaminate" -> ((s, d) => {
       val grams = distinctTrigrams(s, d).truncatedLazy // bench + corpus legs
+      // truncated (eager): three consumers — the count, the
+      // bloomFilter aggregation, and the exact-leg broadcast — would
+      // otherwise each re-run the filter+distinct over the gram rows
       val bench = grams.filter(col("doc_id") % 97 === 0)
-        .select("gram").distinct()
+        .select("gram").distinct().truncated
       val nBench = bench.count()
       val bf = bench.stat.bloomFilter("gram", math.max(1000L, nBench), 1e-4)
       val mightContain = udf((g: String) => bf.mightContain(g))
@@ -390,17 +393,22 @@ object Corpus {
   )
 
   /** Distinct word 3-grams per doc (shared by c08 and c14): built
-    * row-wise — posexplode + window leads, the t06/shingleRows shape,
-    * no interpreted HOF — and deduped per doc. */
+    * NARROW — arrays_zip of three slices of the one split() array
+    * pairs adjacent token triples with zero shuffle (the
+    * t08/bigramScores shape; Slice/ArraysZip are codegen'd, not the
+    * interpreted HOF path). This replaced the posexplode + window-lead
+    * build, whose doc_id shuffle + sort of every token row was the
+    * gram pipeline's dominant stage (c14 measured 3.7× at 10× rows
+    * with it; the narrow build emits byte-identical gram strings). */
   private def distinctTrigrams(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = split(lower(col("text")), "\\s+")
+    val nTri = greatest(size(toks) - 2, lit(0))
     Tables.documents(s, d)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(toks, lit(1), nTri), slice(toks, lit(2), nTri),
+        slice(toks, lit(3), nTri))).as("p"))
       .select(col("doc_id"),
-        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
-      .withColumn("t2", lead("tok", 1).over(w))
-      .withColumn("t3", lead("tok", 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("gram"))
+        concat_ws(" ", col("p.0"), col("p.1"), col("p.2")).as("gram"))
       .distinct()
   }
 

@@ -120,7 +120,10 @@ object LakeMaintenance {
     * aggregate — the bounded driver-side consumption pattern (same
     * class as a06's sketch read), NOT a per-row collect. */
   def zorderedOrders(s: SparkSession, d: String): String = {
-    val dir = stamped(s, d, "zorder")
+    // sizing constants folded into the stamp (the Bucketing/minhash-
+    // index convention): changing MinZFiles/TargetZFileBytes must
+    // invalidate a persisted layout, not silently reattach it
+    val dir = stamped(s, d, s"zorder_f${MinZFiles}t${TargetZFileBytes >> 20}")
     if (!success(s, dir)) {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
@@ -175,7 +178,10 @@ object LakeMaintenance {
     * no driver loop) and persisted next to the layout, re-used across
     * JVMs via the same source stamp. */
   def zoneMapIndex(s: SparkSession, d: String): String = {
-    val dir = stamped(s, d, "zonemap")
+    // same constants as the layout it indexes: a re-sized layout must
+    // never pair with a stale index (disjoint file sets would
+    // silently prune everything)
+    val dir = stamped(s, d, s"zonemap_f${MinZFiles}t${TargetZFileBytes >> 20}")
     if (!success(s, dir)) {
       fileStats(s.read.parquet(zorderedOrders(s, d)))
         .coalesce(1) // index is 1 row per data file — single tiny file
