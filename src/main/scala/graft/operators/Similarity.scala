@@ -532,7 +532,62 @@ object Similarity {
     // shortlist actually breaks — not on benign fixture drift.
     "s08_pq_recall" -> ((s, d) =>
       recallVsExact(queries("s01_cosine_topk")(s, d),
-        queries("s07_pq_topk")(s, d), minHits = 40))
+        queries("s07_pq_topk")(s, d), minHits = 40)),
+
+    // s09: ANN via PCA DIMENSIONALITY REDUCTION — the fourth classic
+    // scale path next to LSH (s02), IVF (s03) and PQ (s07): project
+    // the corpus onto the top-16 principal components (75% fewer
+    // dims), shortlist by cosine in the reduced space, re-rank the
+    // shortlist exactly. Training uses Spark ML's public PCA
+    // estimator on a 25% hash sample (the s03/s07 sampling rule);
+    // the fit is one distributed Gramian pass + a driver-side 64×64
+    // eigendecomposition — the a06 class of bounded driver work,
+    // constant in corpus rows. The projection itself is a broadcast
+    // matrix-vector product per row (model.transform — narrow,
+    // shuffle-free), and the shortlist scan does 16-dim math instead
+    // of 64-dim: at 100 TB that is 4× less vector IO and FLOPs on
+    // the scan leg, with exactness restored by the full-dim re-rank.
+    // No SQL oracle (eigenvectors aren't expressible); s10 gates
+    // recall vs exact s01, OperatorsSpec pins within-session
+    // reproducibility.
+    "s09_pca_topk" -> ((s, d) => {
+      import org.apache.spark.ml.feature.PCA
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+        .withColumn("fv", array_to_vector(col("v")))
+      val model = new PCA().setInputCol("fv").setOutputCol("pv").setK(16)
+        .fit(emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0))
+      val reduced = model.transform(emb)
+        .select(col("vec_id"), col("v"),
+          vector_to_array(col("pv")).as("rv"))
+        .truncatedLazy // corpus leg + query leg read the one projection
+      val q = reduced.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("rv").as("qrv"))
+      val short = reduced.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rcos", cosine(col("qrv"), col("rv")))
+        .groupBy("q_id")
+        .agg(graft.functions.TopKRows.topk(
+          struct((-col("rcos")).as("ns"), col("vec_id").as("vec_id")), 50).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("e"))
+        .select(col("q_id"), col("e.vec_id").as("vec_id"))
+      val reranked = short
+        .join(reduced.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .join(broadcast(q.select(col("q_id"), col("qv"))), Seq("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+      topkPerQuery(reranked, col("cos"), col("vec_id"), "neighbor_id", "cos_sim")
+    }),
+
+    // s10: recall@5 gate for the PCA path vs exact s01 — near-uniform
+    // fixture embeddings have a FLAT spectrum (the hardest case for
+    // PCA: the top-16 components carry only ~25% of the variance),
+    // so measured recall is the floor-case number; the threshold sits
+    // below it the way s05's does. On real embedding corpora the
+    // spectrum decays fast and this path's recall approaches s07's.
+    "s10_pca_recall" -> ((s, d) =>
+      recallVsExact(queries("s01_cosine_topk")(s, d),
+        queries("s09_pca_topk")(s, d), minHits = 25))
   )
 
   private val PqM = 8       // subspaces
@@ -637,6 +692,24 @@ object Similarity {
       FROM ranked WHERE rk <= 5""",
 
     "s05_ivf_recall" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) /
+          (SQRT(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+           SQRT(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS n_exact_pairs,
+        CAST(1 AS BIGINT) AS recall_ok
+      FROM ranked WHERE rk <= 5""",
+
+    "s10_pca_recall" -> """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),

@@ -151,10 +151,12 @@ class PlanQualitySpec extends AnyFunSuite {
       // d13/d14 assign IVF cells via crossJoin(broadcast(K centroids))
       // — bounded by construction, the s03 class.
       "d12_incremental_dedup", "d13_semantic_dedup", "d14_semdedup_recall",
-      // s08 is the s04-class recall row; t09 attaches a 1-row exact-
-      // percentile threshold via explicit broadcast crossJoin —
-      // bounded by construction, the c06 class.
-      "s08_pq_recall", "t09_lm_quality_filter",
+      // s08/s10 are the s04-class recall rows; s09 shortlists via
+      // crossJoin(broadcast(10 query vectors)) — the s01 class; t09
+      // attaches a 1-row exact-percentile threshold via explicit
+      // broadcast crossJoin — bounded by construction, the c06 class.
+      "s08_pq_recall", "s09_pca_topk", "s10_pca_recall",
+      "t09_lm_quality_filter",
       "a05_hll_union_bounds", "c06_vocab_coverage")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
