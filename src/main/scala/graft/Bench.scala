@@ -85,7 +85,12 @@ object Bench {
     } else if (prefix == "d") {
       val num = name.drop(1).takeWhile(_.isDigit)
       if (num.nonEmpty && num.toInt <= 4) "dedup_a" else "dedup_b"
-    } else if (prefix == "s") "sim"
+    } else if (prefix == "s") {
+      // sim grew past the ≤5-plan stability bar with s07-s10 (PQ, PCA):
+      // split like dedup/corpus/text
+      val num = name.drop(1).takeWhile(_.isDigit)
+      if (num.nonEmpty && num.toInt <= 5) "sim_a" else "sim_b"
+    }
     else if (prefix == "c") {
       // corpus grew past the ≤5-plan stability bar (round-3 finding
       // above): split like dedup
