@@ -72,7 +72,11 @@ object Bench {
     // join plans) vs 2.26-2.37 s across three fresh-JVM solo draws
     // (5.4×) — it re-runs BOTH the d05 exact and d08 LSH pipelines,
     // the heaviest plan pair in the family
-    "d09_embedding_lsh_recall")
+    "d09_embedding_lsh_recall",
+    // round-9: s07 drew 3.51 s in the new sim_b family vs 1.76-2.11 s
+    // fresh-JVM solo (2.0×) — per-subspace codebook training + ADC +
+    // re-rank is the sim side's codegen-heaviest plan, the q51 class
+    "s07_pq_topk")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name

@@ -191,8 +191,7 @@ object Similarity {
     * deterministic across runs. */
   private[operators] def ivfCellRanks(emb: DataFrame, k: Int,
                                       nProbe: Int, kmIters: Int): DataFrame = {
-    val train = emb
-      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+    val train = trainSample(emb)
       .truncatedLazy // blocks pin inside round 1's job, rounds 2+ re-read
     var cents = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -510,18 +509,7 @@ object Similarity {
       // 16-entry codebook (sf0.001 recall was 32/50 at shortlist 50,
       // 50/50 at 100); the re-rank side stays 100 rows × |queries|,
       // constant in corpus size.
-      val short = scored.groupBy("q_id")
-        .agg(graft.functions.TopKRows.topk(
-          struct((-col("acos")).as("ns"), col("vec_id").as("vec_id")), 100).as("tk"))
-        .select(col("q_id"), explode(col("tk")).as("e"))
-        .select(col("q_id"), col("e.vec_id").as("vec_id"))
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val reranked = short
-        .join(emb, Seq("vec_id"))
-        .join(broadcast(q), Seq("q_id"))
-        .withColumn("cos", cosine(col("qv"), col("v")))
-      topkPerQuery(reranked, col("cos"), col("vec_id"), "neighbor_id", "cos_sim")
+      shortlistRerank(s, d, scored, col("acos"), n = 100)
     }),
 
     // s08: recall@5 gate for the PQ path vs exact s01 — same teeth as
@@ -539,44 +527,40 @@ object Similarity {
     // the corpus onto the top-16 principal components (75% fewer
     // dims), shortlist by cosine in the reduced space, re-rank the
     // shortlist exactly. Training uses Spark ML's public PCA
-    // estimator on a 25% hash sample (the s03/s07 sampling rule);
-    // the fit is one distributed Gramian pass + a driver-side 64×64
-    // eigendecomposition — the a06 class of bounded driver work,
-    // constant in corpus rows. The projection itself is a broadcast
-    // matrix-vector product per row (model.transform — narrow,
-    // shuffle-free), and the shortlist scan does 16-dim math instead
-    // of 64-dim: at 100 TB that is 4× less vector IO and FLOPs on
-    // the scan leg, with exactness restored by the full-dim re-rank.
-    // No SQL oracle (eigenvectors aren't expressible); s10 gates
-    // recall vs exact s01, OperatorsSpec pins within-session
-    // reproducibility.
+    // estimator on the 25% hash sample ([[trainSample]] — the
+    // s03/s07 rule); the fit is one distributed Gramian pass + a
+    // driver-side 64×64 eigendecomposition — the a06 class of
+    // bounded driver work, constant in corpus rows. The projection is
+    // a broadcast matrix-vector product per row (model.transform —
+    // narrow, shuffle-free), materialized SLIM: the shortlist
+    // checkpoint carries (vec_id, rv[16]) only — full vectors join in
+    // at re-rank from the source scan, exactly the s07 shape — so the
+    // shortlist scan leg really does read and multiply 16 dims, not
+    // 64+16. Projected coordinates are rounded to 9 decimals (the
+    // centroid-mean rule): the Gramian's treeAggregate merges in
+    // task-completion order, and without the pin an ULP-level
+    // between-fit difference could flip a near-tied shortlist cut on
+    // this flat-spectrum fixture. No SQL oracle (eigenvectors aren't
+    // expressible); s10 gates recall vs exact s01, OperatorsSpec pins
+    // within-session reproducibility.
     "s09_pca_topk" -> ((s, d) => {
       import org.apache.spark.ml.feature.PCA
       import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
-        .withColumn("fv", array_to_vector(col("v")))
       val model = new PCA().setInputCol("fv").setOutputCol("pv").setK(16)
-        .fit(emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0))
-      val reduced = model.transform(emb)
-        .select(col("vec_id"), col("v"),
-          vector_to_array(col("pv")).as("rv"))
-        .truncatedLazy // corpus leg + query leg read the one projection
+        .fit(trainSample(emb).withColumn("fv", array_to_vector(col("v"))))
+      val reduced = model.transform(emb.withColumn("fv", array_to_vector(col("v"))))
+        .select(col("vec_id"), vector_to_array(col("pv")).as("rv0"))
+        .select(col("vec_id"),
+          expr("transform(rv0, x -> round(x, 9))").as("rv"))
+        .truncatedLazy // slim (vec_id, 16 doubles) — both legs read it
       val q = reduced.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("rv").as("qrv"))
+        .select(col("vec_id").as("q_id"), col("rv").as("qrv"))
       val short = reduced.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("rcos", cosine(col("qrv"), col("rv")))
-        .groupBy("q_id")
-        .agg(graft.functions.TopKRows.topk(
-          struct((-col("rcos")).as("ns"), col("vec_id").as("vec_id")), 50).as("tk"))
-        .select(col("q_id"), explode(col("tk")).as("e"))
-        .select(col("q_id"), col("e.vec_id").as("vec_id"))
-      val reranked = short
-        .join(reduced.select(col("vec_id"), col("v")), Seq("vec_id"))
-        .join(broadcast(q.select(col("q_id"), col("qv"))), Seq("q_id"))
-        .withColumn("cos", cosine(col("qv"), col("v")))
-      topkPerQuery(reranked, col("cos"), col("vec_id"), "neighbor_id", "cos_sim")
+      shortlistRerank(s, d, short, col("rcos"), n = 50)
     }),
 
     // s10: recall@5 gate for the PCA path vs exact s01 — near-uniform
@@ -589,6 +573,35 @@ object Similarity {
       recallVsExact(queries("s01_cosine_topk")(s, d),
         queries("s09_pca_topk")(s, d), minHits = 25))
   )
+
+  /** The 25% deterministic hash sample every trainer here uses (IVF
+    * k-means, PQ codebooks, PCA fit): representative data, ¼ of a
+    * full pass, reproducible across runs and engines. One definition
+    * so "the sampling rule" is a single edit site. */
+  private def trainSample(df: DataFrame): DataFrame =
+    df.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+
+  /** The two-phase ANN tail shared by s07/s09: bounded-heap top-n
+    * shortlist per query on an APPROXIMATE score, then exact cosine
+    * re-rank of the shortlist against the full-precision vectors from
+    * the source scan — the only place full vectors are read. */
+  private def shortlistRerank(s: SparkSession, d: String, scored: DataFrame,
+                              score: Column, n: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+    val short = scored.groupBy("q_id")
+      .agg(graft.functions.TopKRows.topk(
+        struct((-score).as("ns"), col("vec_id").as("vec_id")), n).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.vec_id").as("vec_id"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val reranked = short
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    topkPerQuery(reranked, col("cos"), col("vec_id"), "neighbor_id", "cos_sim")
+  }
 
   private val PqM = 8       // subspaces
   private val PqSubDim = 8  // dims per subspace (8×8 = 64)
@@ -622,7 +635,7 @@ object Similarity {
         struct(col("h"), col("vec_id"), col("sub")), PqK).as("tk"))
       .select(col("m"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("m"), (col("pos") + 1).as("cid"), col("e.sub").as("cv"))
-    val train = subs.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+    val train = trainSample(subs)
     val assigned = pqAssign(train, seeds)
     val refined = train.join(assigned, Seq("vec_id", "m"))
       .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))

@@ -9,8 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * prune the read schema, small sides broadcast, hinted shuffle-hash
   * joins stick, top-k stays a TakeOrdered, and nothing in the whole
   * registered surface falls back to an unbanded cartesian product.
-  * Plans are built (never executed), so the suite is cheap and keeps
-  * guarding every future query added to SparkEntry.
+  * Plans are built (not executed) for almost every query, so the
+  * suite stays cheap; the exceptions are builders with an eager
+  * bounded training action (s09/s10's PCA fit, the LSH geometry
+  * count) whose cost is the a06 class — constant-size driver work,
+  * paid once per plan construction.
   */
 class PlanQualitySpec extends AnyFunSuite {
   lazy val s = TestSpark.spark
