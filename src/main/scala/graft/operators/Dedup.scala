@@ -259,6 +259,18 @@ object Dedup {
       when(ones * 2 > col("n"), lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
     val docsFp = agged.select(col("doc_id"), fp.as("fp"))
+    hammingNeardupPairs(docsFp, maxHamming = 3)
+  }
+
+  /** Hamming-banded near-dup pairs over any (doc_id, fp: long)
+    * 64-bit-fingerprint relation — the 4×16-bit chunk pigeonhole
+    * (≤ maxHamming ≤ 3 flipped bits ⇒ at least one chunk identical),
+    * so the join is on small equality keys, never all-pairs. Shared
+    * by d03 (SimHash over token sets) and m04 (block-mean perceptual
+    * hash over binary payloads): any 64-bit locality-sensitive
+    * fingerprint gets the same scale-safe candidate join. */
+  def hammingNeardupPairs(docsFp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole only covers hamming <= 3")
     val chunked = docsFp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -271,7 +283,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .distinct()
   }
 

@@ -107,8 +107,86 @@ object Multimodal {
         })
         .toDF()
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // m04: perceptual-hash near-dup RECALL GATE — image dedup, the
+    // multimodal half every training pipeline pairs with text dedup.
+    // The fingerprint is a 64-bit BLOCK-MEAN hash ([[blockHash]] — the
+    // published blockhash/average-hash family: bit i = "window i's
+    // mean is above the global mean"), computed over raw payload
+    // bytes because the pixel decode is this container's stub; with a
+    // real codec only fakeDecode/blockHash's input changes, the Spark
+    // side is identical. The candidate join reuses d03's 4×16-bit
+    // hamming pigeonhole ([[Dedup.hammingNeardupPairs]]) — small
+    // equality keys, never all-pairs, the scale-safe shape. Gate:
+    // inject a twin per eligible doc (3 bytes flipped at spread
+    // positions — ≤ 3 windows perturbed ⇒ hamming ≤ 3 by
+    // construction) and assert ≥ 95% of twins are recovered. Oracle
+    // derives n_twins by SQL; gate constant in the d06 style.
+    "m04_phash_twin_recall" -> ((s, d) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+        .filter(_._2.length >= 64)
+      val corpus = payloads.mapPartitions(_.map { case (id, bytes) =>
+        (id, blockHash(bytes))
+      })
+      val twins = payloads.mapPartitions(_.map { case (id, bytes) =>
+        val b = bytes.clone()
+        var k = 0
+        while (k < 3) { // spread ±1 edits: at most 3 of the 64 windows
+          // perturbed, and the GLOBAL mean moves by ≤ 3/len — a large
+          // flip (tried: ^0x7F) shifts the global mean enough to flip
+          // boundary bits in untouched windows and recall collapses;
+          // small-magnitude edits are also what "near-duplicate
+          // media" means (re-encode jitter, not corruption)
+          val p = (b.length.toLong * (2 * k + 1) / 8).toInt
+          b(p) = (b(p) ^ 0x01).toByte
+          k += 1
+        }
+        (id + 3000000L, blockHash(b))
+      })
+      val fps = corpus.union(twins).toDF("doc_id", "fp")
+      val found = Dedup.hammingNeardupPairs(fps, maxHamming = 3)
+        .filter(col("doc_b") === col("doc_a") + 3000000L)
+      val nTwins = fps.filter(col("doc_id") >= 3000000L)
+        .agg(count(lit(1)).as("n_twins"))
+      val nFound = found.agg(count(lit(1)).as("n_found"))
+      nTwins.withColumn("k", lit(1))
+        .join(nFound.withColumn("k", lit(1)), Seq("k"))
+        .select(col("n_twins"),
+          when(col("n_found") >= col("n_twins") * 0.95, 1L).otherwise(0L)
+            .as("recall_ok"))
     })
   )
+
+  /** 64-bit block-mean perceptual hash (blockhash/aHash family): the
+    * payload splits into 64 equal byte-windows; bit i is set iff
+    * window i's mean byte exceeds the whole payload's mean. Local
+    * edits perturb only the windows they touch, so near-identical
+    * payloads sit within a small hamming distance — the property the
+    * pigeonhole join keys on. Deterministic pure function. */
+  def blockHash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    var total = 0L
+    var i = 0
+    while (i < n) { total += bytes(i) & 0xFF; i += 1 }
+    val globalMean = total.toDouble / n
+    var h = 0L
+    var w = 0
+    while (w < 64) {
+      val lo = (n.toLong * w / 64).toInt
+      val hi = math.max(lo + 1, (n.toLong * (w + 1) / 64).toInt)
+      var s = 0L
+      var j = lo
+      while (j < hi) { s += bytes(j) & 0xFF; j += 1 }
+      if (s.toDouble / (hi - lo) > globalMean) h |= (1L << w)
+      w += 1
+    }
+    h
+  }
 
   val oracle: Map[String, String] = Map(
     // md5(text) == md5 of the utf8 payload bytes (DuckDB's md5 hashes
@@ -150,6 +228,12 @@ object Multimodal {
       SELECT doc_id, CAST(off // 256 AS INT) AS frame_idx,
         CAST(off AS INT) AS "offset", CAST(n AS INT) AS n_bytes,
         ROUND(CAST(byte_sum AS DOUBLE) / n, 6) AS brightness
-      FROM g ORDER BY doc_id, frame_idx"""
+      FROM g ORDER BY doc_id, frame_idx""",
+
+    // m04: twin universe from SQL (every eligible payload gets one
+    // injected twin), recall gate constant in the d06 style
+    "m04_phash_twin_recall" -> """
+      SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
+      FROM documents WHERE octet_length(encode(text)) >= 64"""
   )
 }

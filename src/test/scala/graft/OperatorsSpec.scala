@@ -179,6 +179,21 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("m04 blockhash is deterministic and locality-sensitive; gate passes") {
+    val payload = ("the quick brown fox " * 20).getBytes("UTF-8")
+    assert(Multimodal.blockHash(payload) === Multimodal.blockHash(payload.clone()))
+    assert(Multimodal.blockHash(Array.emptyByteArray) === 0L)
+    // a 1-byte ±1 edit perturbs at most its window + boundary bits:
+    // hamming stays small, the property the pigeonhole join keys on
+    val edited = payload.clone(); edited(7) = (edited(7) ^ 0x01).toByte
+    val ham = java.lang.Long.bitCount(
+      Multimodal.blockHash(payload) ^ Multimodal.blockHash(edited))
+    assert(ham <= 3, s"1-byte edit moved $ham bits")
+    val row = Multimodal.queries("m04_phash_twin_recall")(s, d).head()
+    assert(row.getAs[Long]("n_twins") > 0)
+    assert(row.getAs[Long]("recall_ok") === 1L)
+  }
+
   test("m02 media features: one row per doc, stub decode is deterministic") {
     val out = Multimodal.queries("m02_media_features")(s, d)
     assert(out.count() === Tables.documents(s, d).count())

@@ -159,6 +159,7 @@ class PlanQualitySpec extends AnyFunSuite {
       // attaches a 1-row exact-percentile threshold via explicit
       // broadcast crossJoin — bounded by construction, the c06 class.
       "s08_pq_recall", "s09_pca_topk", "s10_pca_recall",
+      "m04_phash_twin_recall", // same two-1-row-aggregates literal join
       "t09_lm_quality_filter",
       "a05_hll_union_bounds", "c06_vocab_coverage")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
