@@ -154,6 +154,69 @@ object Upsert {
           (col("o_totalprice") + lit(1000.0)).as("o_totalprice"))
       scd2(base, cdc, "o_orderkey", to_timestamp(lit("1998-12-31")))
         .orderBy(col("o_orderkey"), col("is_current"))
+    }),
+
+    // u03: CDC APPLY with deletes and latest-op-wins — the MERGE
+    // shape u01 lacks (WHEN MATCHED THEN DELETE) plus the ops-log
+    // collapse every Debezium/lakehouse apply job runs first: a key
+    // may carry several ops in one batch, and only the LATEST by
+    // timestamp may act. The log here exercises every path:
+    //   ts=2 D for keys %13=0  (delete — half ALSO have a ts=1 U that
+    //                           must lose: delete-beats-earlier-update)
+    //   ts=2 U for keys %13=1  (re-price; half have a ts=1 poison U
+    //                           with +100000 that must lose:
+    //                           latest-update-wins)
+    //   ts=2 I for keys %97=0  (brand-new key, +20M)
+    // Shapes: the per-key window runs over the CDC BATCH only (small
+    // by definition — never the table); survivors = base anti-join a
+    // BROADCAST of the batch's keys, so the 100 TB side is never
+    // shuffled; applied rows union back in. The per-(status,
+    // priority) rollup fingerprints all paths: a wrong winner or a
+    // surviving deleted row moves a count or checksum.
+    "u03_cdc_apply" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables.orders(s, d)
+      val cols = orders.columns.map(col)
+      def op(name: String, ts: Int, rows: DataFrame): DataFrame =
+        rows.withColumn("op", lit(name)).withColumn("ts", lit(ts))
+      val dels = op("D", 2, orders.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
+      val staleDelSideU = op("U", 1, orders.filter(col("o_orderkey") % 26 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("X").as("o_orderstatus"),
+          (col("o_totalprice") + lit(100000.0)).as("o_totalprice"),
+          col("o_orderdate"), lit("X-STALE").as("o_orderpriority")))
+      val upds = op("U", 2, orders.filter(col("o_orderkey") % 13 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + lit(500.0)).as("o_totalprice"),
+          col("o_orderdate"), lit("1-CDC").as("o_orderpriority")))
+      val staleUpdU = op("U", 1, orders.filter(col("o_orderkey") % 26 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("X").as("o_orderstatus"),
+          (col("o_totalprice") + lit(100000.0)).as("o_totalprice"),
+          col("o_orderdate"), lit("X-STALE").as("o_orderpriority")))
+      val ins = op("I", 2, orders.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"),
+          lit("9-NEW").as("o_orderpriority")))
+      val ops = dels.unionByName(staleDelSideU).unionByName(upds)
+        .unionByName(staleUpdU).unionByName(ins)
+      // latest op per key — window over the SMALL batch; ties cannot
+      // occur (one op per (key, ts) by construction)
+      val latest = ops.withColumn("rk", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("ts").desc)))
+        .filter(col("rk") === 1)
+      val survivors = orders.join(
+        broadcast(latest.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      val applied = latest.filter(col("op") =!= "D").select(cols: _*)
+      survivors.select(cols: _*).unionByName(applied)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
     })
   )
 
@@ -196,6 +259,43 @@ object Upsert {
         TIMESTAMP '1998-12-31 00:00:00' AS valid_from,
         NULL AS valid_to, CAST(1 AS BIGINT) AS is_current
       FROM cdc
-      ORDER BY o_orderkey, is_current"""
+      ORDER BY o_orderkey, is_current""",
+
+    "u03_cdc_apply" -> """
+      WITH ops AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 'D' AS op, 2 AS ts
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'X', o_totalprice + 100000.0,
+               o_orderdate, 'X-STALE', 'U', 1
+        FROM orders WHERE o_orderkey % 26 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U', o_totalprice + 500.0,
+               o_orderdate, '1-CDC', 'U', 2
+        FROM orders WHERE o_orderkey % 13 = 1
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'X', o_totalprice + 100000.0,
+               o_orderdate, 'X-STALE', 'U', 1
+        FROM orders WHERE o_orderkey % 26 = 1
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey, 'N', o_totalprice,
+               o_orderdate, '9-NEW', 'I', 2
+        FROM orders WHERE o_orderkey % 97 = 0),
+      latest AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+            ORDER BY ts DESC) AS rk FROM ops)
+        WHERE rk = 1),
+      final AS (
+        SELECT o.o_orderstatus, o.o_orderpriority, o.o_totalprice
+        FROM orders o LEFT JOIN latest l ON o.o_orderkey = l.o_orderkey
+        WHERE l.o_orderkey IS NULL
+        UNION ALL
+        SELECT o_orderstatus, o_orderpriority, o_totalprice
+        FROM latest WHERE op <> 'D')
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM final GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
