@@ -120,9 +120,16 @@ object Multimodal {
     // hamming pigeonhole ([[Dedup.hammingNeardupPairs]]) — small
     // equality keys, never all-pairs, the scale-safe shape. Gate:
     // inject a twin per eligible doc (3 bytes flipped at spread
-    // positions — ≤ 3 windows perturbed ⇒ hamming ≤ 3 by
-    // construction) and assert ≥ 95% of twins are recovered. Oracle
-    // derives n_twins by SQL; gate constant in the d06 style.
+    // positions — ≤ 3 windows touched directly; the ±1 edits also
+    // shift the GLOBAL mean by ≤ 3/len, which can flip bits in
+    // untouched windows whose mean sits within that margin of the
+    // global mean, so hamming ≤ 3 is distribution-dependent, not a
+    // hard invariant). The 95% gate carries headroom for exactly
+    // those boundary flips: on the fixture corpus the observed
+    // boundary-flip rate leaves every twin within hamming 3, and a
+    // distribution where > 5% of twins cross the band would signal a
+    // fixture change, not a code regression. Oracle derives n_twins
+    // by SQL; gate constant in the d06 style.
     "m04_phash_twin_recall" -> ((s, d) => {
       import s.implicits._
       val payloads = Tables.documents(s, d)

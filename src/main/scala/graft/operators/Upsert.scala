@@ -204,10 +204,14 @@ object Upsert {
           lit("9-NEW").as("o_orderpriority")))
       val ops = dels.unionByName(staleDelSideU).unionByName(upds)
         .unionByName(staleUpdU).unionByName(ins)
-      // latest op per key — window over the SMALL batch; ties cannot
-      // occur (one op per (key, ts) by construction)
+      // latest op per key — window over the SMALL batch. At the gate
+      // SF no (key, ts) pair repeats, but at large gen scales the +20M
+      // insert offset can collide with a %13==0 delete key at ts=2, so
+      // the window carries a deterministic secondary sort on `op`
+      // (D < I < U lexically) mirrored in the oracle SQL — the winner
+      // is pinned either way, never left to partition order.
       val latest = ops.withColumn("rk", row_number().over(
-          Window.partitionBy("o_orderkey").orderBy(col("ts").desc)))
+          Window.partitionBy("o_orderkey").orderBy(col("ts").desc, col("op"))))
         .filter(col("rk") === 1)
       val survivors = orders.join(
         broadcast(latest.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
@@ -285,7 +289,7 @@ object Upsert {
       latest AS (
         SELECT * FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-            ORDER BY ts DESC) AS rk FROM ops)
+            ORDER BY ts DESC, op) AS rk FROM ops)
         WHERE rk = 1),
       final AS (
         SELECT o.o_orderstatus, o.o_orderpriority, o.o_totalprice

@@ -178,16 +178,39 @@ object LakeMaintenance {
     * no driver loop) and persisted next to the layout, re-used across
     * JVMs via the same source stamp. */
   def zoneMapIndex(s: SparkSession, d: String): String = {
-    // same constants as the layout it indexes: a re-sized layout must
-    // never pair with a stale index (disjoint file sets would
-    // silently prune everything)
-    val dir = stamped(s, d, s"zonemap_f${MinZFiles}t${TargetZFileBytes >> 20}")
+    // the stamp carries BOTH the sizing constants (a re-sized layout
+    // must never pair with a stale index) and a fingerprint of the
+    // layout's actual file listing: if the z-ordered dir is deleted
+    // and rebuilt (fresh part-file UUIDs) while an old index dir
+    // survives, the fingerprint changes and the index rebuilds instead
+    // of returning dangling paths. The listing is one fs.listStatus
+    // over ~zFileCount entries — the same metadata footprint any
+    // file-source scan already pays.
+    val layout = zorderedOrders(s, d)
+    val dir = stamped(s, d,
+      s"zonemap_f${MinZFiles}t${TargetZFileBytes >> 20}_l${layoutFingerprint(s, layout)}")
     if (!success(s, dir)) {
-      fileStats(s.read.parquet(zorderedOrders(s, d)))
+      fileStats(s.read.parquet(layout))
         .coalesce(1) // index is 1 row per data file — single tiny file
         .write.mode("overwrite").parquet(dir)
     }
     dir
+  }
+
+  /** Stable hex fingerprint of a layout directory's data-file listing
+    * (names + lengths, sorted). Two materializations of the same
+    * logical layout differ (part-file UUIDs), so an index stamped with
+    * this can only ever attach to the exact files it indexed. */
+  private[graft] def layoutFingerprint(s: SparkSession, dir: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val listing = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(st => s"${st.getPath.getName}:${st.getLen}")
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
   }
 
   /** Per-file stats rows for any orders-shaped scan — the zone map's
