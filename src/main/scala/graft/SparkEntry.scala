@@ -28,7 +28,8 @@ object SparkEntry {
       Multimodal.queries ++ StreamingOps.queries ++ Sketches.queries ++
       graft.functions.WeightedAvg.queries ++
       graft.sources.Bucketing.queries ++ graft.sources.PartitionedLayout.queries ++
-      graft.sources.SourceFormats.queries ++ graft.sources.LakeMaintenance.queries
+      graft.sources.SourceFormats.queries ++ graft.sources.LakeMaintenance.queries ++
+      graft.sources.SnapshotLog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops
@@ -42,5 +43,6 @@ object SparkEntry {
       Multimodal.oracle ++ StreamingOps.oracle ++ Sketches.oracle ++
       graft.functions.WeightedAvg.oracle ++
       graft.sources.Bucketing.oracle ++ graft.sources.PartitionedLayout.oracle ++
-      graft.sources.SourceFormats.oracle ++ graft.sources.LakeMaintenance.oracle
+      graft.sources.SourceFormats.oracle ++ graft.sources.LakeMaintenance.oracle ++
+      graft.sources.SnapshotLog.oracle
 }

@@ -1,0 +1,285 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Snapshot / time-travel manifest over parquet layouts — the atomic
+  * commit-log pattern of Iceberg metadata files and the Delta
+  * transaction log, and the one lake capability the i09–i12 layer
+  * (compaction, z-order, zone maps) still lacked. The reference has no
+  * notion of table versions at all (it reads one file straight
+  * through, `/root/reference/src/main.rs:52`); every production lake
+  * needs them, because at 100 TB "the table" is tens of thousands of
+  * files mutated by concurrent compactors, appenders and CDC appliers,
+  * and the ONLY consistent view is "the file list some committed
+  * manifest names".
+  *
+  * Design (the Iceberg/Delta core, re-expressed minimally):
+  *   - A table is a directory: data files under `data/<writeId>/`,
+  *     an append-only log under `_log/` with one immutable manifest
+  *     per version (`v00000001`, `v00000002`, …).
+  *   - A manifest is a self-validating text file: header
+  *     (version/parent/op), one `f:<path>\t<len>` line per data file,
+  *     and a trailing `end` sentinel — a reader that sees no `end`
+  *     treats the file as an in-flight torn write and ignores it.
+  *   - **Commit = atomically creating the next version file.** On
+  *     POSIX (`file:` scheme) that is CREATE_NEW (O_CREAT|O_EXCL);
+  *     on HDFS, `fs.create(path, overwrite=false)` is atomic at the
+  *     NameNode. Two concurrent writers racing for `v(N+1)`: exactly
+  *     one create succeeds; the loser re-reads the current version
+  *     and either retries at N+2 (append mode — last commit wins the
+  *     higher version, nothing is lost) or aborts (optimistic
+  *     expected-parent mode, the Iceberg conflict check). Object
+  *     stores without atomic create need a catalog/lock service —
+  *     exactly the caveat Iceberg documents; the FS contract is
+  *     isolated in [[publishAtomic]].
+  *   - **Data files are immutable and never deleted by commits** —
+  *     a rewrite (compaction) writes NEW files and commits a manifest
+  *     naming them; old versions keep reading their own file list
+  *     bit-identically. A losing writer's orphaned data files are
+  *     garbage, not corruption (Iceberg's `remove_orphan_files`
+  *     semantics).
+  *
+  * Scale: a manifest at 100 TB is ~100k `f:` lines — a few MB of
+  * text read once per query plan, replacing a recursive directory
+  * listing over the same 100k objects; commit cost is O(files in the
+  * snapshot) bytes and ONE atomic create, independent of data size.
+  * Readers plan from `read(table, v)` = `spark.read.parquet(files…)`,
+  * so pushdown/pruning/AQE all apply unchanged.
+  */
+object SnapshotLog {
+
+  case class Manifest(version: Long, parent: Long, op: String,
+      files: Seq[(String, Long)])
+
+  /** Thrown in expected-parent mode when another writer committed
+    * first — the caller re-reads table state and re-plans (the
+    * optimistic-concurrency contract). */
+  final class SnapshotConflict(msg: String) extends RuntimeException(msg)
+
+  private def fsOf(s: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+
+  private def logDir(table: String) = s"$table/_log"
+  private def vPath(table: String, v: Long) =
+    new org.apache.hadoop.fs.Path(f"${logDir(table)}/v$v%08d")
+
+  /** Highest version with a VALID (end-sentinel-complete) manifest;
+    * 0 when the table has no committed snapshot. Torn or garbage
+    * version files are skipped — they are in-flight or failed
+    * commits, not table state. */
+  def currentVersion(s: SparkSession, table: String): Long = {
+    val fs = fsOf(s)
+    val dir = new org.apache.hadoop.fs.Path(logDir(table))
+    if (!fs.exists(dir)) return 0L
+    fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong)
+      .filter(v => readManifest(s, table, v).isDefined)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Parse one manifest; None when absent or torn (no `end`). */
+  def readManifest(s: SparkSession, table: String, v: Long): Option[Manifest] = {
+    val fs = fsOf(s)
+    val p = vPath(table, v)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = text.split("\n", -1).toIndexedSeq
+    if (!lines.contains("end")) return None // torn write — not committed
+    def field(k: String): Option[String] =
+      lines.find(_.startsWith(s"$k:")).map(_.drop(k.length + 1))
+    for {
+      ver <- field("version").map(_.toLong)
+      par <- field("parent").map(_.toLong)
+      op  <- field("op")
+    } yield Manifest(ver, par, op,
+      lines.takeWhile(_ != "end").filter(_.startsWith("f:")).map { l =>
+        val Array(path, len) = l.drop(2).split("\t", 2)
+        (path, len.toLong)
+      })
+  }
+
+  private def render(m: Manifest): String =
+    (Seq(s"graft-snapshot:1", s"version:${m.version}", s"parent:${m.parent}",
+      s"op:${m.op}") ++
+      m.files.map { case (p, l) => s"f:$p\t$l" } :+ "end").mkString("\n")
+
+  /** Atomically create `path` with `content`, failing if it already
+    * exists. `file:` scheme goes through java.nio CREATE_NEW — true
+    * O_CREAT|O_EXCL, atomic under concurrent local writers (the test
+    * harness case). Other schemes use `fs.create(overwrite=false)`,
+    * which HDFS makes atomic at the NameNode. */
+  private def publishAtomic(s: SparkSession, path: org.apache.hadoop.fs.Path,
+      content: String): Unit = {
+    val fs = fsOf(s)
+    val uri = fs.makeQualified(path).toUri
+    if (uri.getScheme == "file") {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(uri.getPath),
+        content.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    } else {
+      val out = fs.create(path, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Commit `files` as the next snapshot. `expectedParent = Some(p)`
+    * is the Iceberg optimistic check: the commit only lands if the
+    * table is still at version p, else [[SnapshotConflict]] — use it
+    * when `files` were DERIVED from version p (a rewrite). `None` is
+    * blind-append mode: retry past losses until a version lands
+    * (last committed writer simply wins the higher version number —
+    * safe when the commit is self-contained, e.g. appending a shard).
+    * Returns the committed version. */
+  def commit(s: SparkSession, table: String, op: String,
+      files: Seq[(String, Long)],
+      expectedParent: Option[Long] = None): Long = {
+    fsOf(s).mkdirs(new org.apache.hadoop.fs.Path(logDir(table)))
+    var attempt = math.max(currentVersion(s, table),
+      expectedParent.getOrElse(0L)) + 1
+    while (true) {
+      expectedParent.foreach { p =>
+        val cur = currentVersion(s, table)
+        if (cur != p) throw new SnapshotConflict(
+          s"table $table moved to v$cur while writer derived from v$p")
+      }
+      val m = Manifest(attempt, attempt - 1, op, files)
+      try {
+        publishAtomic(s, vPath(table, attempt), render(m))
+        return attempt
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          // lost the race (or a garbage file squats on this number):
+          // bump past BOTH the current valid version and the occupied
+          // number, re-check the parent precondition, go again
+          attempt = math.max(currentVersion(s, table), attempt) + 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Read the table AS OF snapshot `v` — plan over exactly the files
+    * that manifest names (never a directory listing, so concurrent
+    * rewrites and orphaned loser files are invisible). */
+  def readAt(s: SparkSession, table: String, v: Long): DataFrame = {
+    val m = readManifest(s, table, v).getOrElse(throw new IllegalArgumentException(
+      s"no committed snapshot v$v in $table"))
+    s.read.parquet(m.files.map(_._1): _*)
+  }
+
+  /** All data files currently under `dir` (one Spark write's output),
+    * as manifest entries. */
+  private[graft] def dataFiles(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    val fs = fsOf(s)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(st => (st.getPath.toUri.getPath, st.getLen))
+      .sortBy(_._1).toIndexedSeq
+  }
+
+  // ---------------------------------------------------------------
+  // i13/i14 fixture: a snapshotted orders table with a poisoned append
+  // ---------------------------------------------------------------
+
+  private def stamped(s: SparkSession, d: String): String = {
+    val fs = fsOf(s)
+    val src = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val st = fs.getFileStatus(src)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${st.getModificationTime}_${fs.getContentSummary(src).getLength}"
+    graft.LocalScratch.scratchDir + s"/graft_snaptable_$tag"
+  }
+
+  /** The deterministic "poison" shard appended at v2: clones of the
+    * %97 keys with shifted keys, status Z and +250.25 price. Both the
+    * i13 and i14 oracles know this shape, so a time-travel reader
+    * that leaks v2 files into a v1 read (or vice versa) moves counts
+    * AND checksums — the leak cannot hash green. */
+  private def poisonShard(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(30000000L))
+      .withColumn("o_orderstatus", lit("Z"))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(250.25))
+      .withColumn("o_orderpriority", lit("8-SNAP"))
+
+  /** Build (once per source stamp, idempotent and crash-resumable —
+    * the log itself records how far the build got) a two-snapshot
+    * orders table: v1 = the base data, v2 = v1 + the poison shard.
+    * Concurrent builders race on the commit, not on a lock: the loser
+    * gets [[SnapshotConflict]], re-reads, and finds the work done. */
+  def snapshottedOrders(s: SparkSession, d: String): String = synchronized {
+    val table = stamped(s, d)
+    if (currentVersion(s, table) == 0L) {
+      val base = s"$table/data/base"
+      Tables.orders(s, d).repartition(4)
+        .write.mode("overwrite").parquet(base)
+      try commit(s, table, "base-load", dataFiles(s, base), Some(0L))
+      catch { case _: SnapshotConflict => () } // another JVM won — done
+    }
+    if (currentVersion(s, table) == 1L) {
+      val shard = s"$table/data/shard1"
+      poisonShard(s, d).repartition(1)
+        .write.mode("overwrite").parquet(shard)
+      val v1 = readManifest(s, table, 1L).get
+      try commit(s, table, "append-shard",
+        v1.files ++ dataFiles(s, shard), Some(1L))
+      catch { case _: SnapshotConflict => () }
+    }
+    table
+  }
+
+  private def statusRollup(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType)
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // i13: TIME TRAVEL — read AS OF v1 after v2 exists. The oracle is
+    // the plain source table: if the reader planned from a directory
+    // listing (or any file v1's manifest doesn't name), the poison
+    // shard's Z rows appear and every checksum splits.
+    "i13_time_travel" -> ((s, d) =>
+      statusRollup(readAt(s, snapshottedOrders(s, d), 1L))),
+
+    // i14: CURRENT snapshot — same rollup at v2; the oracle replays
+    // the append in SQL. Green i13 + green i14 together pin that the
+    // two versions coexist over shared immutable base files.
+    "i14_snapshot_current" -> ((s, d) => {
+      val table = snapshottedOrders(s, d)
+      statusRollup(readAt(s, table, currentVersion(s, table)))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "i13_time_travel" -> """
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "i14_snapshot_current" -> """
+      WITH snap2 AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT 'Z' AS o_orderstatus, o_totalprice + 250.25 AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM snap2 GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SnapshotLog
+
+/** The snapshot log's TRANSACTIONAL properties — the part the DuckDB
+  * oracle cannot see (i13/i14 only prove each snapshot's CONTENT).
+  * What must hold structurally: commits are atomic and sequential
+  * under concurrency, the expected-parent check rejects stale writers,
+  * a rewrite creates a NEW version while old versions keep reading
+  * bit-identically over their immutable files, and torn manifests are
+  * invisible to readers.
+  */
+class SnapshotLogSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val d = TestSpark.sf0001
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_snap_spec").toString
+
+  /** A tiny committed base snapshot to build on. */
+  private def seed(table: String, tag: Int): Long = {
+    val dir = s"$table/data/seed$tag"
+    Tables.orders(s, d).filter(col("o_orderkey") % 7 === tag)
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    SnapshotLog.commit(s, table, s"seed$tag", SnapshotLog.dataFiles(s, dir))
+  }
+
+  test("concurrent appenders both land, on distinct sequential versions") {
+    val table = freshTable()
+    seed(table, 0)
+    // two writers race from the same observed state in append mode:
+    // exactly one CREATE_NEW wins each version number; the loser
+    // retries at the next — last-commit-wins, nothing lost
+    val dirs = Seq(1, 2).map { tag =>
+      val dir = s"$table/data/seed$tag"
+      Tables.orders(s, d).filter(col("o_orderkey") % 7 === tag)
+        .repartition(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = dirs.map { dir =>
+      new Thread(() => {
+        results.add(SnapshotLog.commit(s, table, s"append",
+          SnapshotLog.dataFiles(s, dir)))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val versions = results.asScala.toSeq.sorted
+    assert(versions === Seq(2L, 3L), s"got $versions")
+    assert(SnapshotLog.currentVersion(s, table) === 3L)
+    // both manifests are valid and carry what their writer committed
+    assert(SnapshotLog.readManifest(s, table, 2L).isDefined)
+    assert(SnapshotLog.readManifest(s, table, 3L).isDefined)
+  }
+
+  test("expected-parent mode rejects a writer whose base moved") {
+    val table = freshTable()
+    val v1 = seed(table, 0)
+    assert(v1 === 1L)
+    val v2 = seed(table, 1) // table moves to v2
+    assert(v2 === 2L)
+    // a rewriter that derived its files from v1 must NOT land
+    intercept[SnapshotLog.SnapshotConflict] {
+      SnapshotLog.commit(s, table, "stale-rewrite",
+        SnapshotLog.readManifest(s, table, 1L).get.files,
+        expectedParent = Some(1L))
+    }
+    assert(SnapshotLog.currentVersion(s, table) === 2L)
+  }
+
+  test("rewrite creates N+1; snapshot N still reads bit-identically") {
+    val table = freshTable()
+    seed(table, 3)
+    val before = SnapshotLog.readAt(s, table, 1L)
+      .orderBy("o_orderkey").collect().toSeq
+    // compact: rewrite v1's data into ONE new file, commit as v2 —
+    // v1's files are immutable and untouched
+    val rewriteDir = s"$table/data/rewrite1"
+    SnapshotLog.readAt(s, table, 1L).repartition(1)
+      .write.mode("overwrite").parquet(rewriteDir)
+    val v2 = SnapshotLog.commit(s, table, "compact",
+      SnapshotLog.dataFiles(s, rewriteDir), expectedParent = Some(1L))
+    assert(v2 === 2L)
+    val after = SnapshotLog.readAt(s, table, 1L)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(after === before, "snapshot 1 changed after a v2 rewrite")
+    // and v2 holds the same logical rows over different physical files
+    val v2rows = SnapshotLog.readAt(s, table, 2L)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(v2rows === before)
+    assert(SnapshotLog.readManifest(s, table, 2L).get.files.map(_._1) !==
+      SnapshotLog.readManifest(s, table, 1L).get.files.map(_._1))
+  }
+
+  test("torn manifests are invisible; commit skips past squatting files") {
+    val table = freshTable()
+    seed(table, 0)
+    // simulate a writer that died mid-write: v2 exists but has no `end`
+    val torn = java.nio.file.Paths.get(s"$table/_log/v00000002")
+    java.nio.file.Files.write(torn,
+      "graft-snapshot:1\nversion:2\nparent:1\nop:crashed".getBytes("UTF-8"))
+    assert(SnapshotLog.currentVersion(s, table) === 1L,
+      "torn manifest counted as committed")
+    assert(SnapshotLog.readManifest(s, table, 2L).isEmpty)
+    // the next commit cannot land on the squatted number: it bumps past
+    val v = seed(table, 1)
+    assert(v === 3L, s"commit landed on v$v instead of skipping the torn v2")
+    assert(SnapshotLog.currentVersion(s, table) === 3L)
+  }
+
+  test("i13 fixture: v1 and v2 coexist over shared immutable base files") {
+    val table = SnapshotLog.snapshottedOrders(s, d)
+    val m1 = SnapshotLog.readManifest(s, table, 1L).get
+    val m2 = SnapshotLog.readManifest(s, table, 2L).get
+    // the append reuses every v1 file (no rewrite) plus the shard
+    assert(m1.files.toSet.subsetOf(m2.files.toSet))
+    assert(m2.files.size > m1.files.size)
+    // v1 sees zero poison rows; v2 sees exactly the %97 clones
+    assert(SnapshotLog.readAt(s, table, 1L)
+      .filter(col("o_orderstatus") === "Z").count() === 0L)
+    val expected = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0).count()
+    assert(SnapshotLog.readAt(s, table, 2L)
+      .filter(col("o_orderstatus") === "Z").count() === expected)
+  }
+}
