@@ -174,55 +174,96 @@ object Upsert {
     // priority) rollup fingerprints all paths: a wrong winner or a
     // surviving deleted row moves a count or checksum.
     "u03_cdc_apply" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val orders = Tables.orders(s, d)
       val cols = orders.columns.map(col)
-      def op(name: String, ts: Int, rows: DataFrame): DataFrame =
-        rows.withColumn("op", lit(name)).withColumn("ts", lit(ts))
-      val dels = op("D", 2, orders.filter(col("o_orderkey") % 13 === 0)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
-      val staleDelSideU = op("U", 1, orders.filter(col("o_orderkey") % 26 === 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          lit("X").as("o_orderstatus"),
-          (col("o_totalprice") + lit(100000.0)).as("o_totalprice"),
-          col("o_orderdate"), lit("X-STALE").as("o_orderpriority")))
-      val upds = op("U", 2, orders.filter(col("o_orderkey") % 13 === 1)
-        .select(col("o_orderkey"), col("o_custkey"),
-          lit("U").as("o_orderstatus"),
-          (col("o_totalprice") + lit(500.0)).as("o_totalprice"),
-          col("o_orderdate"), lit("1-CDC").as("o_orderpriority")))
-      val staleUpdU = op("U", 1, orders.filter(col("o_orderkey") % 26 === 1)
-        .select(col("o_orderkey"), col("o_custkey"),
-          lit("X").as("o_orderstatus"),
-          (col("o_totalprice") + lit(100000.0)).as("o_totalprice"),
-          col("o_orderdate"), lit("X-STALE").as("o_orderpriority")))
-      val ins = op("I", 2, orders.filter(col("o_orderkey") % 97 === 0)
-        .select((col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
-          col("o_custkey"), lit("N").as("o_orderstatus"),
-          col("o_totalprice"), col("o_orderdate"),
-          lit("9-NEW").as("o_orderpriority")))
-      val ops = dels.unionByName(staleDelSideU).unionByName(upds)
-        .unionByName(staleUpdU).unionByName(ins)
-      // latest op per key — window over the SMALL batch. At the gate
-      // SF no (key, ts) pair repeats, but at large gen scales the +20M
-      // insert offset can collide with a %13==0 delete key at ts=2, so
-      // the window carries a deterministic secondary sort on `op`
-      // (D < I < U lexically) mirrored in the oracle SQL — the winner
-      // is pinned either way, never left to partition order.
-      val latest = ops.withColumn("rk", row_number().over(
-          Window.partitionBy("o_orderkey").orderBy(col("ts").desc, col("op"))))
-        .filter(col("rk") === 1)
+      val latest = latestOps(cdcOpsLog(s, d), "o_orderkey")
       val survivors = orders.join(
         broadcast(latest.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
       val applied = latest.filter(col("op") =!= "D").select(cols: _*)
-      survivors.select(cols: _*).unionByName(applied)
-        .groupBy("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
-        .orderBy("o_orderstatus", "o_orderpriority")
+      cdcRollup(survivors.select(cols: _*).unionByName(applied))
+    }),
+
+    // u04: u03's apply run per MICRO-BATCH through the snapshot log
+    // (graft.streaming.CdcStream) — here in batch-twin form so the
+    // DuckDB hash gate covers it (the house st04/st05 pattern; the
+    // true streaming run with checkpoint restart lives in
+    // StreamingSpec). The ops log is sharded by key, each shard
+    // applied as one micro-batch committing a new snapshot; keys are
+    // shard-disjoint so the final state must equal u03's single-batch
+    // apply — same oracle SQL, byte-for-byte.
+    "u04_cdc_stream_apply" -> ((s, d) => {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_u04_table").toString
+      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d))
+      val ops = cdcOpsLog(s, d)
+      (0 until 3).foreach { i =>
+        graft.streaming.CdcStream.applyBatch(s, table,
+          ops.filter(pmod(col("o_orderkey"), lit(3)) === i), i.toLong,
+          "o_orderkey")
+      }
+      cdcRollup(graft.sources.SnapshotLog.readAt(s, table,
+        graft.sources.SnapshotLog.currentVersion(s, table)))
     })
   )
+
+  /** The u03/u04 CDC ops log: a deterministic Debezium-shaped batch
+    * over `orders` exercising delete-beats-earlier-update,
+    * latest-update-wins and insert (shape rationale at the u03 entry
+    * above). Columns = orders schema + (op, ts). */
+  def cdcOpsLog(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    def op(name: String, ts: Int, rows: DataFrame): DataFrame =
+      rows.withColumn("op", lit(name)).withColumn("ts", lit(ts))
+    val dels = op("D", 2, orders.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
+    val staleDelSideU = op("U", 1, orders.filter(col("o_orderkey") % 26 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("X").as("o_orderstatus"),
+        (col("o_totalprice") + lit(100000.0)).as("o_totalprice"),
+        col("o_orderdate"), lit("X-STALE").as("o_orderpriority")))
+    val upds = op("U", 2, orders.filter(col("o_orderkey") % 13 === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(500.0)).as("o_totalprice"),
+        col("o_orderdate"), lit("1-CDC").as("o_orderpriority")))
+    val staleUpdU = op("U", 1, orders.filter(col("o_orderkey") % 26 === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("X").as("o_orderstatus"),
+        (col("o_totalprice") + lit(100000.0)).as("o_totalprice"),
+        col("o_orderdate"), lit("X-STALE").as("o_orderpriority")))
+    val ins = op("I", 2, orders.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"),
+        lit("9-NEW").as("o_orderpriority")))
+    dels.unionByName(staleDelSideU).unionByName(upds)
+      .unionByName(staleUpdU).unionByName(ins)
+  }
+
+  /** Latest-op-wins collapse of a CDC batch: one row per key, the one
+    * with the highest ts. Window over the SMALL batch only — never the
+    * table. At the gate SF no (key, ts) pair repeats, but at large gen
+    * scales the +20M insert offset can collide with a %13==0 delete
+    * key at ts=2, so the window carries a deterministic secondary sort
+    * on `op` (D < I < U lexically) mirrored in the oracle SQL — the
+    * winner is pinned either way, never left to partition order. */
+  def latestOps(ops: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ops.withColumn("rk", row_number().over(
+        Window.partitionBy(key).orderBy(col("ts").desc, col("op"))))
+      .filter(col("rk") === 1)
+  }
+
+  /** The shared u03/u04 fingerprint rollup: per-(status, priority)
+    * count + DECIMAL checksum — a wrong winner, a surviving deleted
+    * row or a dropped untouched row moves a count or checksum. */
+  private def cdcRollup(finalState: DataFrame): DataFrame =
+    finalState
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
 
   val oracle: Map[String, String] = Map(
     "u01_upsert_merge" -> """
@@ -266,6 +307,47 @@ object Upsert {
       ORDER BY o_orderkey, is_current""",
 
     "u03_cdc_apply" -> """
+      WITH ops AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 'D' AS op, 2 AS ts
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'X', o_totalprice + 100000.0,
+               o_orderdate, 'X-STALE', 'U', 1
+        FROM orders WHERE o_orderkey % 26 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U', o_totalprice + 500.0,
+               o_orderdate, '1-CDC', 'U', 2
+        FROM orders WHERE o_orderkey % 13 = 1
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'X', o_totalprice + 100000.0,
+               o_orderdate, 'X-STALE', 'U', 1
+        FROM orders WHERE o_orderkey % 26 = 1
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey, 'N', o_totalprice,
+               o_orderdate, '9-NEW', 'I', 2
+        FROM orders WHERE o_orderkey % 97 = 0),
+      latest AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+            ORDER BY ts DESC, op) AS rk FROM ops)
+        WHERE rk = 1),
+      final AS (
+        SELECT o.o_orderstatus, o.o_orderpriority, o.o_totalprice
+        FROM orders o LEFT JOIN latest l ON o.o_orderkey = l.o_orderkey
+        WHERE l.o_orderkey IS NULL
+        UNION ALL
+        SELECT o_orderstatus, o_orderpriority, o_totalprice
+        FROM latest WHERE op <> 'D')
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM final GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // u04 = u03 applied via shard-disjoint micro-batches through the
+    // snapshot log; key-disjoint shards commute, so the final state is
+    // IDENTICAL to the single-batch apply and the oracle is the same
+    // query verbatim.
+    "u04_cdc_stream_apply" -> """
       WITH ops AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority, 'D' AS op, 2 AS ts

@@ -239,4 +239,84 @@ class StreamingSpec extends AnyFunSuite {
         "micro-batched dedup diverged from the single-batch run")
     } finally q.stop()
   }
+
+  test("streaming CDC apply: union of micro-batch applies equals the " +
+      "single-batch apply; restart from checkpoint commits nothing") {
+    import graft.operators.Upsert
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val table = java.nio.file.Files.createTempDirectory("graft_u04").toString
+    CdcStream.seedTarget(s, table, Tables.orders(s, d))
+    // ops sharded by key into one file each: key-disjoint shards
+    // commute, so ANY micro-batch arrival order must converge to the
+    // single-batch apply
+    val opsDir = java.nio.file.Files.createTempDirectory("graft_u04_ops").toString
+    val ops = Upsert.cdcOpsLog(s, d)
+    (0 until 3).foreach { i =>
+      ops.filter(pmod(col("o_orderkey"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(opsDir)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_u04_ckpt").toString
+    def run(): Unit = {
+      val stream = s.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1).parquet(opsDir)
+      val q = CdcStream.applyStream(s, table, stream, "o_orderkey", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val vAfterFirst = SnapshotLog.currentVersion(s, table)
+    assert(vAfterFirst === 4L, s"expected v4 (seed + 3 batches), got v$vAfterFirst")
+    // parity vs the single-batch u03 apply
+    val orders = Tables.orders(s, d)
+    val cols = orders.columns.map(col).toIndexedSeq
+    val latest = Upsert.latestOps(ops, "o_orderkey")
+    val expected = orders
+      .join(broadcast(latest.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .select(cols: _*)
+      .unionByName(latest.filter(col("op") =!= "D").select(cols: _*))
+    val got = SnapshotLog.readAt(s, table, vAfterFirst)
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(got).count() === 0L)
+    // restart from the checkpoint: all input committed → zero new
+    // snapshots, zero appended rows
+    run()
+    assert(SnapshotLog.currentVersion(s, table) === vAfterFirst,
+      "restart from checkpoint committed a new snapshot")
+    // and the batchId-idempotence layer holds even when a batch IS
+    // replayed past the checkpoint (crash-between-sink-and-checkpoint)
+    val replay = CdcStream.applyBatch(s, table,
+      ops.filter(pmod(col("o_orderkey"), lit(3)) === 0), 0L, "o_orderkey")
+    assert(replay === -1L, "replayed batch was applied twice")
+    assert(SnapshotLog.currentVersion(s, table) === vAfterFirst)
+  }
+
+  test("CDC apply rewrites only the files containing affected keys") {
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val table = java.nio.file.Files.createTempDirectory("graft_u04_files").toString
+    // seed range-partitioned so files are disjoint key ranges
+    val base = s"$table/data/base"
+    Tables.orders(s, d).repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(base)
+    SnapshotLog.commit(s, table, "base-load",
+      SnapshotLog.dataFiles(s, base), Some(0L))
+    val m1 = SnapshotLog.readManifest(s, table, 1L).get
+    assert(m1.files.size === 4)
+    // a narrow batch: update the 5 smallest keys — they live in ONE
+    // range file, so three base files must carry over verbatim
+    val lowKeys = Tables.orders(s, d).orderBy("o_orderkey").limit(5)
+      .withColumn("op", lit("U")).withColumn("ts", lit(1))
+      .withColumn("o_orderpriority", lit("T-TOUCH"))
+    val v2 = CdcStream.applyBatch(s, table, lowKeys, 0L, "o_orderkey")
+    assert(v2 === 2L)
+    val m2 = SnapshotLog.readManifest(s, table, 2L).get
+    val carried = m1.files.toSet.intersect(m2.files.toSet)
+    assert(carried.size === 3,
+      s"expected 3 untouched files carried over, got ${carried.size}")
+    // content still exact: every row present, 5 rows re-prioritized
+    val got = SnapshotLog.readAt(s, table, 2L)
+    assert(got.count() === Tables.orders(s, d).count())
+    assert(got.filter(col("o_orderpriority") === "T-TOUCH").count() === 5L)
+  }
 }
