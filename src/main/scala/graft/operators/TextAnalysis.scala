@@ -250,6 +250,66 @@ object TextAnalysis {
           when(col("bigram_logprob") > col("thr"), 1L).otherwise(0L)
             .as("lm_keep"))
         .orderBy("doc_id")
+    }),
+
+    // t10: tokenizer APPLY — the subword-vocab application pass every
+    // LLM pipeline runs to size its corpus (per-doc token count, OOV
+    // rate) under a trained vocab. The merge table is trained from
+    // the corpus itself, deterministically: the top-50 whitespace
+    // words (len ≥ 3) by frequency, ties broken by word. Apply =
+    // greedy longest-prefix match per word with single-char fallback,
+    // each fallback counting as one OOV token — the WordPiece
+    // greedy-match shape.
+    //
+    // Scale shape: segmentation runs once per DISTINCT word (Heaps'-
+    // law bounded — the distinct-word table grows ~√corpus, not with
+    // the token stream) with the vocab broadcast; results re-join the
+    // per-(doc, word) counts under a shuffle_hash hint (the t08
+    // convention — a corpus-scale distinct-word table must never be
+    // mis-broadcast). The greedy loop is the one justified
+    // row-function here: a data-dependent while-loop over a broadcast
+    // table has no Catalyst builtin. |V|=50 makes a linear scan of
+    // the longest-first array optimal; a production 30k-merge vocab
+    // swaps in a trie without touching the plan. Oracle replays the
+    // exact greedy match as a DuckDB recursive CTE.
+    "t10_tokenizer_apply" -> ((s, d) => {
+      import s.implicits._
+      val wc = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      // trained merge table: bounded driver-side read (50 rows — the
+      // a06 sketch-consumption class), broadcast to every executor.
+      // Longest-first order makes the FIRST prefix hit the longest
+      // (two same-length distinct strings can't both prefix one rest).
+      val vocab = wc.filter(length(col("word")) >= 3)
+        .groupBy("word").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(50)
+        .select("word").as[String].collect()
+        .sortBy(t => (-t.length, t))
+      val bc = s.sparkContext.broadcast(vocab)
+      val seg = wc.select("word").distinct().as[String]
+        .mapPartitions { it =>
+          val v = bc.value
+          it.map { w =>
+            var rest = w; var toks = 0L; var oov = 0L
+            while (rest.nonEmpty) {
+              v.find(rest.startsWith) match {
+                case Some(m) => rest = rest.substring(m.length)
+                case None    => rest = rest.substring(1); oov += 1
+              }
+              toks += 1
+            }
+            (w, toks, oov)
+          }
+        }.toDF("word", "n_toks", "oov")
+      wc.join(seg.hint("shuffle_hash"), Seq("word"))
+        .groupBy("doc_id")
+        .agg(sum(col("n_toks") * col("cnt")).as("n_tokens"),
+          round(sum(col("oov") * col("cnt")).cast(DoubleType) /
+            sum(col("n_toks") * col("cnt")).cast(DoubleType), 6).as("oov_rate"))
+        .orderBy("doc_id")
     })
   )
 
@@ -442,7 +502,47 @@ object TextAnalysis {
           FROM scored)
         SELECT doc_id, n_bigrams, bigram_logprob,
           CASE WHEN bigram_logprob > thr THEN 1 ELSE 0 END AS lm_keep
-        FROM scored, thr ORDER BY doc_id"""
+        FROM scored, thr ORDER BY doc_id""",
+
+      // t10: the recursive CTE replays the exact greedy longest-prefix
+      // match — per step, the longest vocab prefix of `rest` (unique:
+      // two distinct same-length strings can't both prefix one rest)
+      // is consumed, else one char falls back as OOV; terminal rows
+      // (rest = '') carry each distinct word's segmentation
+      "t10_tokenizer_apply" -> """
+        WITH RECURSIVE
+        words AS (
+          SELECT doc_id, w AS word FROM (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents)
+          WHERE w <> ''),
+        wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+        vocab AS (
+          SELECT word AS tok FROM (
+            SELECT word, SUM(cnt) AS n FROM wc WHERE length(word) >= 3
+            GROUP BY 1 ORDER BY n DESC, word LIMIT 50)),
+        dw AS (SELECT DISTINCT word FROM wc),
+        r AS (
+          SELECT word, word AS rest,
+            CAST(0 AS BIGINT) AS toks, CAST(0 AS BIGINT) AS oov
+          FROM dw
+          UNION ALL
+          SELECT word,
+            substr(rest, 1 + CASE WHEN m IS NULL THEN 1 ELSE length(m) END),
+            toks + 1,
+            oov + CASE WHEN m IS NULL THEN 1 ELSE 0 END
+          FROM (
+            SELECT word, rest, toks, oov,
+              (SELECT max_by(tok, length(tok)) FROM vocab v
+                WHERE starts_with(rest, v.tok)) AS m
+            FROM r WHERE rest <> '') t),
+        seg AS (SELECT word, toks AS n_toks, oov FROM r WHERE rest = '')
+        SELECT w.doc_id,
+          CAST(SUM(s.n_toks * w.cnt) AS BIGINT) AS n_tokens,
+          ROUND(CAST(SUM(s.oov * w.cnt) AS DOUBLE) /
+            SUM(s.n_toks * w.cnt), 6) AS oov_rate
+        FROM wc w JOIN seg s USING (word)
+        GROUP BY 1 ORDER BY 1"""
     )
   }
 }
