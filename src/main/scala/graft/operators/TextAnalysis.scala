@@ -310,6 +310,80 @@ object TextAnalysis {
           round(sum(col("oov") * col("cnt")).cast(DoubleType) /
             sum(col("n_toks") * col("cnt")).cast(DoubleType), 6).as("oov_rate"))
         .orderBy("doc_id")
+    }),
+
+    // t11: quality-classifier INFERENCE — the CCNet/fastText half of
+    // the quality stack: a logistic regression trained to reproduce a
+    // reference quality signal from cheap distributional features,
+    // then run over the corpus. Teacher labels: the t02 heuristic
+    // score thresholded at its corpus median (the "reference corpus"
+    // stand-in); features: the t08 LM fluency score plus t07-family
+    // distributional stats (bigram count, distinct-token ratio, token
+    // count). Train on the ¾ split, hold out doc_id %4 == 0, and gate
+    // on test AUC — the s08-style structural gate: n_test and n_pos
+    // are SQL-exact (the label derivation is deterministic), auc_ok
+    // pins AUC ≥ 0.85, far under the measured 0.9995 (sf0.01 held-out
+    // slice) so only a real train/score regression trips it (LBFGS
+    // float noise cannot).
+    //
+    // Scale shape: feature build is the t08 pipeline + narrow
+    // projections; the fit is Spark ML's distributed LBFGS over the
+    // train split (gradient treeAggregate — one pass per iteration,
+    // nothing driver-sized except the 4-dim coefficient vector);
+    // scoring is model.transform = a broadcast dot product per row,
+    // narrow and shuffle-free. The AUC rank-sum runs over the
+    // HELD-OUT slice only — eval slices are sampled in production,
+    // so the single-partition row_number is bounded by design, the
+    // same class as t09's 1-row percentile reduce.
+    "t11_quality_classifier" -> ((s, d) => {
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val toks = split(lower(col("text")), "\\s+")
+      val q = Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_stop",
+          size(filter(toks, t => t.isInCollection(StopWords))))
+        .withColumn("n_distinct", size(array_distinct(toks)))
+        .withColumn("quality_score", round(
+          (col("n_stop").cast(DoubleType) / col("n_tokens")) * 0.5 +
+            least(col("n_tokens").cast(DoubleType) / lit(100.0),
+              lit(1.0)) * 0.5, 6))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("quality_score"))
+      // population = docs with >=1 bigram (the t08 join), so the
+      // median, labels and split all agree with the SQL oracle
+      val data0 = q.join(bigramScores(s, d), Seq("doc_id"))
+      val thr = data0.agg(
+        round(expr("percentile(quality_score, 0.5)"), 2).as("thr"))
+      val data = data0.crossJoin(broadcast(thr))
+        .select(col("doc_id"),
+          when(col("quality_score") > col("thr"), 1.0).otherwise(0.0)
+            .as("label"),
+          array_to_vector(array(
+            col("bigram_logprob"),
+            col("n_bigrams").cast(DoubleType),
+            col("n_distinct").cast(DoubleType) / col("n_tokens"),
+            col("n_tokens").cast(DoubleType))).as("features"))
+      val test = data.filter(col("doc_id") % 4 === 0)
+      val model = new LogisticRegression()
+        .setMaxIter(50).setRegParam(0.01)
+        .setFeaturesCol("features").setLabelCol("label")
+        .fit(data.filter(col("doc_id") % 4 =!= 0))
+      val scored = model.transform(test)
+        .select(col("doc_id"), col("label"),
+          vector_to_array(col("probability")).getItem(1).as("prob"))
+      // Mann-Whitney AUC from the rank sum of positives
+      val ranked = scored.withColumn("r", row_number().over(
+        Window.orderBy(col("prob"), col("doc_id"))).cast(DoubleType))
+      ranked.agg(
+          count(lit(1)).as("n_test"),
+          sum(col("label")).cast(LongType).as("n_pos"),
+          sum(col("label") * col("r")).as("prs"))
+        .select(col("n_test"), col("n_pos"),
+          ((col("prs") - col("n_pos") * (col("n_pos") + 1) / 2) /
+            (col("n_pos") * (col("n_test") - col("n_pos")))).as("auc"))
+        .select(col("n_test"), col("n_pos"),
+          when(col("auc") >= 0.85, 1L).otherwise(0L).as("auc_ok"))
     })
   )
 
@@ -542,7 +616,33 @@ object TextAnalysis {
           ROUND(CAST(SUM(s.oov * w.cnt) AS DOUBLE) /
             SUM(s.n_toks * w.cnt), 6) AS oov_rate
         FROM wc w JOIN seg s USING (word)
-        GROUP BY 1 ORDER BY 1"""
+        GROUP BY 1 ORDER BY 1""",
+
+      // t11 gate: n_test/n_pos are exact — population (docs with ≥1
+      // bigram), teacher label (t02 score > rounded median) and the
+      // %4 hold-out split are all SQL-expressible; auc_ok is the
+      // pinned structural constant (the s08 convention — AUC itself
+      // is LBFGS-dependent and not SQL-expressible)
+      "t11_quality_classifier" -> s"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents),
+        q AS (
+          SELECT doc_id,
+            ROUND((CAST(len(list_filter(w, x -> x IN
+                (${StopWords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+                / len(w)) * 0.5 +
+              least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5, 6)
+              AS quality_score
+          FROM t WHERE len(w) >= 2),
+        thr AS (SELECT ROUND(quantile_cont(quality_score, 0.5), 2) AS thr FROM q),
+        lab AS (
+          SELECT doc_id,
+            CASE WHEN quality_score > thr THEN 1 ELSE 0 END AS label
+          FROM q, thr)
+        SELECT COUNT(*) AS n_test, CAST(SUM(label) AS BIGINT) AS n_pos,
+          CAST(1 AS BIGINT) AS auc_ok
+        FROM lab WHERE doc_id % 4 = 0"""
     )
   }
 }

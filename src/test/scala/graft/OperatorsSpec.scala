@@ -203,6 +203,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(w1 >= 1 && w1 <= 640 && h1 >= 1 && h1 <= 480)
   }
 
+  test("t10 tokenizer apply: vocab words are 1 token / 0 OOV, counts bounded") {
+    val rows = TextAnalysis.queries("t10_tokenizer_apply")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0, s"oov_rate $rate outside [0,1]")
+      // subword tokens can only SPLIT words, never merge across them:
+      // token count >= whitespace word count is impossible to assert
+      // without re-splitting, but n_tokens >= 1 always holds
+      assert(r.getAs[Long]("n_tokens") >= 1L)
+    }
+  }
+
+  test("t11 quality classifier: held-out AUC gate passes with headroom") {
+    val r = TextAnalysis.queries("t11_quality_classifier")(s, d).head()
+    assert(r.getAs[Long]("n_test") > 0L)
+    val nPos = r.getAs[Long]("n_pos")
+    assert(nPos > 0L && nPos < r.getAs[Long]("n_test"),
+      "degenerate label split — AUC undefined")
+    assert(r.getAs[Long]("auc_ok") === 1L, "held-out AUC fell below the 0.85 gate")
+  }
+
   test("d11 span coverage: bounds hold, the drop verdict is integer-exact, " +
     "and coverage matches an in-memory reference implementation") {
     val rows = Dedup.queries("d11_span_coverage")(s, d).collect()
