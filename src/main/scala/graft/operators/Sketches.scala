@@ -102,18 +102,23 @@ object Sketches {
     // oracle's pinned 1s) if either side of the bound breaks.
     "a06_cms_heavy_hitters" -> ((s, d) => {
       import s.implicits._
-      val li = Tables.lineitem(s, d).select(col("l_suppkey"))
+      import graft.Checkpoint.TruncateOps
       val eps = 1e-4
-      val cms = li.stat.countMinSketch(col("l_suppkey"), eps, 0.99, 42)
-      val n = li.count()
-      val top = Tables.lineitem(s, d).groupBy("l_suppkey")
-        .agg(count(lit(1)).as("exact_n"))
-        .orderBy(col("exact_n").desc, col("l_suppkey"))
-        .limit(5).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val slack = math.ceil(eps * n).toLong
-      top.toSeq.map { case (k, exact) =>
+      val cms = Tables.lineitem(s, d).select(col("l_suppkey"))
+        .stat.countMinSketch(col("l_suppkey"), eps, 0.99, 42)
+      // one lineitem scan feeds BOTH the top-5 and the ε·N slack
+      // total: the per-key counts are lazily truncated and N rides
+      // them as sum(exact_n) — no separate count() job
+      val counts = Tables.lineitem(s, d).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("exact_n")).truncatedLazy
+      val top = counts
+        .orderBy(col("exact_n").desc, col("l_suppkey")).limit(5)
+        .crossJoin(broadcast(counts.agg(sum(col("exact_n")).as("n_total"))))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      top.toSeq.map { case (k, exact, n) =>
         val est = cms.estimateCount(k)
+        val slack = math.ceil(eps * n).toLong
         (k, exact, if (est >= exact && est - exact <= slack) 1L else 0L)
       }.toDF("l_suppkey", "exact_n", "cms_ok")
         .orderBy(col("exact_n").desc, col("l_suppkey"))

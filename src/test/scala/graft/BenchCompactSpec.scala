@@ -29,6 +29,26 @@ class BenchCompactSpec extends AnyFunSuite {
     assert(c.contains(""""sf":"/root/testdata/sf0.1""""))
   }
 
+  test("compact file variant carries per-query draw spread; stdout variant stays slim") {
+    // the BENCH_COMPACT.json FILE records each query's [min,max] draw
+    // spread (noise vs plan-regression separation without the log
+    // tail); the stdout twin must NOT — 127 extra pairs would blow the
+    // ~2000-char capture window
+    val full =
+      """{"metric":"total","value":3.0,"unit":"sec","queries":{"q01_pricing_summary":1.25,"c14_bloom_decontaminate":1.75},""" +
+        """"failed":[],"errors":{},""" +
+        """"spread":{"q01_pricing_summary":[1.25,1.311],"c14_bloom_decontaminate":[1.75,4.02]},""" +
+        """"sf":"/root/testdata/sf0.1"}"""
+    val withSp = Bench.compact(full, "/x/BENCH_FULL.json", withSpread = true)
+    assert(withSp.contains(""""spread":{"q01":[1.25,1.31],"c14":[1.75,4.02]}"""), withSp)
+    assert(withSp.contains(""""q01":1.25"""), withSp)
+    val noSp = Bench.compact(full, "/x/BENCH_FULL.json")
+    assert(!noSp.contains("spread"), noSp)
+    // a pre-spread line (old artifact replayed) must not break either variant
+    val old = full.replace(""""spread":{"q01_pricing_summary":[1.25,1.311],"c14_bloom_decontaminate":[1.75,4.02]},""", "")
+    assert(!Bench.compact(old, "/x/f.json", withSpread = true).contains("spread"))
+  }
+
   test("objectEnd bounds the errors scan despite braces/escapes in messages") {
     // a message containing '{', '}', an escaped quote, AND a later
     // string field whose key collides with a query name must not leak
