@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * 10-way exact duplicate and quadratically inflate the LSH buckets —
   * measuring THAT would benchmark the data, not the plan.
   *
-  * Usage: runMain graft.ScaleData /root/repo/tools/sf1 [scale]
-  * (scale multiplies the sf0.1 row counts; default 10 ≈ sf1.)
+  * Usage: runMain graft.ScaleData /root/repo/tools/sf1 [scale] [docs]
+  * (scale multiplies the sf0.1 row counts; default 10 ≈ sf1. A third
+  * arg `docs` limits generation to documents+embeddings — the tables
+  * the heavy dedup/graph/similarity family reads — so the 100× growth
+  * corpus doesn't also pay a 15M-order star schema it never scans.)
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/tools/sf1")
     val scale = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val docsOnly = args.drop(2).headOption.contains("docs")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -60,6 +64,12 @@ object ScaleData {
             / 10000.0 - 1.0).cast("float")))
       .withColumn("label", (abs(xxhash64(col("vec_id"), lit("lab"))) % 10).cast("int"))
     emb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    if (docsOnly) {
+      println(s"wrote $nDocs docs + $nVecs vecs (docs-only) to $out")
+      spark.stop()
+      return
+    }
 
     // ---- TPC-H-ish star schema + events, same schema/types/value
     // domains as the driver fixtures (profiled via DuckDB DESCRIBE +
