@@ -109,7 +109,11 @@ object Bench {
       val num = name.drop(1).takeWhile(_.isDigit)
       if (num.nonEmpty && num.toInt <= 4) "text_a" else "text_b"
     }
-    else "agg_ingest" // a, i, u
+    // a+i+u outgrew the one-family bar with i13/i14/u04 (23 plans —
+    // the r3 ≤~20-plan stability finding): ingest/lake (i) benches
+    // apart from sketches+upserts (a, u)
+    else if (prefix == "i") "ingest_lake"
+    else "agg_upsert" // a, u
   }
 
   def main(args: Array[String]): Unit = {

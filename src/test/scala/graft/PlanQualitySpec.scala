@@ -160,7 +160,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // broadcast crossJoin — bounded by construction, the c06 class.
       "s08_pq_recall", "s09_pca_topk", "s10_pca_recall",
       "m04_phash_twin_recall", // same two-1-row-aggregates literal join
-      "t09_lm_quality_filter",
+      // t11 attaches its 1-row median-threshold teacher label via
+      // explicit broadcast crossJoin — bounded by construction, the
+      // t09 class
+      "t09_lm_quality_filter", "t11_quality_classifier",
       "a05_hll_union_bounds", "c06_vocab_coverage")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
