@@ -192,8 +192,12 @@ object Upsert {
     // shard-disjoint so the final state must equal u03's single-batch
     // apply — same oracle SQL, byte-for-byte.
     "u04_cdc_stream_apply" -> ((s, d) => {
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_u04_table").toString
+      // fresh table per run (CDC apply mutates), on the tmpfs scratch:
+      // the bench measures the write+commit cycle inline and the
+      // sandbox block device write-throttles (LocalScratch scaladoc)
+      val table = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
+        "graft_u04_table").toString
       graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d))
       val ops = cdcOpsLog(s, d)
       (0 until 3).foreach { i =>
