@@ -181,6 +181,70 @@ object SnapshotLog {
     s.read.parquet(m.files.map(_._1): _*)
   }
 
+  /** Expire all snapshots except the newest `keepLast`: delete their
+    * manifests, then delete every data file referenced ONLY by expired
+    * manifests (reference-count against the retained set — a file
+    * shared with a live snapshot survives). The Iceberg
+    * `expire_snapshots` contract: live reads are untouched, storage
+    * for dead versions is reclaimed, expired versions become
+    * unreadable. Metadata-only driver work, bounded by (versions ×
+    * files-per-manifest) — the same footprint as reading the log.
+    * Returns (expired versions, deleted data files). */
+  def expire(s: SparkSession, table: String, keepLast: Int): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val fs = fsOf(s)
+    val cur = currentVersion(s, table)
+    val cutoff = cur - keepLast + 1 // retain [cutoff, cur]
+    val retained = (cutoff to cur)
+      .flatMap(v => readManifest(s, table, v)).flatMap(_.files.map(_._1)).toSet
+    val expired = (1L until cutoff)
+      .flatMap(v => readManifest(s, table, v).map(v -> _))
+    val doomed = expired.flatMap(_._2.files.map(_._1)).distinct
+      .filterNot(retained)
+    // data first, manifests second: a crash between the two leaves
+    // expired manifests pointing at deleted files — readManifest still
+    // parses but readAt fails loudly, and a re-run completes the
+    // deletion; the reverse order would leak the files forever
+    doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    expired.foreach { case (v, _) => fs.delete(vPath(table, v), false) }
+    (expired.map(_._1), doomed)
+  }
+
+  /** Data files on disk that NO valid manifest references — the
+    * leftovers of losing concurrent writers (their commit lost the
+    * race; their files are garbage, not table state). The Iceberg
+    * `remove_orphan_files` listing half; deletion is the caller's
+    * explicit second step so a dry run is the default.
+    *
+    * Run only with no writer in flight: an uncommitted writer's data
+    * files are indistinguishable from orphans (its manifest doesn't
+    * exist yet) — production systems add an age threshold for exactly
+    * this race, which a local harness doesn't need. */
+  def orphanFiles(s: SparkSession, table: String): Seq[String] = {
+    val fs = fsOf(s)
+    val referenced = (1L to currentVersion(s, table))
+      .flatMap(v => readManifest(s, table, v)).flatMap(_.files.map(_._1)).toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$table/data")
+    if (!fs.exists(dataRoot)) return Nil
+    val it = fs.listFiles(dataRoot, true)
+    val found = scala.collection.mutable.ListBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (st.isFile && p.getName.startsWith("part-") &&
+          !referenced(p.toUri.getPath))
+        found += p.toUri.getPath
+    }
+    found.toList.sorted
+  }
+
+  def removeOrphans(s: SparkSession, table: String): Seq[String] = {
+    val fs = fsOf(s)
+    val orphans = orphanFiles(s, table)
+    orphans.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    orphans
+  }
+
   /** All data files currently under `dir` (one Spark write's output),
     * as manifest entries. */
   private[graft] def dataFiles(s: SparkSession, dir: String): Seq[(String, Long)] = {
@@ -249,6 +313,41 @@ object SnapshotLog {
           .as("revenue"))
       .orderBy("o_orderstatus")
 
+  /** i15 fixture: a three-snapshot table whose history is then
+    * expired down to the current snapshot — v1 base, v2 = v1 + poison
+    * shard (file reuse), v3 = full compaction REWRITE of v2 (fresh
+    * files, so v1/v2's files become exclusively-dead and expiration
+    * has something real to reclaim). Idempotent and crash-resumable
+    * via the log, like [[snapshottedOrders]]. */
+  def expiredOrdersTable(s: SparkSession, d: String): String = synchronized {
+    val table = stamped(s, d) + "_exp"
+    if (currentVersion(s, table) == 0L) {
+      val base = s"$table/data/base"
+      Tables.orders(s, d).repartition(4)
+        .write.mode("overwrite").parquet(base)
+      try commit(s, table, "base-load", dataFiles(s, base), Some(0L))
+      catch { case _: SnapshotConflict => () }
+    }
+    if (currentVersion(s, table) == 1L) {
+      val shard = s"$table/data/shard1"
+      poisonShard(s, d).repartition(1)
+        .write.mode("overwrite").parquet(shard)
+      val v1 = readManifest(s, table, 1L).get
+      try commit(s, table, "append-shard",
+        v1.files ++ dataFiles(s, shard), Some(1L))
+      catch { case _: SnapshotConflict => () }
+    }
+    if (currentVersion(s, table) == 2L) {
+      val rw = s"$table/data/compact2"
+      readAt(s, table, 2L).repartition(2)
+        .write.mode("overwrite").parquet(rw)
+      try commit(s, table, "compact", dataFiles(s, rw), Some(2L))
+      catch { case _: SnapshotConflict => () }
+    }
+    expire(s, table, keepLast = 1) // no-op when already expired
+    table
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // i13: TIME TRAVEL — read AS OF v1 after v2 exists. The oracle is
     // the plain source table: if the reader planned from a directory
@@ -263,6 +362,26 @@ object SnapshotLog {
     "i14_snapshot_current" -> ((s, d) => {
       val table = snapshottedOrders(s, d)
       statusRollup(readAt(s, table, currentVersion(s, table)))
+    }),
+
+    // i15: snapshot EXPIRATION — after expiring history down to the
+    // current compacted snapshot, the live read must still be exactly
+    // the v2 logical content (the oracle replays it), and the gate
+    // column pins that exactly ONE manifest remains on disk and zero
+    // orphans linger — storage actually reclaimed, reads undisturbed.
+    // SnapshotLogSpec pins the sharper structural facts (expired
+    // versions unreadable, dead files deleted, shared files kept).
+    "i15_snapshot_expire" -> ((s, d) => {
+      val table = expiredOrdersTable(s, d)
+      val fs = fsOf(s)
+      val manifests = fs.listStatus(
+        new org.apache.hadoop.fs.Path(logDir(table)))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .count(n => readManifest(s, table, n.drop(1).toLong).isDefined)
+      val ok = manifests == 1 && orphanFiles(s, table).isEmpty
+      statusRollup(readAt(s, table, currentVersion(s, table)))
+        .withColumn("retained_ok", lit(if (ok) 1L else 0L))
     })
   )
 
@@ -280,6 +399,20 @@ object SnapshotLog {
         FROM orders WHERE o_orderkey % 97 = 0)
       SELECT o_orderstatus, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM snap2 GROUP BY 1 ORDER BY 1""",
+
+    // i15: the live content equals v2's logical rows (compaction is a
+    // rewrite); retained_ok is the pinned structural constant (one
+    // manifest left, zero orphans)
+    "i15_snapshot_expire" -> """
+      WITH snap2 AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT 'Z' AS o_orderstatus, o_totalprice + 250.25 AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(1 AS BIGINT) AS retained_ok
       FROM snap2 GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -111,6 +111,64 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.currentVersion(s, table) === 3L)
   }
 
+  test("expire reclaims exclusively-dead files, keeps shared ones, kills old reads") {
+    val table = freshTable()
+    seed(table, 0) // v1: base
+    // v2 = v1's files + a fresh shard (file reuse across versions)
+    val shard = s"$table/data/shard"
+    Tables.orders(s, d).filter(col("o_orderkey") % 7 === 1)
+      .repartition(1).write.mode("overwrite").parquet(shard)
+    val v1files = SnapshotLog.readManifest(s, table, 1L).get.files
+    SnapshotLog.commit(s, table, "append",
+      v1files ++ SnapshotLog.dataFiles(s, shard), Some(1L))
+    // expire to keepLast=1: v1's manifest goes, but its files are
+    // SHARED with v2 — reference counting must keep every one
+    val (expired1, deleted1) = SnapshotLog.expire(s, table, keepLast = 1)
+    assert(expired1 === Seq(1L))
+    assert(deleted1.isEmpty, s"shared files deleted: $deleted1")
+    assert(SnapshotLog.readManifest(s, table, 1L).isEmpty)
+    intercept[IllegalArgumentException] { SnapshotLog.readAt(s, table, 1L) }
+    val v2rows = SnapshotLog.readAt(s, table, 2L).count()
+    assert(v2rows > 0)
+    // v3 = full rewrite; expiring to keepLast=1 now reclaims ALL of
+    // v2's files (base + shard are exclusively dead)
+    val rw = s"$table/data/rw"
+    SnapshotLog.readAt(s, table, 2L).repartition(1)
+      .write.mode("overwrite").parquet(rw)
+    SnapshotLog.commit(s, table, "compact",
+      SnapshotLog.dataFiles(s, rw), Some(2L))
+    val v2files = SnapshotLog.readManifest(s, table, 2L).get.files.map(_._1)
+    val (expired2, deleted2) = SnapshotLog.expire(s, table, keepLast = 1)
+    assert(expired2 === Seq(2L))
+    assert(deleted2.toSet === v2files.toSet)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    v2files.foreach(p => assert(!fs.exists(new org.apache.hadoop.fs.Path(p)),
+      s"expired data file survived: $p"))
+    // the live read is undisturbed
+    assert(SnapshotLog.readAt(s, table, 3L).count() === v2rows)
+  }
+
+  test("orphan files (losing writers' leftovers) are listed and removed") {
+    val table = freshTable()
+    seed(table, 0)
+    // a "loser": data written, commit never landed
+    val loser = s"$table/data/loser"
+    Tables.orders(s, d).filter(col("o_orderkey") % 7 === 2)
+      .repartition(1).write.mode("overwrite").parquet(loser)
+    val orphans = SnapshotLog.orphanFiles(s, table)
+    assert(orphans.nonEmpty)
+    assert(orphans.forall(_.contains("/data/loser/")), orphans.toString)
+    // committed files are never listed
+    val committed = SnapshotLog.readManifest(s, table, 1L).get.files.map(_._1)
+    assert(orphans.toSet.intersect(committed.toSet).isEmpty)
+    val removed = SnapshotLog.removeOrphans(s, table)
+    assert(removed === orphans)
+    assert(SnapshotLog.orphanFiles(s, table).isEmpty)
+    // the table still reads
+    assert(SnapshotLog.readAt(s, table, 1L).count() > 0)
+  }
+
   test("i13 fixture: v1 and v2 coexist over shared immutable base files") {
     val table = SnapshotLog.snapshottedOrders(s, d)
     val m1 = SnapshotLog.readManifest(s, table, 1L).get
