@@ -571,7 +571,31 @@ object Similarity {
     // spectrum decays fast and this path's recall approaches s07's.
     "s10_pca_recall" -> ((s, d) =>
       recallVsExact(queries("s01_cosine_topk")(s, d),
-        queries("s09_pca_topk")(s, d), minHits = 25))
+        queries("s09_pca_topk")(s, d), minHits = 25)),
+
+    // s11: METADATA-FILTERED vector search — every retrieval pipeline
+    // constrains ANN by an attribute (tenant, language, shard, class);
+    // here each query searches only vectors sharing its label. This is
+    // PRE-filter semantics (top-k among matching candidates), the
+    // correct contract — post-filtering a global top-k silently
+    // returns < k results whenever the filter is selective. Shape: the
+    // label constraint is an EQUALITY against the broadcast query set,
+    // so Catalyst plans a BroadcastHashJoin on label — non-matching
+    // (query, vector) pairs are never materialized, the scored
+    // candidate space shrinks by the filter's selectivity (~10× here),
+    // and at 100 TB the same plan rides label partition pruning.
+    // PlanQualitySpec pins the hash-join (not NLJ) shape.
+    "s11_filtered_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), asDoubleVec(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"))
+      val scored = emb.join(broadcast(q),
+          col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+      topkPerQuery(scored, col("cos"), col("vec_id"), "neighbor_id", "cos_sim")
+    })
   )
 
   /** The 25% deterministic hash sample every trainer here uses (IVF
@@ -676,6 +700,25 @@ object Similarity {
           (SQRT(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
            SQRT(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
         FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT q_id, rk, neighbor_id, ROUND(cos, 6) AS cos_sim
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+
+    "s11_filtered_topk" -> """
+      WITH e AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) /
+          (SQRT(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+           SQRT(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q JOIN e c
+          ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label = q.label),
       ranked AS (
         SELECT q_id, neighbor_id, cos,
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rk
