@@ -389,6 +389,30 @@ object TextAnalysis {
             (col("n_pos") * (col("n_test") - col("n_pos")))).as("auc"))
         .select(col("n_test"), col("n_pos"),
           when(col("auc") >= 0.85, 1L).otherwise(0L).as("auc_ok"))
+    }),
+
+    // t12: BPE pair-count TRAINING step — the counting half of byte-
+    // pair encoding (t10 applies a trained vocab; this trains it):
+    // count adjacent character pairs across the corpus, weighted by
+    // word frequency, and emit the top-20 merge candidates — exactly
+    // the statistic each BPE merge iteration recomputes. Shape:
+    // pair extraction runs over DISTINCT words only (the t10 Heaps'-
+    // law argument) with each word's corpus frequency as the weight,
+    // so the explode is vocabulary-sized, not token-stream-sized; the
+    // count-desc order carries the pair as tiebreak (the t06 rank-
+    // boundary convention).
+    "t12_bpe_pair_counts" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      words.filter(length(col("word")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair"))
+        .limit(20)
     })
   )
 
@@ -647,7 +671,22 @@ object TextAnalysis {
           FROM q, thr)
         SELECT COUNT(*) AS n_test, CAST(SUM(label) AS BIGINT) AS n_pos,
           CAST(1 AS BIGINT) AS auc_ok
-        FROM lab WHERE doc_id % 4 = 0"""
+        FROM lab WHERE doc_id % 4 = 0""",
+
+      "t12_bpe_pair_counts" -> """
+        WITH words AS (
+          SELECT w AS word FROM (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents)
+          WHERE w <> ''),
+        wn AS (SELECT word, COUNT(*) AS n FROM words GROUP BY 1),
+        pairs AS (
+          SELECT n, unnest(list_transform(range(1, length(word)),
+            i -> substr(word, i, 2))) AS pair
+          FROM wn WHERE length(word) >= 2)
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pair
+        FROM pairs GROUP BY 1
+        ORDER BY n_pair DESC, pair LIMIT 20"""
     )
   }
 }

@@ -382,6 +382,27 @@ object SnapshotLog {
       val ok = manifests == 1 && orphanFiles(s, table).isEmpty
       statusRollup(readAt(s, table, currentVersion(s, table)))
         .withColumn("retained_ok", lit(if (ok) 1L else 0L))
+    }),
+
+    // i16: snapshot DIFF / changelog read — what changed between v1
+    // and v2, computed at FILE granularity from the manifests (the
+    // Delta change-data-feed trick for append/remove commits): files
+    // only in v2 hold exactly the inserted rows (files are immutable,
+    // so a row in a new file IS new), files only in v1 hold the
+    // removed rows. Cost is O(changed files), never O(table) — at
+    // 100 TB a daily changelog reads the day's files, not the lake.
+    // The oracle independently derives the inserted rows (the poison
+    // append is deterministic) and pins removed-file count at 0, so a
+    // diff that scanned shared files or missed the shard splits the
+    // hash.
+    "i16_snapshot_diff" -> ((s, d) => {
+      val table = snapshottedOrders(s, d)
+      val m1 = readManifest(s, table, 1L).get.files.map(_._1).toSet
+      val m2 = readManifest(s, table, 2L).get.files.map(_._1)
+      val added = m2.filterNot(m1)
+      val removed = m1 -- m2.toSet
+      statusRollup(s.read.parquet(added: _*))
+        .withColumn("n_removed_files", lit(removed.size.toLong))
     })
   )
 
@@ -413,6 +434,16 @@ object SnapshotLog {
       SELECT o_orderstatus, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
         CAST(1 AS BIGINT) AS retained_ok
-      FROM snap2 GROUP BY 1 ORDER BY 1"""
+      FROM snap2 GROUP BY 1 ORDER BY 1""",
+
+    // i16: the v1→v2 diff is exactly the poison append (inserted) and
+    // nothing removed — derived here independently of the manifests
+    "i16_snapshot_diff" -> """
+      SELECT 'Z' AS o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice + 250.25 AS DECIMAL(12,2))) AS DOUBLE)
+          AS revenue,
+        CAST(0 AS BIGINT) AS n_removed_files
+      FROM orders WHERE o_orderkey % 97 = 0
+      GROUP BY 1 ORDER BY 1"""
   )
 }
