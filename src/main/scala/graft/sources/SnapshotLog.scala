@@ -174,11 +174,20 @@ object SnapshotLog {
 
   /** Read the table AS OF snapshot `v` — plan over exactly the files
     * that manifest names (never a directory listing, so concurrent
-    * rewrites and orphaned loser files are invisible). */
-  def readAt(s: SparkSession, table: String, v: Long): DataFrame = {
+    * rewrites and orphaned loser files are invisible).
+    * `mergeSchema = true` unions the files' schemas (the
+    * schema-evolution read: rows from pre-evolution files null-fill
+    * the added columns); the default single-footer schema is right
+    * for homogeneous snapshots and skips the footer sweep. A full
+    * Iceberg-class implementation tracks the schema IN the manifest —
+    * the footer merge is the honest minimal version, and the
+    * manifest's file list already bounds which footers are swept. */
+  def readAt(s: SparkSession, table: String, v: Long,
+      mergeSchema: Boolean = false): DataFrame = {
     val m = readManifest(s, table, v).getOrElse(throw new IllegalArgumentException(
       s"no committed snapshot v$v in $table"))
-    s.read.parquet(m.files.map(_._1): _*)
+    s.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(m.files.map(_._1): _*)
   }
 
   /** Expire all snapshots except the newest `keepLast`: delete their
@@ -348,6 +357,34 @@ object SnapshotLog {
     table
   }
 
+  /** i17 fixture: the table's schema EVOLVES at v2 — the appended
+    * shard carries a new `o_channel` column the base files lack.
+    * Files stay immutable (no rewrite of old data to add a column —
+    * the whole point of lake schema evolution). */
+  def schemaEvolvedOrders(s: SparkSession, d: String): String = synchronized {
+    val table = stamped(s, d) + "_sev"
+    if (currentVersion(s, table) == 0L) {
+      val base = s"$table/data/base"
+      Tables.orders(s, d).repartition(4)
+        .write.mode("overwrite").parquet(base)
+      try commit(s, table, "base-load", dataFiles(s, base), Some(0L))
+      catch { case _: SnapshotConflict => () }
+    }
+    if (currentVersion(s, table) == 1L) {
+      val shard = s"$table/data/evolved1"
+      Tables.orders(s, d).filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(40000000L))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("o_channel", lit("WEB"))
+        .repartition(1).write.mode("overwrite").parquet(shard)
+      val v1 = readManifest(s, table, 1L).get
+      try commit(s, table, "append-evolved",
+        v1.files ++ dataFiles(s, shard), Some(1L))
+      catch { case _: SnapshotConflict => () }
+    }
+    table
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // i13: TIME TRAVEL — read AS OF v1 after v2 exists. The oracle is
     // the plain source table: if the reader planned from a directory
@@ -403,6 +440,23 @@ object SnapshotLog {
       val removed = m1 -- m2.toSet
       statusRollup(s.read.parquet(added: _*))
         .withColumn("n_removed_files", lit(removed.size.toLong))
+    }),
+
+    // i17: SCHEMA EVOLUTION through the snapshot log — v2 appends a
+    // shard with a new `o_channel` column while the base files stay
+    // untouched (no table rewrite to add a column). The merged read
+    // null-fills old rows; the rollup keys on the evolved column, so
+    // a read that dropped it (or rewrote history) splits the hash.
+    // SnapshotLogSpec pins the sharper facts: v1 keeps the OLD schema,
+    // only the merged current read carries the new column.
+    "i17_schema_evolution" -> ((s, d) => {
+      val table = schemaEvolvedOrders(s, d)
+      readAt(s, table, currentVersion(s, table), mergeSchema = true)
+        .groupBy(coalesce(col("o_channel"), lit("LEGACY")).as("channel"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType)
+            .as("revenue"))
+        .orderBy("channel")
     })
   )
 
@@ -444,6 +498,16 @@ object SnapshotLog {
           AS revenue,
         CAST(0 AS BIGINT) AS n_removed_files
       FROM orders WHERE o_orderkey % 97 = 0
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    "i17_schema_evolution" -> """
+      WITH evolved AS (
+        SELECT 'LEGACY' AS channel, o_totalprice FROM orders
+        UNION ALL
+        SELECT 'WEB' AS channel, o_totalprice + 10.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 101 = 0)
+      SELECT channel, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM evolved GROUP BY 1 ORDER BY 1"""
   )
 }

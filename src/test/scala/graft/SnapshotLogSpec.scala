@@ -169,6 +169,23 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.readAt(s, table, 1L).count() > 0)
   }
 
+  test("schema evolution: v1 keeps the old schema, merged current read adds the column") {
+    val table = SnapshotLog.schemaEvolvedOrders(s, d)
+    // time travel to v1 must present the PRE-evolution schema
+    val v1cols = SnapshotLog.readAt(s, table, 1L).columns.toSet
+    assert(!v1cols.contains("o_channel"), s"v1 leaked the evolved column: $v1cols")
+    // merged current read: new column present, old rows null-filled
+    val cur = SnapshotLog.readAt(s, table,
+      SnapshotLog.currentVersion(s, table), mergeSchema = true)
+    assert(cur.columns.contains("o_channel"))
+    val nWeb = cur.filter(col("o_channel") === "WEB").count()
+    val nExpected = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 101 === 0).count()
+    assert(nWeb === nExpected)
+    assert(cur.filter(col("o_channel").isNull).count() ===
+      Tables.orders(s, d).count(), "old rows not null-filled")
+  }
+
   test("i13 fixture: v1 and v2 coexist over shared immutable base files") {
     val table = SnapshotLog.snapshottedOrders(s, d)
     val m1 = SnapshotLog.readManifest(s, table, 1L).get
