@@ -135,9 +135,50 @@ object StreamBench {
       name -> (rows, lats.size, med, mx, rps)
     }
 
-    val qs = results.map { case (n, (rows, nb, med, mx, rps)) =>
+    // ---- streaming CDC apply (the u04 path): ops log staged as
+    // key-disjoint chunks, each micro-batch collapsed and merged into
+    // the snapshot-logged target at file granularity. Unlike the ops
+    // above the sink IS the operator (read touched files + rewrite +
+    // atomic commit), so per-batch latency here is the end-to-end
+    // apply cost a CDC pipeline budgets per trigger.
+    val cdcResult = {
+      import graft.streaming.CdcStream
+      val kChunks = math.min(chunks, 10)
+      val cdcIn = new java.io.File(root, "cdc_input"); cdcIn.mkdirs()
+      val opsLog = graft.operators.Upsert.cdcOpsLog(spark, sfDir)
+      for (i <- 0 until kChunks) {
+        val d = new java.io.File(root, s"cdc$i")
+        opsLog.filter(pmod(col("o_orderkey"), lit(kChunks)) === i)
+          .coalesce(1).write.parquet(d.getPath)
+        val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(cdcIn, f"ops-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(2000000L + i * 1000L)
+      }
+      val table = s"$stage/cdc_table"
+      CdcStream.seedTarget(spark, table, Tables.orders(spark, sfDir))
+      val stream = spark.readStream.schema(opsLog.schema)
+        .option("maxFilesPerTrigger", "1").parquet(cdcIn.getPath)
+      val q = CdcStream.applyStream(spark, table, stream,
+        "o_orderkey", s"$stage/ck/stb_cdc_apply").start()
+      q.processAllAvailable()
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      q.stop()
+      require(progress.size == kChunks,
+        s"stb_cdc_apply: expected $kChunks data batches, saw ${progress.size}")
+      val lats = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
+      val rows = progress.map(_.numInputRows).sum
+      val med = lats(lats.size / 2); val mx = lats.last
+      val rps = if (lats.sum > 0) rows / (lats.sum / 1000.0) else 0.0
+      System.err.println(f"[streambench] stb_cdc_apply     rows=$rows%7d " +
+        f"batches=${lats.size}%3d med=${med}%5d ms max=${mx}%5d ms " +
+        f"rows/s=$rps%9.0f")
+      s""""stb_cdc_apply":{"rows":$rows,"batches":${lats.size},"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
+    }
+
+    val qs = (results.map { case (n, (rows, nb, med, mx, rps)) =>
       s""""$n":{"rows":$rows,"batches":$nb,"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
-    }.mkString("{", ",", "}")
+    } :+ cdcResult).mkString("{", ",", "}")
     println(s"""{"metric":"stream","chunks":$chunks,"total_rows":$totalRows,"ops":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
