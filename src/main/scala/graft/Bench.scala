@@ -110,9 +110,14 @@ object Bench {
       if (num.nonEmpty && num.toInt <= 4) "text_a" else "text_b"
     }
     // a+i+u outgrew the one-family bar with i13/i14/u04 (23 plans —
-    // the r3 ≤~20-plan stability finding): ingest/lake (i) benches
-    // apart from sketches+upserts (a, u)
-    else if (prefix == "i") "ingest_lake"
+    // the r3 ≤~20-plan stability finding), and the i family alone hit
+    // 17 with the snapshot-log ops: classic ingest/formats (i01–i08)
+    // bench apart from the lake layer (i09+), sketches+upserts (a, u)
+    // apart from both
+    else if (prefix == "i") {
+      val num = name.drop(1).takeWhile(_.isDigit)
+      if (num.nonEmpty && num.toInt <= 8) "ingest_io" else "lake_ops"
+    }
     else "agg_upsert" // a, u
   }
 
