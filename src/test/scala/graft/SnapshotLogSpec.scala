@@ -56,6 +56,37 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.readManifest(s, table, 3L).isDefined)
   }
 
+  test("24 commits from 8 racing writers land contiguously, none lost, none torn") {
+    // the CREATE_NEW contention path under real parallelism: every
+    // writer loses races and retries; the log must come out dense
+    // (versions 2..25 with no gap — a gap would mean a lost commit or
+    // a version landed twice), and every manifest must parse complete
+    val table = freshTable()
+    seed(table, 0)
+    val dir = s"$table/data/race"
+    Tables.orders(s, d).filter(col("o_orderkey") % 7 === 1)
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val files = SnapshotLog.dataFiles(s, dir)
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 3).foreach { k =>
+        landed.add(SnapshotLog.commit(s, table, s"race-$t-$k", files))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val versions = landed.asScala.toSeq.sorted
+    assert(versions === (2L to 25L), s"non-contiguous versions: $versions")
+    assert(SnapshotLog.currentVersion(s, table) === 25L)
+    // every manifest complete and every writer's op present exactly once
+    val ops = (1L to 25L).map(v =>
+      SnapshotLog.readManifest(s, table, v).getOrElse(
+        fail(s"manifest v$v missing or torn")).op)
+    assert(ops.distinct.size === 25)
+    val raceOps = for (t <- 0 until 8; k <- 0 until 3) yield s"race-$t-$k"
+    assert(raceOps.toSet.subsetOf(ops.toSet))
+  }
+
   test("expected-parent mode rejects a writer whose base moved") {
     val table = freshTable()
     val v1 = seed(table, 0)
