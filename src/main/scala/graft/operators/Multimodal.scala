@@ -47,6 +47,11 @@ object Multimodal {
   final case class FrameFeatures(doc_id: Long, frame_idx: Int, offset: Int,
                                  n_bytes: Int, brightness: Double)
 
+  /** Per-doc VAD summary (m05): frame count, silent-frame count, and
+    * the longest consecutive silent run. */
+  final case class AudioSegments(doc_id: Long, n_frames: Long,
+                                 n_silent: Long, longest_silence: Long)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Binary-column plumbing, SQL-expressible end: text → utf8 bytes as
@@ -107,6 +112,50 @@ object Multimodal {
         })
         .toDF()
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // m05: silence segmentation — the audio half's VAD (voice-activity
+    // detection) shape: the payload is a stream of fixed 64-byte
+    // frames, a frame is "silent" when its mean level sits below the
+    // whole clip's mean, and the operative statistics are the silent
+    // fraction and the LONGEST silent run (what an audio pipeline cuts
+    // on). The energy model is the stub (byte means in place of PCM
+    // RMS — a real decoder changes only the frame-energy line); the
+    // Spark side is the real article: one narrow per-partition pass,
+    // run-length state carried in the loop exactly as a streaming VAD
+    // carries it, no shuffle, fan-out-free. The oracle replays the
+    // frames with ascii(substr) sums (the m02/m03 ASCII-fixture
+    // convention) and the run lengths with a gaps-and-islands window.
+    // Frame/global means divide identical integer sums in both
+    // engines, so the silent comparison can never split on float ulp.
+    "m05_silence_segments" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+        .filter(_._2.nonEmpty)
+        .mapPartitions(_.map { case (id, bytes) =>
+          val len = bytes.length
+          var total = 0L; var i = 0
+          while (i < len) { total += bytes(i) & 0xFF; i += 1 }
+          val globalMean = total.toDouble / len
+          var off = 0; var nFrames = 0L; var nSilent = 0L
+          var run = 0L; var longest = 0L
+          while (off < len) {
+            val n = math.min(64, len - off)
+            var fSum = 0L; var j = off
+            while (j < off + n) { fSum += bytes(j) & 0xFF; j += 1 }
+            nFrames += 1
+            if (fSum.toDouble / n < globalMean) {
+              nSilent += 1; run += 1
+              if (run > longest) longest = run
+            } else run = 0
+            off += 64
+          }
+          AudioSegments(id, nFrames, nSilent, longest)
+        })
+        .toDF()
+        .orderBy("doc_id")
     }),
 
     // m04: perceptual-hash near-dup RECALL GATE — image dedup, the
@@ -241,6 +290,44 @@ object Multimodal {
     // injected twin), recall gate constant in the d06 style
     "m04_phash_twin_recall" -> """
       SELECT COUNT(*) AS n_twins, CAST(1 AS BIGINT) AS recall_ok
-      FROM documents WHERE octet_length(encode(text)) >= 64"""
+      FROM documents WHERE octet_length(encode(text)) >= 64""",
+
+    // m05: frames replayed with ascii(substr) sums; longest silent run
+    // via the classic gaps-and-islands rewrite (idx − row_number over
+    // the silent frames is constant within a run)
+    "m05_silence_segments" -> """
+      WITH s AS (
+        SELECT doc_id, text, length(text) AS len,
+          list_sum(list_transform(range(1, length(text) + 1),
+            i -> ascii(substr(text, CAST(i AS INT), 1)))) AS byte_sum
+        FROM documents WHERE length(text) > 0),
+      f AS (
+        SELECT doc_id, text, len, byte_sum, unnest(range(0, len, 64)) AS off
+        FROM s),
+      g AS (
+        SELECT doc_id, CAST(off // 64 AS BIGINT) AS idx,
+          CASE WHEN
+            CAST(list_sum(list_transform(range(1, LEAST(64, len - off) + 1),
+              i -> ascii(substr(text, CAST(off + i AS INT), 1)))) AS DOUBLE)
+              / LEAST(64, len - off)
+            < CAST(byte_sum AS DOUBLE) / len
+          THEN 1 ELSE 0 END AS silent
+        FROM f),
+      runs AS (
+        SELECT doc_id, idx - ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY idx) AS grp
+        FROM g WHERE silent = 1),
+      longest AS (
+        SELECT doc_id, MAX(cnt) AS longest_silence FROM (
+          SELECT doc_id, grp, COUNT(*) AS cnt FROM runs GROUP BY 1, 2)
+        GROUP BY 1),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_frames,
+          CAST(SUM(silent) AS BIGINT) AS n_silent
+        FROM g GROUP BY 1)
+      SELECT a.doc_id, a.n_frames, a.n_silent,
+        COALESCE(l.longest_silence, 0) AS longest_silence
+      FROM agg a LEFT JOIN longest l USING (doc_id)
+      ORDER BY a.doc_id"""
   )
 }
