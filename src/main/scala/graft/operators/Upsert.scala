@@ -207,6 +207,45 @@ object Upsert {
       }
       cdcRollup(graft.sources.SnapshotLog.readAt(s, table,
         graft.sources.SnapshotLog.currentVersion(s, table)))
+    }),
+
+    // u05: GDPR ERASURE — the right-to-be-forgotten workflow every
+    // lakehouse must support, end to end: delete EVERY row of the
+    // target subjects (here: customers with custkey %50 == 0 — the
+    // "all rows of a data subject" shape, not a key list), then
+    // EXPIRE history so the erased rows are not merely absent from
+    // the current snapshot but physically unreachable — time travel
+    // to a pre-erasure version is the GDPR hole, and expiration is
+    // what closes it (the documented Delta/Iceberg VACUUM-after-
+    // delete requirement). Composes the round-10 pieces: the erase is
+    // a u04 file-level CDC apply (only files holding subject rows
+    // rewritten), the purge is i15's reference-counted expire.
+    // erased_ok pins the structural half: exactly one manifest
+    // remains and zero orphans linger; the rollup hash pins the
+    // value half (survivors only — a single surviving subject row
+    // moves a count).
+    "u05_gdpr_erase" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val table = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
+        "graft_u05_table").toString
+      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d))
+      val erase = Tables.orders(s, d)
+        .filter(col("o_custkey") % 50 === 0)
+        .withColumn("op", lit("D")).withColumn("ts", lit(1))
+      graft.streaming.CdcStream.applyBatch(s, table, erase, 0L, "o_orderkey")
+      SnapshotLog.expire(s, table, keepLast = 1)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val manifests = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$table/_log"))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .count(n => SnapshotLog.readManifest(s, table, n.drop(1).toLong).isDefined)
+      val ok = manifests == 1 && SnapshotLog.orphanFiles(s, table).isEmpty
+      cdcRollup(SnapshotLog.readAt(s, table,
+        SnapshotLog.currentVersion(s, table)))
+        .withColumn("erased_ok", lit(if (ok) 1L else 0L))
     })
   )
 
@@ -386,6 +425,16 @@ object Upsert {
         FROM latest WHERE op <> 'D')
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
-      FROM final GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM final GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // u05: survivors = every order of every non-erased customer;
+    // erased_ok is the pinned structural constant (one manifest,
+    // zero orphans after the expire)
+    "u05_gdpr_erase" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(1 AS BIGINT) AS erased_ok
+      FROM orders WHERE o_custkey % 50 <> 0
+      GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
