@@ -147,6 +147,14 @@ object SnapshotLog {
   def commit(s: SparkSession, table: String, op: String,
       files: Seq[(String, Long)],
       expectedParent: Option[Long] = None): Long = {
+    // the manifest format is line/tab-delimited: an op or path
+    // carrying those characters would write a manifest that parses
+    // into the WRONG file list — reject loudly instead
+    require(!op.exists(c => c == '\n' || c == '\r' || c == '\t'),
+      s"op must be single-line, got: ${op.take(80)}")
+    files.foreach { case (p, _) =>
+      require(!p.exists(c => c == '\n' || c == '\r' || c == '\t'),
+        s"file path contains manifest delimiters: ${p.take(120)}") }
     fsOf(s).mkdirs(new org.apache.hadoop.fs.Path(logDir(table)))
     var attempt = math.max(currentVersion(s, table),
       expectedParent.getOrElse(0L)) + 1

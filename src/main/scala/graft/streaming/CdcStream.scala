@@ -91,8 +91,13 @@ object CdcStream {
         .select(cols.map(col): _*)
         .unionByName(latest.filter(col("op") =!= "D")
           .select(cols.map(col): _*))
+      // output parallelism ∝ files being replaced: a batch that
+      // touches k files writes ~k files back (collapsing to 1 would
+      // funnel a multi-GB rewrite through one task at scale; growing
+      // the count would fragment the layout — compaction's job)
       val dir = s"$table/data/${opName(batchId)}"
-      rewritten.repartition(1).write.mode("overwrite").parquet(dir)
+      rewritten.repartition(math.max(1, touchedFiles.size))
+        .write.mode("overwrite").parquet(dir)
       SnapshotLog.commit(s, table, opName(batchId),
         untouched ++ SnapshotLog.dataFiles(s, dir), Some(cur))
     } finally latest.unpersist()
