@@ -291,6 +291,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(SnapshotLog.currentVersion(s, table) === vAfterFirst)
   }
 
+  test("CDC apply survives a delete-everything batch (empty table still readable)") {
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val table = java.nio.file.Files.createTempDirectory("graft_u04_all").toString
+    CdcStream.seedTarget(s, table, Tables.orders(s, d))
+    val deleteAll = Tables.orders(s, d)
+      .withColumn("op", lit("D")).withColumn("ts", lit(1))
+    val v = CdcStream.applyBatch(s, table, deleteAll, 0L, "o_orderkey")
+    assert(v === 2L)
+    // the rewrite of an all-deleted table must still commit >=1 data
+    // file (schema carrier) so the snapshot stays readable at 0 rows
+    val m = SnapshotLog.readManifest(s, table, 2L).get
+    assert(m.files.nonEmpty, "empty snapshot committed no schema-carrying file")
+    val cur = SnapshotLog.readAt(s, table, 2L)
+    assert(cur.count() === 0L)
+    assert(cur.columns.contains("o_orderkey"))
+  }
+
   test("CDC apply rewrites only the files containing affected keys") {
     import graft.sources.SnapshotLog
     import graft.streaming.CdcStream
