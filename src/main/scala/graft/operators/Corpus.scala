@@ -389,6 +389,71 @@ object Corpus {
               .otherwise(0L)).cast(DoubleType) <=
             sum(when(col("exact_hit") === 0L, 1L).otherwise(0L))
               .cast(DoubleType) * 0.05, 1L).otherwise(0L).as("fp_ok"))
+    }),
+
+    // c15: BM25 full-text retrieval (Robertson/Spärck Jones BM25, the
+    // Okapi k1/b form; Lucene's default scorer) — "more-like-this"
+    // top-5 over the corpus for each query doc (doc_id % 101 — the
+    // c08 eval-set convention, disjoint modulus). The plan is the
+    // distributed inverted-index shape, stage by stage:
+    //   - tf  = groupBy(doc_id, term): the postings build, one
+    //     shuffle, partial map-side combine;
+    //   - dl  via sum-over-doc window on the SAME doc_id-clustered
+    //     rows (no second scan, no join);
+    //   - df restricted to QUERY terms before it goes anywhere — the
+    //     full vocabulary table never crosses a join; what broadcasts
+    //     is |query vocab| rows;
+    //   - candidates = postings ⋈ broadcast(query terms): keyed on
+    //     term, so only docs sharing a term are ever scored — never
+    //     all (query, doc) pairs;
+    //   - per-(q, doc) partial-aggregated score sum, then the
+    //     bounded-heap TopKRows top-5 per query (s01's re-rank shape:
+    //     ≤5 rows per query per map task cross the shuffle, no sort).
+    // At 100 TB the corpus side is touched exactly twice (postings
+    // build, candidate probe) and everything query-sided is
+    // broadcast-bounded. Ranks compare the 6-dp ROUNDED score
+    // (identical across engines; raw doubles could flip a rank-5/6
+    // cut on the last ulp), tie-broken on doc_id — a total order.
+    "c15_bm25_topk" -> ((s, d) => {
+      val k1 = 1.2; val b = 0.75
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.filter(col("doc_id") % 101 =!= 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("dl",
+          sum(col("tf")).over(Window.partitionBy("doc_id")))
+        .truncatedLazy // feeds df, stats and the candidate probe
+      val stats = tf.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+          avg(col("dl").cast(DoubleType)).as("avgdl"))
+      val qterms = toks.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("q_id"), col("term")).distinct()
+      // df over query vocab only: the vocab-wide postings stats never
+      // leave their aggregation — slim (term, df) rows, broadcastable
+      // tf is unique per (doc, term), so df is a plain count — no
+      // distinct aggregation needed
+      val df = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
+      val cand = tf
+        .join(broadcast(qterms), Seq("term"))
+        .join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(stats)) // 1-row corpus stats, c06 class
+        .withColumn("tscore",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast(DoubleType) / col("avgdl"))))
+        .groupBy("q_id", "doc_id").agg(round(sum(col("tscore")), 6).as("score"))
+      cand.groupBy("q_id")
+        .agg(graft.functions.TopKRows.topk(
+          struct((-col("score")).as("ns"), col("doc_id").as("doc_id"),
+            col("score").as("score")), 5).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), (col("pos") + 1).as("rk"),
+          col("e.doc_id").as("doc_id"), col("e.score").as("score"))
+        .orderBy("q_id", "rk")
     })
   )
 
@@ -795,6 +860,46 @@ object Corpus {
         CAST(SUM(exact_hit) AS BIGINT) AS n_contaminated,
         CAST(0 AS BIGINT) AS n_false_neg,
         CAST(1 AS BIGINT) AS fp_ok
-      FROM perdoc"""
+      FROM perdoc""",
+
+    // c15: full BM25 replay — identical k1/b literals and ln-idf
+    // formula; ranks compare the 6-dp rounded score (see Scala note)
+    "c15_bm25_topk" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      tt AS (SELECT doc_id, term FROM tok WHERE len(term) > 0),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tt WHERE doc_id % 101 <> 0 GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      q AS (
+        SELECT DISTINCT doc_id AS q_id, term FROM tt WHERE doc_id % 101 = 0),
+      df AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+      cand AS (
+        SELECT q.q_id, c.doc_id,
+          ROUND(SUM(
+            ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+            (c.tf * 2.2) /
+            (c.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
+          ), 6) AS score
+        FROM tf c
+        JOIN q ON q.term = c.term
+        JOIN df f ON f.term = c.term
+        JOIN dl l ON l.doc_id = c.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.q_id, c.doc_id),
+      ranked AS (
+        SELECT q_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, doc_id) AS rk
+        FROM cand)
+      SELECT q_id, CAST(rk AS INT) AS rk, doc_id, score
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
   )
 }

@@ -207,7 +207,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // explicit broadcast crossJoin — bounded by construction, the
       // t09 class
       "t09_lm_quality_filter", "t11_quality_classifier",
-      "a05_hll_union_bounds", "c06_vocab_coverage")
+      "a05_hll_union_bounds", "c06_vocab_coverage",
+      // c15 attaches the 1-row (n_docs, avgdl) corpus stats via
+      // explicit broadcast crossJoin — bounded by construction, the
+      // c06 class
+      "c15_bm25_topk")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
