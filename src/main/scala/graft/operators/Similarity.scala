@@ -595,6 +595,68 @@ object Similarity {
           col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
         .withColumn("cos", cosine(col("qv"), col("v")))
       topkPerQuery(scored, col("cos"), col("vec_id"), "neighbor_id", "cos_sim")
+    }),
+
+    // s12: k-NN GRAPH build — top-3 neighbors for EVERY corpus vector
+    // (not a query set): the backbone structure behind SemDeDup
+    // clustering, NN-descent, graph-ANN index construction and
+    // label-propagation over embeddings. Candidate space = pairs
+    // sharing a probed IVF cell (d13's exact machinery —
+    // [[graft.operators.Dedup.semanticDupePairs]] with the cosine cut
+    // disabled): cells ∝ corpus/125 keep per-cell pair counts bounded,
+    // nProbe=2 covers cell-boundary straddle, so the pair space stays
+    // ~linear in corpus size — never the O(n²) all-pairs graph. Each
+    // undirected within-cell pair feeds BOTH directions, then the
+    // bounded-heap TopKRows keeps 3 edges per node (≤3 rows per node
+    // per map task cross the shuffle — no per-node sort). No SQL
+    // oracle (k-means cell assignment isn't expressible); the s13
+    // gate pins recall against the exact graph on a 50-node probe
+    // set, and the driver's rows-only check covers this entry.
+    "s12_knn_graph" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val pairs = graft.operators.Dedup.semanticDupePairs(emb, minCos = -2.0)
+        .truncatedLazy // both direction legs read the scored pairs once
+      val edges = pairs
+        .select(col("id_a").as("src"), col("id_b").as("nbr"), col("cos"))
+        .unionByName(pairs
+          .select(col("id_b").as("src"), col("id_a").as("nbr"), col("cos")))
+      edges.groupBy("src")
+        .agg(graft.functions.TopKRows.topk(
+          struct((-col("cos")).as("ns"), col("nbr").as("nbr"),
+            col("cos").as("cos")), 3).as("top"))
+        .select(col("src").as("vec_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("vec_id"), (col("pos") + 1).as("rk"),
+          col("e.nbr").as("neighbor_id"), round(col("e.cos"), 6).as("cos_sim"))
+        .orderBy("vec_id", "rk")
+    }),
+
+    // s13: recall gate for the s12 graph — exact top-3 neighbors for
+    // the 50-node probe set (vec_id < 50; one corpus scan against the
+    // broadcast probes, the s01 shape) vs the graph's edges for those
+    // nodes. 150 exact pairs; measured hits 87/150 at sf0.01 (the
+    // near-uniform fixture's flat neighborhoods are the worst case —
+    // within-cell candidates see only a slice of the corpus per node;
+    // cf. s05's 32/50 under the same geometry), floor at 65 with the
+    // s05-style headroom so cell/probe regressions trip the gate
+    // while fixture drift doesn't flap.
+    "s13_knn_graph_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+      val exact3 = scored.groupBy("q_id")
+        .agg(graft.functions.TopKRows.topk(
+          struct((-col("cos")).as("ns"), col("vec_id").as("vec_id")), 3).as("top"))
+        .select(col("q_id"), explode(col("top")).as("e"))
+        .select(col("q_id"), col("e.vec_id").as("neighbor_id"))
+      val graphEdges = queries("s12_knn_graph")(s, d)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("neighbor_id"))
+      recallVsExact(exact3, graphEdges, minHits = 65)
     })
   )
 
@@ -829,6 +891,26 @@ object Similarity {
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, neighbor_id ASC) AS rk
         FROM scored)
       SELECT q_id, rk, neighbor_id, ROUND(qcos, 6) AS q_cos
-      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+
+    // s13: the exact legs (probe-set size, exact top-3 pair count)
+    // replayed in SQL; recall_ok is the structural gate constant
+    "s13_knn_graph_recall" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) /
+          (SQRT(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+           SQRT(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS n_exact_pairs,
+        CAST(1 AS BIGINT) AS recall_ok
+      FROM ranked WHERE rk <= 3"""
   )
 }

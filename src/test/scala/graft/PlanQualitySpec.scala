@@ -211,7 +211,12 @@ class PlanQualitySpec extends AnyFunSuite {
       // c15 attaches the 1-row (n_docs, avgdl) corpus stats via
       // explicit broadcast crossJoin — bounded by construction, the
       // c06 class
-      "c15_bm25_topk")
+      "c15_bm25_topk",
+      // s12 assigns IVF cells via crossJoin(broadcast(K centroids)) —
+      // the s03/d13 class; s13 additionally scores the corpus against
+      // crossJoin(broadcast(50 probe vectors)) — the s01 class — and
+      // joins two 1-row aggregates on a literal key
+      "s12_knn_graph", "s13_knn_graph_recall")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
