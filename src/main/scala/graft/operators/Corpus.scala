@@ -454,6 +454,54 @@ object Corpus {
         .select(col("q_id"), (col("pos") + 1).as("rk"),
           col("e.doc_id").as("doc_id"), col("e.score").as("score"))
         .orderBy("q_id", "rk")
+    }),
+
+    // c16: LEAKAGE-SAFE train/valid/test split — the held-out-set
+    // trap every LLM eval pipeline must avoid: hash-splitting DOCS
+    // leaks whenever a near-duplicate of a test doc lands in train
+    // (the contamination mode Lee et al. and the GPT-3 appendix both
+    // call out). The fix is to split GROUPS: every doc inherits the
+    // near-dup component root (c03's connected components over the
+    // d04 edges; singleton docs are their own root), and the split is
+    // decided by a content-free hash OF THE ROOT — so an entire dup
+    // cluster lands in one split by construction. Hash = md5 of the
+    // root id (the q33/c04/c09 replayable convention): first hex
+    // char '0' → test (1/16), '1' → valid (1/16), else train.
+    // n_cross_edges re-checks the guarantee from the ACTUAL
+    // assignment — a same-component pair split apart (broken
+    // components, inconsistent hashing) moves it off 0 and the hash
+    // compare goes red. Scale: components are the O(log n)
+    // star-contraction (c03); everything after is one hash and two
+    // slim joins on doc ids — the cluster-respecting split costs no
+    // more than the naive per-doc one.
+    "c16_leakage_safe_split" -> ((s, d) => {
+      val edges = Dedup.ngramJaccardPairs(Tables.documents(s, d))
+        .select(col("doc_a"), col("doc_b"))
+        .truncatedLazy // components + the cross-split check read it
+      val comp = connectedComponents(edges)
+      val assigned = Tables.documents(s, d).select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("root"))
+        .withColumn("h",
+          md5(concat(lit("split:"), col("root").cast(StringType))))
+        .withColumn("split",
+          when(col("h") < "1", "test")
+            .when(col("h") < "2", "valid").otherwise("train"))
+        .truncatedLazy // per-split rollup + both edge-endpoint joins
+      val cross = edges
+        .join(assigned.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), Seq("doc_a"))
+        .join(assigned.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), Seq("doc_b"))
+        .agg(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .as("n_cross_edges"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("root")).as("n_groups"))
+        .crossJoin(broadcast(cross)) // 1-row global gate, c06 class
+        .orderBy("split")
     })
   )
 
@@ -900,6 +948,49 @@ object Corpus {
                  ORDER BY score DESC, doc_id) AS rk
         FROM cand)
       SELECT q_id, CAST(rk AS INT) AS rk, doc_id, score
-      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+
+    // c16 = c03's recursive-CTE components + root-hash split + the
+    // cross-split edge count re-derived from the raw edge list
+    "c16_leakage_safe_split" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+        FROM t WHERE len(toks) >= 3),
+      e AS (
+        SELECT a.doc_id AS v, b.doc_id AS w
+        FROM g a JOIN g b ON a.source = b.source
+          AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.01),
+      sym AS (SELECT v, w FROM e UNION SELECT w AS v, v AS w FROM e),
+      reach AS (
+        SELECT v, v AS w FROM (SELECT DISTINCT v FROM sym)
+        UNION
+        SELECT r.v, s.w FROM reach r JOIN sym s ON r.w = s.v),
+      comp AS (SELECT v AS doc_id, MIN(w) AS component FROM reach GROUP BY v),
+      assigned AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS root,
+          CASE WHEN md5(concat('split:',
+                 CAST(COALESCE(c.component, d.doc_id) AS VARCHAR))) < '1'
+               THEN 'test'
+               WHEN md5(concat('split:',
+                 CAST(COALESCE(c.component, d.doc_id) AS VARCHAR))) < '2'
+               THEN 'valid'
+               ELSE 'train' END AS split
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      cross_e AS (
+        SELECT CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_cross_edges
+        FROM e JOIN assigned sa ON sa.doc_id = e.v
+               JOIN assigned sb ON sb.doc_id = e.w)
+      SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT root) AS n_groups,
+             n_cross_edges
+      FROM assigned, cross_e
+      GROUP BY split, n_cross_edges ORDER BY split"""
   )
 }

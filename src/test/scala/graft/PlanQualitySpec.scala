@@ -216,7 +216,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // the s03/d13 class; s13 additionally scores the corpus against
       // crossJoin(broadcast(50 probe vectors)) — the s01 class — and
       // joins two 1-row aggregates on a literal key
-      "s12_knn_graph", "s13_knn_graph_recall")
+      "s12_knn_graph", "s13_knn_graph_recall",
+      // c16 attaches its 1-row cross-split-edge gate via explicit
+      // broadcast crossJoin — bounded by construction, the c06 class
+      "c16_leakage_safe_split")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
