@@ -393,6 +393,61 @@ object SnapshotLog {
     table
   }
 
+  /** Data files under `dir` RECURSIVELY (a partitioned write nests
+    * them under `col=value/` dirs), as manifest entries. */
+  private[graft] def dataFilesRecursive(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    val fs = fsOf(s)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val found = scala.collection.mutable.ListBuffer[(String, Long)]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.startsWith("part-"))
+        found += ((st.getPath.toUri.getPath, st.getLen))
+    }
+    found.toList.sortBy(_._1)
+  }
+
+  /** i18 fixture: DYNAMIC PARTITION OVERWRITE (Delta `replaceWhere` /
+    * Hive `INSERT OVERWRITE PARTITION`) through the snapshot log. The
+    * base load is laid out partitioned by o_year; v2 then REPLACES
+    * exactly the 1995 partition — its manifest carries every v1 file
+    * EXCEPT those under `o_year=1995/` plus the freshly-written
+    * replacement files. This is the file-granular contract that makes
+    * partition overwrite O(one partition) at 100 TB: untouched
+    * partitions' files are carried over by reference (never rewritten,
+    * never even opened), the swap is one atomic manifest commit, and
+    * readers at v1 keep the pre-overwrite table (pinned in
+    * SnapshotLogSpec). The partition predicate is resolved against
+    * the LAYOUT (path prefix), the same pruning a partition-aware
+    * catalog does — no data file is read to decide membership. */
+  def partitionOverwrittenOrders(s: SparkSession, d: String): String = synchronized {
+    val table = stamped(s, d) + "_pow"
+    if (currentVersion(s, table) == 0L) {
+      val base = s"$table/data/base"
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .repartition(4)
+        .write.mode("overwrite").partitionBy("o_year").parquet(base)
+      try commit(s, table, "base-load-partitioned",
+        dataFilesRecursive(s, base), Some(0L))
+      catch { case _: SnapshotConflict => () }
+    }
+    if (currentVersion(s, table) == 1L) {
+      val repl = s"$table/data/repl1995"
+      Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === 1995)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("o_orderpriority", lit("7-REPL"))
+        .repartition(1).write.mode("overwrite").parquet(repl)
+      val v1 = readManifest(s, table, 1L).get
+      val kept = v1.files.filterNot(_._1.contains("/o_year=1995/"))
+      try commit(s, table, "overwrite-partition-1995",
+        kept ++ dataFiles(s, repl), Some(1L))
+      catch { case _: SnapshotConflict => () }
+    }
+    table
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // i13: TIME TRAVEL — read AS OF v1 after v2 exists. The oracle is
     // the plain source table: if the reader planned from a directory
@@ -465,6 +520,24 @@ object SnapshotLog {
           sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType)
             .as("revenue"))
         .orderBy("channel")
+    }),
+
+    // i18: PARTITION OVERWRITE — after replacing the 1995 partition,
+    // the per-year rollup must show exactly the re-priced 1995 rows
+    // and untouched everything-else (the oracle replays the
+    // replacement in SQL). A leaked old 1995 file doubles that year's
+    // counts; a clobbered other partition moves its year's row —
+    // either way the hash splits. The partition column lives in the
+    // LAYOUT (Hive-style o_year= dirs, dropped from file contents),
+    // so the read re-derives the year from o_orderdate.
+    "i18_partition_overwrite" -> ((s, d) => {
+      val table = partitionOverwrittenOrders(s, d)
+      readAt(s, table, currentVersion(s, table))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType)
+            .as("revenue"))
+        .orderBy("o_year")
     })
   )
 
@@ -516,6 +589,19 @@ object SnapshotLog {
         FROM orders WHERE o_orderkey % 101 = 0)
       SELECT channel, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-      FROM evolved GROUP BY 1 ORDER BY 1"""
+      FROM evolved GROUP BY 1 ORDER BY 1""",
+
+    // i18: the overwrite replayed in SQL — every non-1995 row as-is,
+    // every 1995 row re-priced +100.0
+    "i18_partition_overwrite" -> """
+      WITH snap2 AS (
+        SELECT o_orderdate, o_totalprice FROM orders
+        WHERE YEAR(o_orderdate) <> 1995
+        UNION ALL
+        SELECT o_orderdate, o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE YEAR(o_orderdate) = 1995)
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM snap2 GROUP BY 1 ORDER BY 1"""
   )
 }

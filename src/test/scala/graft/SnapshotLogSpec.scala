@@ -232,4 +232,26 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.readAt(s, table, 2L)
       .filter(col("o_orderstatus") === "Z").count() === expected)
   }
+
+  test("i18 fixture: partition overwrite swaps ONLY 1995; v1 reads pre-overwrite") {
+    val table = SnapshotLog.partitionOverwrittenOrders(s, d)
+    val m1 = SnapshotLog.readManifest(s, table, 1L).get
+    val m2 = SnapshotLog.readManifest(s, table, 2L).get
+    // v2 = (v1 minus the 1995 partition's files) + the replacement
+    // files; every carried-over file is byte-identical v1 state
+    val kept1995 = m2.files.map(_._1).filter(_.contains("/o_year=1995/"))
+    assert(kept1995.isEmpty, "old 1995 files leaked into v2")
+    val carried = m2.files.toSet.intersect(m1.files.toSet)
+    assert(carried == m1.files.toSet.filterNot(_._1.contains("/o_year=1995/")))
+    // v1 still reads the UN-replaced table: no 7-REPL rows, original
+    // row count; v2 has exactly the 1995 rows re-marked
+    val v1 = SnapshotLog.readAt(s, table, 1L)
+    assert(v1.filter(col("o_orderpriority") === "7-REPL").count() === 0L)
+    assert(v1.count() === Tables.orders(s, d).count())
+    val n1995 = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1995).count()
+    val v2 = SnapshotLog.readAt(s, table, 2L)
+    assert(v2.filter(col("o_orderpriority") === "7-REPL").count() === n1995)
+    assert(v2.count() === Tables.orders(s, d).count())
+  }
 }
