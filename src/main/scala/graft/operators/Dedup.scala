@@ -587,7 +587,25 @@ object Dedup {
           .agg(count(lit(1)).as("n_twins")),
         found.agg(count(lit(1)).as("n_found")),
         minRecall = 0.95)
-    })
+    }),
+
+    // d15: NORMALIZED exact dedup — the canonicalization pass every
+    // web pipeline runs BEFORE fuzzy dedup (RefinedWeb/C4's
+    // "exact after normalization"): two docs that differ only in
+    // case, punctuation or whitespace are the same document. The
+    // normalization (lowercase, non-alphanumeric runs → single space,
+    // trim) is a per-row codegen'd expression; everything after is
+    // d01's shape — one shuffle on the 128-bit digest of the
+    // NORMALIZED text, id-only groups. Emitted per-group so the
+    // oracle pins both the grouping and the keeper policy; the raw-
+    // vs-normalized group count difference is exactly what this pass
+    // exists to catch (punctuation variants d01 treats as distinct).
+    "d15_normalized_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " "))).as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"))
   )
 
   /** LSH-banded embedding near-dup pairs (the d08 body) over any
@@ -736,6 +754,14 @@ object Dedup {
     "d01_dedup_exact" -> """
       SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+
+    // d15: identical normalization chain (lower → non-alnum runs to
+    // one space → trim) before the digest
+    "d15_normalized_dedup" -> """
+      SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        AS norm_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1 ORDER BY keep_id""",
 
     // d06/d07: the oracle independently derives the twin count and
     // pins the expected assertion outcome — if the LSH/simhash

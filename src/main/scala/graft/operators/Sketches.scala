@@ -122,6 +122,58 @@ object Sketches {
         (k, exact, if (est >= exact && est - exact <= slack) 1L else 0L)
       }.toDF("l_suppkey", "exact_n", "cms_ok")
         .orderBy(col("exact_n").desc, col("l_suppkey"))
+    }),
+
+    // a07: MERGEABLE QUANTILE sketch — an equi-width 64-bin histogram
+    // built PER SHARD and merged by plain vector addition (bin-wise
+    // sum), the property KLL/t-digest also sell: per-partition
+    // sketches persist once and re-aggregate forever without
+    // rescanning data (a02's workflow, for quantiles). Unlike
+    // percentile_approx's opaque internal state, every step here is
+    // replayable arithmetic, so the ESTIMATES themselves are
+    // hash-exact against the oracle — and the within_ok gate pins the
+    // sketch's error contract: an equi-width histogram's quantile
+    // estimate (linear interpolation inside the covering bin) is off
+    // by at most one bin width. Shapes: one pass bins rows (bounds
+    // attach as a 1-row broadcast), two hash aggregates build+merge
+    // the shard histograms, and the 3-quantile × 64-bin probe is a
+    // bounded broadcast NLJ — nothing driver-side, nothing global but
+    // a 64-row cumulative window.
+    "a07_histogram_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val price = col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType)
+      val o = Tables.orders(s, d)
+        .select(price.as("x"), pmod(col("o_orderkey"), lit(8)).as("shard"))
+      val mm = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n"),
+        expr("percentile(x, 0.5)").as("p50"),
+        expr("percentile(x, 0.9)").as("p90"),
+        expr("percentile(x, 0.99)").as("p99"))
+      val merged = o.crossJoin(broadcast(mm.select(col("mn"), col("mx"))))
+        .withColumn("bin",
+          least(floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / 64.0)),
+            lit(63.0)).cast(LongType))
+        .groupBy("shard", "bin").agg(count(lit(1)).as("cnt")) // shard sketches
+        .groupBy("bin").agg(sum(col("cnt")).as("cnt"))        // the merge
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy("bin") // 64 rows — bounded by construction
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      mm.select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"),
+          col("mn"), ((col("mx") - col("mn")) / 64.0).as("width"),
+          col("n"), col("p50"), col("p90"), col("p99"))
+        .withColumn("target", col("q") * col("n"))
+        .join(broadcast(merged), col("cum") >= col("target")) // ≤ 3×64 pairs
+        .groupBy("q", "mn", "width", "n", "target", "p50", "p90", "p99")
+        .agg(min(struct(col("bin"), col("cnt"), col("cum"))).as("b"))
+        .withColumn("est", round(col("mn") + col("width") *
+          (col("b.bin") + (col("target") - (col("b.cum") - col("b.cnt"))) /
+            col("b.cnt")), 6))
+        .withColumn("exact", when(col("q") === 0.5, col("p50"))
+          .when(col("q") === 0.9, col("p90")).otherwise(col("p99")))
+        .select(col("q"), col("est"),
+          when(abs(col("est") - col("exact")) <= col("width"), 1L)
+            .otherwise(0L).as("within_ok"))
+        .orderBy("q")
     })
   )
 
@@ -145,5 +197,32 @@ object Sketches {
     "a06_cms_heavy_hitters" -> """
       SELECT l_suppkey, COUNT(*) AS exact_n, CAST(1 AS BIGINT) AS cms_ok
       FROM lineitem GROUP BY l_suppkey
-      ORDER BY exact_n DESC, l_suppkey LIMIT 5""")
+      ORDER BY exact_n DESC, l_suppkey LIMIT 5""",
+
+    // a07: the histogram estimate replayed step for step (same bin
+    // rule, same interpolation); within_ok is the pinned bound
+    "a07_histogram_quantiles" -> """
+      WITH o AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS x
+        FROM orders),
+      mm AS (
+        SELECT MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n FROM o),
+      h AS (
+        SELECT LEAST(FLOOR((x - mn) / ((mx - mn) / 64.0)), 63) AS bin,
+               COUNT(*) AS cnt
+        FROM o, mm GROUP BY 1),
+      c AS (
+        SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM h),
+      qv AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+      pick AS (
+        SELECT q, MIN(bin) AS bin
+        FROM qv, c, mm WHERE c.cum >= q * mm.n GROUP BY q)
+      SELECT p.q,
+        ROUND(mm.mn + ((mm.mx - mm.mn) / 64.0) *
+          (p.bin + (p.q * mm.n - (c.cum - c.cnt)) / c.cnt), 6) AS est,
+        CAST(1 AS BIGINT) AS within_ok
+      FROM pick p JOIN c ON c.bin = p.bin CROSS JOIN mm
+      ORDER BY p.q""")
 }

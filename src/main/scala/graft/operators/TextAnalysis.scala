@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.Checkpoint.TruncateOps
 
 /** Text-analysis operators over the `documents` table: language ID,
   * quality scoring, token counting, content fingerprinting. All
@@ -413,6 +414,44 @@ object TextAnalysis {
         .groupBy("pair").agg(sum(col("n")).as("n_pair"))
         .orderBy(col("n_pair").desc, col("pair"))
         .limit(20)
+    }),
+
+    // t13: TF-IDF KEYWORD EXTRACTION — top-3 distinguishing terms per
+    // document, the per-doc summarization/tagging primitive (and the
+    // classic tf·idf definition BM25 generalizes — cf. c15, which
+    // ranks DOCS for a query; this ranks TERMS for a doc). Shapes:
+    // postings tf = one (doc, term) aggregate; df = one (term)
+    // aggregate over the unique postings; idf joins BACK onto the
+    // postings keyed on term (the standard second pass — both sides
+    // hash-partition on term, no broadcast needed or wanted: df is
+    // vocab-sized); the corpus doc count attaches as a 1-row
+    // broadcast. Per-doc top-3 via the bounded TopKRows heap keyed by
+    // doc_id — map-side, ≤3 rows per doc cross the shuffle, no
+    // per-doc sort. Ranks compare the 6-dp ROUNDED score (c15's
+    // cross-engine rule), tie-broken on the term string (ASCII
+    // fixture ⇒ byte order ≡ lexical in both engines).
+    "t13_keyword_extract" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .truncatedLazy // feeds n_docs, df and the score join
+      val nDocs = tf.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        .agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      val df = tf.groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
+      tf.join(df.hint("shuffle_hash"), Seq("term"))
+        .crossJoin(broadcast(nDocs)) // 1-row corpus size, c06 class
+        .withColumn("score",
+          round(col("tf").cast(DoubleType) * log(col("n_docs") / col("df")), 6))
+        .groupBy("doc_id")
+        .agg(graft.functions.TopKRows.topk(
+          struct((-col("score")).as("ns"), col("term").as("term"),
+            col("score").as("score")), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("doc_id"), (col("pos") + 1).as("rk"),
+          col("e.term").as("term"), col("e.score").as("score"))
+        .orderBy("doc_id", "rk")
     })
   )
 
@@ -686,7 +725,27 @@ object TextAnalysis {
           FROM wn WHERE length(word) >= 2)
         SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pair
         FROM pairs GROUP BY 1
-        ORDER BY n_pair DESC, pair LIMIT 20"""
+        ORDER BY n_pair DESC, pair LIMIT 20""",
+
+      "t13_keyword_extract" -> """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+          FROM documents),
+        tt AS (SELECT doc_id, term FROM tok WHERE len(term) > 0),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+        df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+            ROUND(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / df.df), 6) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, score,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, CAST(rk AS INT) AS rk, term, score
+        FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""
     )
   }
 }

@@ -219,7 +219,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "s12_knn_graph", "s13_knn_graph_recall",
       // c16 attaches its 1-row cross-split-edge gate via explicit
       // broadcast crossJoin — bounded by construction, the c06 class
-      "c16_leakage_safe_split")
+      "c16_leakage_safe_split",
+      // t13 attaches the 1-row corpus doc count via explicit broadcast
+      // crossJoin — bounded by construction, the c06 class
+      "t13_keyword_extract",
+      // a07 attaches 1-row histogram bounds (c06 class) and probes the
+      // 64-bin sketch with 3 quantiles via a non-equi broadcast join —
+      // ≤ 3×64 pairs, bounded by construction
+      "a07_histogram_quantiles")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
