@@ -428,7 +428,14 @@ object Corpus {
       val stats = tf.groupBy("doc_id").agg(first(col("dl")).as("dl"))
         .agg(count(lit(1)).cast(DoubleType).as("n_docs"),
           avg(col("dl").cast(DoubleType)).as("avgdl"))
-      val qterms = toks.filter(col("doc_id") % 101 === 0)
+      // FIXED query set (≤50 probes: %101 picks within the first 5050
+      // ids — the s01 convention). A query workload that grew with
+      // the corpus would square the candidate space on this tiny-
+      // vocabulary fixture (measured 16.6× at 10× rows when the cap
+      // was absent); retrieval QPS is a workload constant, not a
+      // corpus property.
+      val qterms = toks.filter(col("doc_id") % 101 === 0 &&
+          col("doc_id") < 5050)
         .select(col("doc_id").as("q_id"), col("term")).distinct()
       // df over query vocab only: the vocab-wide postings stats never
       // leave their aggregation — slim (term, df) rows, broadcastable
@@ -925,7 +932,8 @@ object Corpus {
         SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
                AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
       q AS (
-        SELECT DISTINCT doc_id AS q_id, term FROM tt WHERE doc_id % 101 = 0),
+        SELECT DISTINCT doc_id AS q_id, term FROM tt
+        WHERE doc_id % 101 = 0 AND doc_id < 5050),
       df AS (
         SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
         WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),

@@ -144,11 +144,17 @@ object Sketches {
       val price = col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType)
       val o = Tables.orders(s, d)
         .select(price.as("x"), pmod(col("o_orderkey"), lit(8)).as("shard"))
+      // The within_ok gate compares at ONE-BIN-WIDTH resolution, so
+      // the reference quantiles use the distributed GK sketch
+      // (percentile_approx, rank error ≤ n/10000 ⋘ a bin) rather
+      // than exact percentile's single-group sort — t09's documented
+      // 100 TB swap, applied here up front (the exact form measured
+      // 4.9× at 10× rows; this leg is why).
       val mm = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
         count(lit(1)).as("n"),
-        expr("percentile(x, 0.5)").as("p50"),
-        expr("percentile(x, 0.9)").as("p90"),
-        expr("percentile(x, 0.99)").as("p99"))
+        percentile_approx(col("x"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("x"), lit(0.9), lit(10000)).as("p90"),
+        percentile_approx(col("x"), lit(0.99), lit(10000)).as("p99"))
       val merged = o.crossJoin(broadcast(mm.select(col("mn"), col("mx"))))
         .withColumn("bin",
           least(floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / 64.0)),
