@@ -52,6 +52,11 @@ object Multimodal {
   final case class AudioSegments(doc_id: Long, n_frames: Long,
                                  n_silent: Long, longest_silence: Long)
 
+  /** Per-payload byte statistics (m06): size, distinct byte values,
+    * Shannon entropy of the byte distribution (bits/byte). */
+  final case class ByteStats(doc_id: Long, n_bytes: Long,
+                             n_distinct: Long, entropy: Double)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Binary-column plumbing, SQL-expressible end: text → utf8 bytes as
@@ -214,6 +219,44 @@ object Multimodal {
         .select(col("n_twins"),
           when(col("n_found") >= col("n_twins") * 0.95, 1L).otherwise(0L)
             .as("recall_ok"))
+    }),
+
+    // m06: BYTE-ENTROPY screen — the cheap first-pass media triage
+    // every multimodal ingest runs before decoding anything: entropy
+    // near 8 bits/byte means already-compressed (or encrypted) data, a
+    // tiny distinct-byte count means padding/corruption, and text-like
+    // payloads sit in between. One narrow per-partition pass: a
+    // 256-slot count array per payload, entropy summed in FIXED byte-
+    // value order (deterministic), no shuffle at all until the output
+    // sort — at 100 TB this is a pure map over the binary column, the
+    // same class as m01/m02's codec stubs. The oracle replays counts
+    // via the ascii(substr) fixture convention; the 6-dp round
+    // absorbs the oracle's different (hash-group) summation order.
+    "m06_byte_entropy" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+        .filter(_._2.nonEmpty)
+        .mapPartitions(_.map { case (id, bytes) =>
+          val counts = new Array[Long](256)
+          var i = 0
+          while (i < bytes.length) { counts(bytes(i) & 0xFF) += 1; i += 1 }
+          val n = bytes.length.toDouble
+          var h = 0.0; var distinct = 0L; var b = 0
+          while (b < 256) {
+            if (counts(b) > 0) {
+              distinct += 1
+              val p = counts(b) / n
+              h -= p * (math.log(p) / math.log(2.0))
+            }
+            b += 1
+          }
+          ByteStats(id, bytes.length.toLong, distinct,
+            BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        })
+        .toDF()
+        .orderBy("doc_id")
     })
   )
 
@@ -328,6 +371,23 @@ object Multimodal {
       SELECT a.doc_id, a.n_frames, a.n_silent,
         COALESCE(l.longest_silence, 0) AS longest_silence
       FROM agg a LEFT JOIN longest l USING (doc_id)
-      ORDER BY a.doc_id"""
+      ORDER BY a.doc_id""",
+
+    // m06: byte counts replayed via ascii(substr) (the ASCII-fixture
+    // convention — bytes ≡ chars); log2-entropy summed per doc
+    "m06_byte_entropy" -> """
+      WITH pos AS (
+        SELECT doc_id, text, length(text) AS n,
+          unnest(range(1, length(text) + 1)) AS i
+        FROM documents WHERE length(text) > 0),
+      c AS (
+        SELECT doc_id, n, ascii(substr(text, CAST(i AS INT), 1)) AS byte,
+          COUNT(*) AS cnt
+        FROM pos GROUP BY 1, 2, 3)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        COUNT(*) AS n_distinct,
+        ROUND(SUM(-(cnt / CAST(n AS DOUBLE)) * log2(cnt / CAST(n AS DOUBLE))), 6)
+          AS entropy
+      FROM c GROUP BY doc_id, n ORDER BY doc_id"""
   )
 }

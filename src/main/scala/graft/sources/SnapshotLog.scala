@@ -448,6 +448,36 @@ object SnapshotLog {
     table
   }
 
+  /** i19 fixture: base load (v1), poison append (v2), then RESTORE to
+    * v1 as v3 — a new commit that re-references v1's exact file list.
+    * Idempotent via the log like the other fixtures. */
+  def restoredOrdersTable(s: SparkSession, d: String): String = synchronized {
+    val table = stamped(s, d) + "_rst"
+    if (currentVersion(s, table) == 0L) {
+      val base = s"$table/data/base"
+      Tables.orders(s, d).repartition(4)
+        .write.mode("overwrite").parquet(base)
+      try commit(s, table, "base-load", dataFiles(s, base), Some(0L))
+      catch { case _: SnapshotConflict => () }
+    }
+    if (currentVersion(s, table) == 1L) {
+      val shard = s"$table/data/shard1"
+      poisonShard(s, d).repartition(1)
+        .write.mode("overwrite").parquet(shard)
+      val v1 = readManifest(s, table, 1L).get
+      try commit(s, table, "append-shard",
+        v1.files ++ dataFiles(s, shard), Some(1L))
+      catch { case _: SnapshotConflict => () }
+    }
+    if (currentVersion(s, table) == 2L) {
+      // the restore: v3 = v1's file list, committed like any write
+      try commit(s, table, "restore-to-v1",
+        readManifest(s, table, 1L).get.files, Some(2L))
+      catch { case _: SnapshotConflict => () }
+    }
+    table
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // i13: TIME TRAVEL — read AS OF v1 after v2 exists. The oracle is
     // the plain source table: if the reader planned from a directory
@@ -520,6 +550,27 @@ object SnapshotLog {
           sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType)
             .as("revenue"))
         .orderBy("channel")
+    }),
+
+    // i19: RESTORE / rollback (Delta RESTORE TABLE ... VERSION AS OF;
+    // Iceberg rollback_to_snapshot) — undo the poison append by
+    // committing a NEW version whose file list is v1's. Nothing is
+    // deleted and nothing is rewritten: the restore is one manifest
+    // commit referencing the still-immutable v1 files, history stays
+    // intact (v2 remains readable until expired), and at 100 TB the
+    // cost is O(manifest), not O(table) — the whole point of
+    // manifest-level undo. The read-after-restore must equal the BASE
+    // table exactly (the plain-orders oracle): one leaked v2 file
+    // splits every checksum. The gate column pins that the restore
+    // landed as a version bump (history preserved), not a rewind.
+    "i19_snapshot_restore" -> ((s, d) => {
+      val table = restoredOrdersTable(s, d)
+      val cur = currentVersion(s, table)
+      val restoredOk =
+        readManifest(s, table, cur).get.files ==
+          readManifest(s, table, 1L).get.files && cur >= 3L
+      statusRollup(readAt(s, table, cur))
+        .withColumn("restored_ok", lit(if (restoredOk) 1L else 0L))
     }),
 
     // i18: PARTITION OVERWRITE — after replacing the 1995 partition,
@@ -602,6 +653,14 @@ object SnapshotLog {
         FROM orders WHERE YEAR(o_orderdate) = 1995)
       SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-      FROM snap2 GROUP BY 1 ORDER BY 1"""
+      FROM snap2 GROUP BY 1 ORDER BY 1""",
+
+    // i19: read-after-restore ≡ the untouched base table; restored_ok
+    // pins the history-preserving version bump
+    "i19_snapshot_restore" -> """
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(1 AS BIGINT) AS restored_ok
+      FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }
