@@ -509,6 +509,36 @@ object Corpus {
           countDistinct(col("root")).as("n_groups"))
         .crossJoin(broadcast(cross)) // 1-row global gate, c06 class
         .orderBy("split")
+    }),
+
+    // c17: SOURCE QUALITY PRIOR with empirical-Bayes shrinkage — the
+    // per-domain score every curation pipeline keeps (CommonCrawl
+    // domain priors, the CCNet bucket statistics): a source's quality
+    // is its docs' mean score SHRUNK toward the corpus mean by a
+    // pseudo-count (k=20), so a 3-doc source can't outrank a
+    // 3000-doc one on luck — the jamesstein/beta-binomial smoothing
+    // shape. The per-doc score here is the bounded length prior
+    // (min(n_chars/500, 1)); any doc-level score (t02, t08, t11)
+    // slots into the same two aggregates. Shapes: one per-source
+    // aggregate, the corpus mean as a 1-row broadcast — nothing
+    // global but a 1-row reduce; at 100 TB the prior table is
+    // domain-count-sized, the natural broadcast side for the
+    // filtering join that consumes it.
+    "c17_source_prior" -> ((s, d) => {
+      val q = Tables.documents(s, d)
+        .select(col("source"),
+          least(col("n_chars").cast(DoubleType) / 500.0, lit(1.0)).as("q"))
+      val per = q.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("q")).as("sum_q"))
+        .truncatedLazy // corpus mean + output rows read it
+      val glob = per.agg(
+        (sum(col("sum_q")) / sum(col("n_docs"))).as("mu"))
+      per.crossJoin(broadcast(glob)) // 1-row corpus mean, c06 class
+        .select(col("source"), col("n_docs"),
+          round(col("sum_q") / col("n_docs"), 6).as("raw_mean"),
+          round((col("sum_q") + lit(20.0) * col("mu")) /
+            (col("n_docs") + lit(20.0)), 6).as("shrunk_mean"))
+        .orderBy("source")
     })
   )
 
@@ -999,6 +1029,21 @@ object Corpus {
       SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT root) AS n_groups,
              n_cross_edges
       FROM assigned, cross_e
-      GROUP BY split, n_cross_edges ORDER BY split"""
+      GROUP BY split, n_cross_edges ORDER BY split""",
+
+    // c17: same length prior, same k=20 shrinkage arithmetic
+    "c17_source_prior" -> """
+      WITH q AS (
+        SELECT source, LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS q
+        FROM documents),
+      per AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(q) AS sum_q
+        FROM q GROUP BY source),
+      corpus_mu AS (
+        SELECT SUM(sum_q) / SUM(n_docs) AS mu FROM per)
+      SELECT source, n_docs,
+        ROUND(sum_q / n_docs, 6) AS raw_mean,
+        ROUND((sum_q + 20.0 * mu) / (n_docs + 20.0), 6) AS shrunk_mean
+      FROM per, corpus_mu ORDER BY source"""
   )
 }

@@ -605,7 +605,30 @@ object Dedup {
         .groupBy(md5(trim(regexp_replace(lower(col("text")),
           "[^a-z0-9]+", " "))).as("norm_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("keep_id"))
+        .orderBy("keep_id")),
+
+    // d16: shingle CONTAINMENT — the ASYMMETRIC near-dup relation
+    // Jaccard misses: a short doc quoted inside a long one scores
+    // C(a⊂b) = |A∩B|/|A| ≈ 1 while its Jaccard stays tiny (the
+    // Broder containment measure; quote/boilerplate/excerpt detection
+    // in every web pipeline). Rides d04's exact machinery —
+    // [[ngramJaccardPairs]] already returns (na, nb, ni) per
+    // candidate pair, so both directed containments are one division
+    // each: zero additional joins or shuffles over the jaccard pass.
+    // Thresholds are fixture-scoped like d04's 0.01 (the synthetic
+    // corpus has no real quotes; max containment ≈ 0.125): a
+    // production run moves the 0.02 knob to ~0.8, same plan.
+    "d16_containment" -> ((s, d) =>
+      ngramJaccardPairs(Tables.documents(s, d))
+        .withColumn("cont_a_in_b",
+          round(col("ni").cast(DoubleType) / col("na").cast(DoubleType), 6))
+        .withColumn("cont_b_in_a",
+          round(col("ni").cast(DoubleType) / col("nb").cast(DoubleType), 6))
+        .filter(col("ni").cast(DoubleType) / col("na").cast(DoubleType) > 0.02 ||
+          col("ni").cast(DoubleType) / col("nb").cast(DoubleType) > 0.02)
+        .select(col("source"), col("doc_a"), col("doc_b"),
+          col("cont_a_in_b"), col("cont_b_in_a"))
+        .orderBy("doc_a", "doc_b"))
   )
 
   /** LSH-banded embedding near-dup pairs (the d08 body) over any
@@ -856,6 +879,32 @@ object Dedup {
         AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
       WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
             CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) > 0.01
+      ORDER BY doc_a, doc_b""",
+
+    // d16: d04's candidate scope (jac > 0.01, same window) plus the
+    // directed containment filters, divisions of the same integers
+    "d16_containment" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+          string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+        FROM t WHERE len(toks) >= 3),
+      p AS (
+        SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS ni,
+          CAST(len(a.grams) AS DOUBLE) AS na,
+          CAST(len(b.grams) AS DOUBLE) AS nb
+        FROM g a JOIN g b ON a.source = b.source
+          AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50)
+      SELECT source, doc_a, doc_b,
+        ROUND(ni / na, 6) AS cont_a_in_b,
+        ROUND(ni / nb, 6) AS cont_b_in_a
+      FROM p
+      WHERE ni / (na + nb - ni) > 0.01 AND (ni / na > 0.02 OR ni / nb > 0.02)
       ORDER BY doc_a, doc_b""",
 
     "d05_embedding_neardup" -> """

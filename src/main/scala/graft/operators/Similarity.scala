@@ -657,6 +657,31 @@ object Similarity {
         .filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("neighbor_id"))
       recallVsExact(exact3, graphEdges, minHits = 65)
+    }),
+
+    // s14: RADIUS (range) search — "everything within cosine r of the
+    // query", the other retrieval contract next to top-k: dedup
+    // candidate pulls, near-threshold audits and recall-oriented RAG
+    // want ALL matches, not the best k (a top-k silently truncates
+    // dense neighborhoods; a radius query returns 0..n rows as the
+    // data dictates). Same scan shape as s01 — corpus × broadcast
+    // 10-query set, one pass, no ranking state at all: the filter is
+    // codegen'd and the output needs no heap, window or sort beyond
+    // the presentation order. r = 0.35 is fixture-scoped (near-
+    // uniform vectors concentrate cos near 0; 12 matches at sf0.01) —
+    // a real corpus moves the knob, not the plan.
+    "s14_radius_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .filter(col("cos") > 0.35)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("q_id", "neighbor_id")
     })
   )
 
@@ -911,6 +936,21 @@ object Similarity {
         FROM scored)
       SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS n_exact_pairs,
         CAST(1 AS BIGINT) AS recall_ok
-      FROM ranked WHERE rk <= 3"""
+      FROM ranked WHERE rk <= 3""",
+
+    // s14: the s01 scan with the radius predicate in place of ranking
+    "s14_radius_search" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) /
+          (SQRT(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+           SQRT(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      SELECT q_id, neighbor_id, ROUND(cos, 6) AS cos_sim
+      FROM scored WHERE cos > 0.35
+      ORDER BY q_id, neighbor_id"""
   )
 }

@@ -226,7 +226,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // a07 attaches 1-row histogram bounds (c06 class) and probes the
       // 64-bin sketch with 3 quantiles via a non-equi broadcast join —
       // ≤ 3×64 pairs, bounded by construction
-      "a07_histogram_quantiles")
+      "a07_histogram_quantiles",
+      // s14 scans the corpus against crossJoin(broadcast(10 query
+      // vectors)) — the s01 class; c17 attaches the 1-row corpus mean
+      // via explicit broadcast crossJoin — the c06 class
+      "s14_radius_search", "c17_source_prior")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
