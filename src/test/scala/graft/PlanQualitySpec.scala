@@ -230,7 +230,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // s14 scans the corpus against crossJoin(broadcast(10 query
       // vectors)) — the s01 class; c17 attaches the 1-row corpus mean
       // via explicit broadcast crossJoin — the c06 class
-      "s14_radius_search", "c17_source_prior")
+      "s14_radius_search", "c17_source_prior",
+      // q54 joins three 1-row step counts on a literal key — the a05
+      // two-1-row-aggregates class
+      "q54_event_funnel")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
