@@ -240,6 +240,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mergeable histogram: per-micro-batch 64-bin sketches " +
+      "merged bin-wise equal the single-batch histogram") {
+    // a07's merge contract under REAL micro-batching: bounds are fixed
+    // up front (the sketch contract — a stream can't rescan for
+    // min/max), each micro-batch contributes its own bin counts, and
+    // bin-wise addition must reconstruct the single-batch histogram
+    // exactly — the property that lets per-day histogram sketches
+    // persist once and re-aggregate forever.
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val price = col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType)
+    val orders = Tables.orders(s, d).select(price.as("x"))
+    val bounds = orders.agg(min(col("x")), max(col("x"))).head()
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    def hist(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = df
+      .withColumn("bin", least(
+        floor((col("x") - lit(mn)) / ((lit(mx) - lit(mn)) / 64.0)),
+        lit(63.0)).cast(LongType))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = hist(orders)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist_stream").toString
+    orders.repartition(3).write.mode("overwrite").parquet(dir)
+    val merged = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    var batches = 0
+    val q = s.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        hist(b).foreach { case (k, v) => merged(k) += v }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches >= 2, s"expected ≥2 micro-batches, got $batches")
+      assert(merged.toMap === single,
+        "bin-wise merge of micro-batch histograms diverged from the single-batch histogram")
+    } finally q.stop()
+  }
+
   test("streaming CDC apply: union of micro-batch applies equals the " +
       "single-batch apply; restart from checkpoint commits nothing") {
     import graft.operators.Upsert
