@@ -69,7 +69,17 @@ object SnapshotLog {
   /** Highest version with a VALID (end-sentinel-complete) manifest;
     * 0 when the table has no committed snapshot. Torn or garbage
     * version files are skipped — they are in-flight or failed
-    * commits, not table state. */
+    * commits, not table state.
+    *
+    * Probes version numbers DESCENDING and returns the first valid
+    * manifest: one directory listing plus — normally — ONE manifest
+    * read, instead of parsing the whole log (which made every
+    * `commit` attempt O(versions) manifest reads; a long-lived table
+    * accumulates thousands). Semantics are identical: first-valid-
+    * from-the-top ≡ max-over-valid. The remaining O(listing) is what
+    * production formats amortize with a checkpoint file (Delta's
+    * `_last_checkpoint`) — the next step if version counts ever make
+    * the listing itself the bottleneck. */
   def currentVersion(s: SparkSession, table: String): Long = {
     val fs = fsOf(s)
     val dir = new org.apache.hadoop.fs.Path(logDir(table))
@@ -78,8 +88,9 @@ object SnapshotLog {
       .map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong)
-      .filter(v => readManifest(s, table, v).isDefined)
-      .foldLeft(0L)(math.max)
+      .toArray.sorted(Ordering[Long].reverse)
+      .find(v => readManifest(s, table, v).isDefined)
+      .getOrElse(0L)
   }
 
   /** Parse one manifest; None when absent or torn (no `end`). */
