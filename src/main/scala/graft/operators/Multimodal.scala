@@ -57,6 +57,11 @@ object Multimodal {
   final case class ByteStats(doc_id: Long, n_bytes: Long,
                              n_distinct: Long, entropy: Double)
 
+  /** Per-clip scene statistics (m07): frame count, cut count, and the
+    * largest consecutive-frame level jump. */
+  final case class SceneCuts(doc_id: Long, n_frames: Long,
+                             n_cuts: Long, max_delta: Double)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Binary-column plumbing, SQL-expressible end: text → utf8 bytes as
@@ -257,6 +262,45 @@ object Multimodal {
         })
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // m07: SCENE-CUT detection — the video twin of m05's VAD: a "cut"
+    // is a consecutive-frame level jump above threshold, the statistic
+    // frame-sampling pipelines cut clips on (sample densely around
+    // cuts, sparsely inside scenes). Frames are m03's fixed 256-byte
+    // blocks; the level model is the byte-mean stub (a real decoder
+    // changes only that line). Per-clip sequential state (previous
+    // frame's mean) rides the partition loop — zero shuffle, the m05
+    // shape. Frame means are exact rationals (integer sum / length)
+    // in both engines, so the >5.0 cut comparison can never split on
+    // float ulp; only the reported max_delta is rounded.
+    "m07_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+        .filter(_._2.nonEmpty)
+        .mapPartitions(_.map { case (id, bytes) =>
+          val len = bytes.length
+          var off = 0; var nFrames = 0L; var nCuts = 0L
+          var prev = Double.NaN; var maxDelta = 0.0
+          while (off < len) {
+            val n = math.min(256, len - off)
+            var sum = 0L; var i = off
+            while (i < off + n) { sum += bytes(i) & 0xFF; i += 1 }
+            val mean = sum.toDouble / n
+            if (!prev.isNaN) {
+              val delta = math.abs(mean - prev)
+              if (delta > maxDelta) maxDelta = delta
+              if (delta > 5.0) nCuts += 1
+            }
+            prev = mean; nFrames += 1; off += 256
+          }
+          SceneCuts(id, nFrames, nCuts,
+            BigDecimal(maxDelta).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        })
+        .toDF()
+        .orderBy("doc_id")
     })
   )
 
@@ -388,6 +432,39 @@ object Multimodal {
         COUNT(*) AS n_distinct,
         ROUND(SUM(-(cnt / CAST(n AS DOUBLE)) * log2(cnt / CAST(n AS DOUBLE))), 6)
           AS entropy
-      FROM c GROUP BY doc_id, n ORDER BY doc_id"""
+      FROM c GROUP BY doc_id, n ORDER BY doc_id""",
+
+    // m07: frame means replayed as exact integer-sum rationals; the
+    // lag/delta pass is the m05 gaps-and-islands convention
+    "m07_scene_cuts" -> """
+      WITH doc AS (
+        SELECT doc_id, text, length(text) AS len FROM documents
+        WHERE length(text) > 0),
+      f AS (
+        SELECT doc_id, len, unnest(range(0, len, 256)) AS off FROM doc),
+      m AS (
+        SELECT f.doc_id, f.off,
+          list_sum(list_transform(
+            range(f.off + 1, LEAST(f.off + 256, d.len) + 1),
+            i -> ascii(substr(d.text, CAST(i AS INT), 1)))) * 1.0
+            / (LEAST(f.off + 256, d.len) - f.off) AS mean
+        FROM f JOIN doc d USING (doc_id)),
+      dlt AS (
+        SELECT doc_id,
+          ABS(mean - LAG(mean) OVER (PARTITION BY doc_id ORDER BY off))
+            AS delta
+        FROM m),
+      agg AS (
+        SELECT doc_id, COUNT(*) + 1 AS n_frames,
+          CAST(SUM(CASE WHEN delta > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cuts,
+          ROUND(MAX(delta), 6) AS max_delta
+        FROM dlt WHERE delta IS NOT NULL GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(a.n_frames, CAST(CEIL(d.len / 256.0) AS BIGINT)) AS n_frames,
+        COALESCE(a.n_cuts, 0) AS n_cuts,
+        COALESCE(a.max_delta, 0.0) AS max_delta
+      FROM doc d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""
   )
 }

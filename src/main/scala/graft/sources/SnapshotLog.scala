@@ -584,6 +584,26 @@ object SnapshotLog {
         .withColumn("restored_ok", lit(if (restoredOk) 1L else 0L))
     }),
 
+    // i21: TABLE HISTORY (DESCRIBE HISTORY / Iceberg snapshots
+    // metadata table) — the audit surface every lakehouse exposes:
+    // one row per committed version with its parent, operation and
+    // file count, read straight from the manifests (O(log), zero
+    // data-file IO). On the i13 fixture the history is fully
+    // deterministic (base-load lands 4 files, the poison append adds
+    // 1), so the oracle pins it as literal VALUES — the i02
+    // convention. Byte sizes are deliberately excluded: parquet
+    // encoder output is not contractual across Spark versions, and an
+    // audit row must not flap on codec drift.
+    "i21_table_history" -> ((s, d) => {
+      import s.implicits._
+      val table = snapshottedOrders(s, d)
+      (1L to currentVersion(s, table))
+        .flatMap(v => readManifest(s, table, v))
+        .map(m => (m.version, m.parent, m.op, m.files.size.toLong))
+        .toDF("version", "parent", "op", "n_files")
+        .orderBy("version")
+    }),
+
     // i18: PARTITION OVERWRITE — after replacing the 1995 partition,
     // the per-year rollup must show exactly the re-priced 1995 rows
     // and untouched everything-else (the oracle replays the
@@ -665,6 +685,14 @@ object SnapshotLog {
       SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
       FROM snap2 GROUP BY 1 ORDER BY 1""",
+
+    // i21: the i13 fixture's deterministic history as literal VALUES
+    "i21_table_history" -> """
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'base-load', CAST(4 AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'append-shard', CAST(5 AS BIGINT)))
+        AS t(version, parent, op, n_files)
+      ORDER BY version""",
 
     // i19: read-after-restore ≡ the untouched base table; restored_ok
     // pins the history-preserving version bump
