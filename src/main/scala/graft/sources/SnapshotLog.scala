@@ -459,6 +459,74 @@ object SnapshotLog {
     table
   }
 
+  // ---------------------------------------------------------------
+  // Catalog layer: MULTI-TABLE atomic commits
+  // ---------------------------------------------------------------
+
+  /** Atomic MULTI-TABLE commit: one catalog manifest pins a (table →
+    * version) assignment for every member table — the cross-table
+    * transaction single-table logs (Delta) cannot express and
+    * REST-catalog Iceberg added for exactly this reason. Readers
+    * resolve ALL tables through one catalog version, so they can
+    * never observe a torn cross-table state (orders at v2 joined to
+    * lineitem at v1). Implementation reuses the manifest machinery
+    * wholesale — a catalog entry is a manifest "file" row whose
+    * length slot carries the pinned version — so atomic CREATE_NEW
+    * publication, optimistic expected-parent, torn-manifest
+    * invisibility and squatter-skipping all hold verbatim. */
+  def catalogCommit(s: SparkSession, catalog: String,
+      pins: Seq[(String, Long)], expectedParent: Option[Long] = None): Long =
+    commit(s, catalog, "catalog-pin", pins, expectedParent)
+
+  /** The (table → version) assignment at catalog version `v`. */
+  def readCatalog(s: SparkSession, catalog: String, v: Long): Map[String, Long] =
+    readManifest(s, catalog, v).getOrElse(throw new IllegalArgumentException(
+      s"no committed catalog version v$v in $catalog")).files.toMap
+
+  /** Read `table` AS PINNED BY catalog version `cv`. */
+  def readThroughCatalog(s: SparkSession, catalog: String, cv: Long,
+      table: String): DataFrame =
+    readAt(s, table, readCatalog(s, catalog, cv)(table))
+
+  /** u06 fixture: two snapshot tables that must move TOGETHER —
+    * orders and lineitem each get a matching poison shard (the same
+    * +30M key offset, so the shards JOIN), and the catalog pins
+    * (A→1, B→1) at cv1, then (A→2, B→2) at cv2 atomically. A reader
+    * that mixed versions would see orphaned join keys; through the
+    * catalog that state is unrepresentable. */
+  def cataloggedPair(s: SparkSession, d: String): (String, String, String) = synchronized {
+    val a = snapshottedOrders(s, d) // v1 base, v2 = +poison orders
+    val b = stamped(s, d) + "_li"
+    if (currentVersion(s, b) == 0L) {
+      val base = s"$b/data/base"
+      Tables.lineitem(s, d).repartition(4)
+        .write.mode("overwrite").parquet(base)
+      try commit(s, b, "base-load", dataFiles(s, base), Some(0L))
+      catch { case _: SnapshotConflict => () }
+    }
+    if (currentVersion(s, b) == 1L) {
+      val shard = s"$b/data/shard1"
+      Tables.lineitem(s, d).filter(col("l_orderkey") % 97 === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(30000000L))
+        .withColumn("l_returnflag", lit("Z"))
+        .repartition(1).write.mode("overwrite").parquet(shard)
+      val v1 = readManifest(s, b, 1L).get
+      try commit(s, b, "append-shard",
+        v1.files ++ dataFiles(s, shard), Some(1L))
+      catch { case _: SnapshotConflict => () }
+    }
+    val cat = stamped(s, d) + "_cat"
+    if (currentVersion(s, cat) == 0L) {
+      try catalogCommit(s, cat, Seq(a -> 1L, b -> 1L), Some(0L))
+      catch { case _: SnapshotConflict => () }
+    }
+    if (currentVersion(s, cat) == 1L) {
+      try catalogCommit(s, cat, Seq(a -> 2L, b -> 2L), Some(1L))
+      catch { case _: SnapshotConflict => () }
+    }
+    (cat, a, b)
+  }
+
   /** i19 fixture: base load (v1), poison append (v2), then RESTORE to
     * v1 as v3 — a new commit that re-references v1's exact file list.
     * Idempotent via the log like the other fixtures. */
@@ -584,6 +652,30 @@ object SnapshotLog {
         .withColumn("restored_ok", lit(if (restoredOk) 1L else 0L))
     }),
 
+    // u06: MULTI-TABLE catalog snapshot — orders and lineitem resolve
+    // through ONE catalog version, so the cross-table join can only
+    // ever see matching states: at cv2 both poison shards (same +30M
+    // key offset) appear and JOIN; a reader mixing A@2 with B@1
+    // would orphan every poison key, and that state is
+    // unrepresentable through the catalog (SnapshotLogSpec pins the
+    // cv1 side: zero poison rows in either table). The oracle replays
+    // both appends and the join — a torn cross-table read moves the
+    // Z-row group or orphans keys, splitting the hash either way.
+    "u06_catalog_snapshot" -> ((s, d) => {
+      val (cat, a, b) = cataloggedPair(s, d)
+      val cv = currentVersion(s, cat)
+      val o = readThroughCatalog(s, cat, cv, a)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val li = readThroughCatalog(s, cat, cv, b)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("revenue"))
+        .orderBy("o_orderstatus", "l_returnflag")
+    }),
+
     // i21: TABLE HISTORY (DESCRIBE HISTORY / Iceberg snapshots
     // metadata table) — the audit surface every lakehouse exposes:
     // one row per committed version with its parent, operation and
@@ -685,6 +777,26 @@ object SnapshotLog {
       SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
       FROM snap2 GROUP BY 1 ORDER BY 1""",
+
+    // u06: both poison appends replayed, then the join — the catalog
+    // guarantees the versions move together, the oracle checks the
+    // joined result of exactly that pair
+    "u06_catalog_snapshot" -> """
+      WITH o AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey + 30000000 AS o_orderkey, 'Z' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 97 = 0),
+      li AS (
+        SELECT l_orderkey, l_returnflag, l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey + 30000000 AS l_orderkey, 'Z' AS l_returnflag,
+               l_extendedprice
+        FROM lineitem WHERE l_orderkey % 97 = 0)
+      SELECT o_orderstatus, l_returnflag, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM o JOIN li ON o.o_orderkey = li.l_orderkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // i21: the i13 fixture's deterministic history as literal VALUES
     "i21_table_history" -> """

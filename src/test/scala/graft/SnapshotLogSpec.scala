@@ -254,4 +254,29 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(v2.filter(col("o_orderpriority") === "7-REPL").count() === n1995)
     assert(v2.count() === Tables.orders(s, d).count())
   }
+
+  test("u06 fixture: the catalog pins table versions in lockstep; a mixed " +
+      "cross-table state is unrepresentable through it") {
+    val (cat, a, b) = SnapshotLog.cataloggedPair(s, d)
+    // the two catalog versions pin complete, consistent assignments
+    assert(SnapshotLog.readCatalog(s, cat, 1L) === Map(a -> 1L, b -> 1L))
+    assert(SnapshotLog.readCatalog(s, cat, 2L) === Map(a -> 2L, b -> 2L))
+    // cv1: NEITHER table shows its poison shard — the pre-transaction
+    // state is consistent on both sides
+    assert(SnapshotLog.readThroughCatalog(s, cat, 1L, a)
+      .filter(col("o_orderstatus") === "Z").count() === 0L)
+    assert(SnapshotLog.readThroughCatalog(s, cat, 1L, b)
+      .filter(col("l_returnflag") === "Z").count() === 0L)
+    // cv2: BOTH shards appear and their +30M keys join — the
+    // post-transaction state landed atomically on both sides
+    val o2 = SnapshotLog.readThroughCatalog(s, cat, 2L, a)
+      .filter(col("o_orderstatus") === "Z").select("o_orderkey")
+    val l2 = SnapshotLog.readThroughCatalog(s, cat, 2L, b)
+      .filter(col("l_returnflag") === "Z").select("l_orderkey")
+    val joined = o2.join(l2, col("o_orderkey") === col("l_orderkey")).count()
+    val expected = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 97 === 0).count()
+    assert(joined === expected,
+      "poison shards failed to join — the catalog let table versions diverge")
+  }
 }
