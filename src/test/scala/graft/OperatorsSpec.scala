@@ -255,4 +255,119 @@ class OperatorsSpec extends AnyFunSuite {
         s"doc ${r.getAs[Long]("doc_id")} coverage mismatch vs reference")
     }
   }
+
+  test("c15 BM25: 5 ranked results per query, scores positive and descending") {
+    val rows = SparkEntry.queries("c15_bm25_topk")(s, d).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 5, s"query $q returned ${rs.length} results")
+      val scores = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("score"))
+      assert(scores.forall(_ > 0.0), s"query $q has non-positive BM25 score")
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not descending")
+      // a query doc never retrieves itself: the corpus excludes it
+      assert(!rs.exists(_.getAs[Long]("doc_id") === q))
+    }
+  }
+
+  test("c16 leakage-safe split: every doc lands in exactly one split and " +
+      "zero near-dup edges cross splits") {
+    val rows = SparkEntry.queries("c16_leakage_safe_split")(s, d).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === graft.Tables.documents(s, d).count())
+    assert(rows.forall(_.getAs[Long]("n_cross_edges") === 0L),
+      "a near-dup edge crossed splits — the leakage guard is broken")
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "valid", "test")))
+  }
+
+  test("c17 shrinkage pulls every source's score toward the corpus mean, " +
+      "never past it") {
+    val rows = SparkEntry.queries("c17_source_prior")(s, d).collect()
+    val mu = rows.map(r => r.getAs[Double]("raw_mean") * r.getAs[Long]("n_docs")).sum /
+      rows.map(_.getAs[Long]("n_docs")).sum
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("raw_mean"); val shr = r.getAs[Double]("shrunk_mean")
+      // shrunk lies strictly between raw and mu (or equals both when raw == mu)
+      assert((shr - raw) * (mu - raw) >= 0.0, s"${r.getAs[String]("source")}: shrunk moved away from mu")
+      assert(math.abs(shr - mu) <= math.abs(raw - mu) + 1e-9,
+        s"${r.getAs[String]("source")}: shrunk overshot the corpus mean")
+    }
+  }
+
+  test("s12 k-NN graph: 3 ranked neighbors per node, no self-edges, " +
+      "cosines descending within a node") {
+    val rows = SparkEntry.queries("s12_knn_graph")(s, d).collect()
+    val byN = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(byN.nonEmpty)
+    byN.foreach { case (n, rs) =>
+      assert(rs.length === 3, s"node $n has ${rs.length} edges")
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") === n), s"node $n self-edge")
+      val cs = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("s14 radius search agrees with the exact scan: every returned pair " +
+      "clears the radius and no s01 top-pair above it is missed") {
+    val radius = SparkEntry.queries("s14_radius_search")(s, d).collect()
+    assert(radius.forall(_.getAs[Double]("cos_sim") > 0.35))
+    // s01's exact top-5 pairs above the radius must all appear
+    val exactAbove = SparkEntry.queries("s01_cosine_topk")(s, d).collect()
+      .filter(_.getAs[Double]("cos_sim") > 0.35)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = radius.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(exactAbove.subsetOf(got),
+      s"radius search missed exact pairs: ${exactAbove -- got}")
+  }
+
+  test("a07 histogram quantile estimates are monotone in q and inside the " +
+      "value range; all bound gates pass") {
+    val rows = SparkEntry.queries("a07_histogram_quantiles")(s, d)
+      .orderBy("q").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[Long]("within_ok") === 1L))
+    val ests = rows.map(_.getAs[Double]("est"))
+    assert(ests.zip(ests.tail).forall { case (a, b) => a <= b },
+      "quantile estimates not monotone in q")
+  }
+
+  test("m06 byte entropy is bounded by log2(distinct) and by 8 bits") {
+    val rows = SparkEntry.queries("m06_byte_entropy")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy"); val k = r.getAs[Long]("n_distinct")
+      assert(h >= 0.0 && h <= 8.0 + 1e-9)
+      assert(h <= math.log(k.toDouble) / math.log(2.0) + 1e-6,
+        s"doc ${r.getAs[Long]("doc_id")}: H=$h exceeds log2($k)")
+    }
+  }
+
+  test("m07 scene cuts: cut count is bounded by frames-1 and max_delta " +
+      "is consistent with the cut threshold") {
+    val rows = SparkEntry.queries("m07_scene_cuts")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("n_frames"); val cuts = r.getAs[Long]("n_cuts")
+      val mx = r.getAs[Double]("max_delta")
+      assert(cuts <= math.max(f - 1, 0L))
+      if (cuts > 0) assert(mx > 5.0, "cuts recorded but max delta under threshold")
+      if (mx <= 5.0) assert(cuts === 0L)
+    }
+  }
+
+  test("q55 sweep: per-day peak concurrency is positive, bounded by the " +
+      "day's session count, and n_sessions sums to the view-event count") {
+    val rows = SparkEntry.queries("q55_max_concurrency")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mc = r.getAs[Long]("max_concurrent"); val n = r.getAs[Long]("n_sessions")
+      assert(mc >= 1L && mc <= n)
+    }
+    val totalSessions = rows.map(_.getAs[Long]("n_sessions")).sum
+    val nViews = graft.Tables.events(s, d)
+      .filter(col("event_type") === "view").count()
+    assert(totalSessions === nViews)
+  }
 }
