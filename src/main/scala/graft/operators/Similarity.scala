@@ -682,6 +682,47 @@ object Similarity {
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           round(col("cos"), 6).as("cos_sim"))
         .orderBy("q_id", "neighbor_id")
+    }),
+
+    // s15: LATE-INTERACTION retrieval (ColBERT's MaxSim) — score a
+    // (query, doc) pair as Σ over the query's token vectors of the
+    // MAX cosine against any doc token vector: finer-grained than one
+    // pooled vector (a doc matching every query facet somewhere beats
+    // a doc matching the average), and the dominant modern reranker
+    // shape. The fixture has one vector per doc, so the token sets
+    // are s07's PQ decomposition — the 8 disjoint 8-dim subvectors —
+    // which exercises the exact multi-vector plumbing a real ColBERT
+    // corpus needs. Shapes: doc subvectors long-form (vec_id, m,
+    // sub), query subvectors a broadcast 80-row table; the MaxSim is
+    // two hash aggregates (max over doc tokens per query token, then
+    // sum over query tokens — max is order-free, the 8-term sum
+    // rounds before ranking per the c15 cross-engine rule) and the
+    // top-5 is the bounded TopKRows heap. At 100 TB the constant is
+    // |q_tokens|×|d_tokens| per scanned doc — the documented
+    // late-interaction cost — with candidate pruning (s02/s03/s07)
+    // composing in front unchanged.
+    "s15_maxsim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val subs = pqSubvectors(emb)
+      val qsubs = pqSubvectors(emb.filter(col("vec_id") < 10))
+        .select(col("vec_id").as("q_id"), col("m").as("qm"),
+          col("sub").as("qsub"))
+      val perQtok = subs.crossJoin(broadcast(qsubs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("c", cosine(col("qsub"), col("sub")))
+        .groupBy("q_id", "vec_id", "qm")
+        .agg(max(col("c")).as("best"))
+      val scored = perQtok.groupBy("q_id", "vec_id")
+        .agg(round(sum(col("best")), 6).as("maxsim"))
+      scored.groupBy("q_id")
+        .agg(graft.functions.TopKRows.topk(
+          struct((-col("maxsim")).as("ns"), col("vec_id").as("vec_id"),
+            col("maxsim").as("maxsim")), 5).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), (col("pos") + 1).as("rk"),
+          col("e.vec_id").as("neighbor_id"), col("e.maxsim").as("maxsim"))
+        .orderBy("q_id", "rk")
     })
   )
 
@@ -937,6 +978,39 @@ object Similarity {
       SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS n_exact_pairs,
         CAST(1 AS BIGINT) AS recall_ok
       FROM ranked WHERE rk <= 3""",
+
+    // s15: the full MaxSim replay over the same 8×8-dim slices —
+    // max over doc tokens per query token, rounded sum over query
+    // tokens, rank on the rounded score
+    "s15_maxsim_topk" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      subs AS (
+        SELECT vec_id, m, list_slice(v, m * 8 + 1, m * 8 + 8) AS sub
+        FROM e, range(0, 8) AS t(m)),
+      qsubs AS (
+        SELECT vec_id AS q_id, m AS qm, sub AS qsub
+        FROM subs WHERE vec_id < 10),
+      pertok AS (
+        SELECT q.q_id, c.vec_id, q.qm,
+          MAX(
+            list_sum(list_transform(range(1, 9), i -> q.qsub[i] * c.sub[i])) /
+            (SQRT(list_sum(list_transform(range(1, 9), i -> q.qsub[i] * q.qsub[i]))) *
+             SQRT(list_sum(list_transform(range(1, 9), i -> c.sub[i] * c.sub[i]))))
+          ) AS best
+        FROM qsubs q JOIN subs c ON c.vec_id <> q.q_id
+        GROUP BY q.q_id, c.vec_id, q.qm),
+      scored AS (
+        SELECT q_id, vec_id, ROUND(SUM(best), 6) AS maxsim
+        FROM pertok GROUP BY q_id, vec_id),
+      ranked AS (
+        SELECT q_id, vec_id, maxsim,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY maxsim DESC, vec_id) AS rk
+        FROM scored)
+      SELECT q_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id, maxsim
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
 
     // s14: the s01 scan with the radius predicate in place of ranking
     "s14_radius_search" -> """

@@ -233,7 +233,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "s14_radius_search", "c17_source_prior",
       // q54 joins three 1-row step counts on a literal key — the a05
       // two-1-row-aggregates class
-      "q54_event_funnel")
+      "q54_event_funnel",
+      // s15 scans doc subvectors against crossJoin(broadcast(80 query
+      // subvector rows)) — the s01 class
+      "s15_maxsim_topk")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
