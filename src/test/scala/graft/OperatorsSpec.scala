@@ -357,6 +357,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("s15 MaxSim: 5 ranked results per query, scores in [-8, 8] and " +
+      "descending, no self-retrieval") {
+    val rows = SparkEntry.queries("s15_maxsim_topk")(s, d).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 5)
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") === q))
+      val ms = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("maxsim"))
+      // sum of 8 per-token maxima, each a cosine in [-1, 1]
+      assert(ms.forall(m => m >= -8.0 && m <= 8.0))
+      assert(ms.zip(ms.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q55 sweep: per-day peak concurrency is positive, bounded by the " +
       "day's session count, and n_sessions sums to the view-event count") {
     val rows = SparkEntry.queries("q55_max_concurrency")(s, d).collect()
