@@ -198,7 +198,7 @@ object Upsert {
       val table = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
         "graft_u04_table").toString
-      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d))
+      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
       val ops = cdcOpsLog(s, d)
       (0 until 3).foreach { i =>
         graft.streaming.CdcStream.applyBatch(s, table,
@@ -229,7 +229,7 @@ object Upsert {
       val table = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
         "graft_u05_table").toString
-      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d))
+      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
       val erase = Tables.orders(s, d)
         .filter(col("o_custkey") % 50 === 0)
         .withColumn("op", lit("D")).withColumn("ts", lit(1))

@@ -36,13 +36,109 @@ import graft.operators.Upsert
   * idempotence pattern). */
 object CdcStream {
 
-  /** Load the initial target state as snapshot v1. */
-  def seedTarget(s: SparkSession, table: String, data: DataFrame): Long = {
+  /** Load the initial target state as snapshot v1. When `key` is
+    * given the base is laid out CLUSTERED BY the key
+    * (repartitionByRange — the OPTIMIZE-ZORDER-BY-merge-key advice:
+    * disjoint per-file key ranges are what make range stats prune)
+    * and per-file key-range stats are written alongside the commit so
+    * the FIRST apply already prunes (the stats-on-commit pattern). */
+  def seedTarget(s: SparkSession, table: String, data: DataFrame,
+      key: String = null): Long = {
     val dir = s"$table/data/base"
-    data.repartition(4).write.mode("overwrite").parquet(dir)
-    SnapshotLog.commit(s, table, "base-load",
-      SnapshotLog.dataFiles(s, dir), Some(0L))
+    val shaped =
+      if (key == null) data.repartition(4)
+      else data.repartitionByRange(4, col(key))
+    shaped.write.mode("overwrite").parquet(dir)
+    val files = SnapshotLog.dataFiles(s, dir)
+    val v = SnapshotLog.commit(s, table, "base-load", files, Some(0L))
+    if (key != null)
+      writeKeyStats(s, table, v, computeKeyStats(s, files.map(_._1), key))
+    v
   }
+
+  // -----------------------------------------------------------------
+  // Commit-time per-file KEY-RANGE stats — the Iceberg manifest-stats
+  // / Delta Add.stats pattern applied to the CDC key: each snapshot
+  // version carries a sidecar mapping data file → [min, max] of the
+  // key, maintained INCREMENTALLY (untouched files carry their stats
+  // forward; only freshly-written files are scanned — O(touched) per
+  // batch). Touched-file discovery then probes the batch's key set
+  // against the ranges driver-side and key-scans only the CANDIDATE
+  // files, closing the "at 100 TB zone maps would shortcut this"
+  // note: per-batch cost drops from O(table key column) to
+  // O(candidate files). Stats are advisory — a missing sidecar or an
+  // unlisted file falls back to the full key scan, bit-identical
+  // results either way (StreamingSpec pins parity + that pruning
+  // actually bites).
+  // -----------------------------------------------------------------
+
+  /** Scan files in the last apply's touched-file discovery — exposed
+    * for the pruning spec (driver-side observability, not state). */
+  @volatile private[graft] var lastDiscoveryScanFiles: Int = -1
+
+  private def statsPath(table: String, v: Long) =
+    new org.apache.hadoop.fs.Path(f"$table/_stats/v$v%08d")
+
+  private def fsOf(s: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+
+  /** Per-file [min, max] of the integral CDC key: ONE key-column-only
+    * scan of `files`, result bounded by file count. */
+  private def computeKeyStats(s: SparkSession, files: Seq[String],
+      key: String): Map[String, (Long, Long)] =
+    if (files.isEmpty) Map.empty
+    else s.read.parquet(files: _*)
+      .select(col(key).cast(org.apache.spark.sql.types.LongType).as("__k"),
+        col("_metadata.file_path").as("__f"))
+      .groupBy("__f").agg(min(col("__k")).as("mn"), max(col("__k")).as("mx"))
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath ->
+        (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  /** Best-effort sidecar write: stats are derived data, deterministic
+    * for a version, so losing a race (or crashing before the write)
+    * only costs the next reader its pruning, never correctness. */
+  private def writeKeyStats(s: SparkSession, table: String, v: Long,
+      stats: Map[String, (Long, Long)]): Unit = {
+    val fs = fsOf(s)
+    fs.mkdirs(statsPath(table, v).getParent)
+    val body = stats.toSeq.sorted
+      .map { case (f, (mn, mx)) => s"$f\t$mn\t$mx" }.mkString("\n")
+    try {
+      val out = fs.create(statsPath(table, v), false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => () } // lost the race — fine
+  }
+
+  private def readKeyStats(s: SparkSession, table: String,
+      v: Long): Option[Map[String, (Long, Long)]] = {
+    val fs = fsOf(s); val p = statsPath(table, v)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Some(text.split("\n").filter(_.nonEmpty).map { l =>
+      val Array(f, mn, mx) = l.split("\t", 3)
+      f -> (mn.toLong, mx.toLong)
+    }.toMap)
+  }
+
+  /** Any of the sorted `keys` inside [mn, mx]? Binary search for the
+    * first key ≥ mn. */
+  private def anyKeyIn(keys: Array[Long], mn: Long, mx: Long): Boolean = {
+    var lo = 0; var hi = keys.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (keys(mid) < mn) lo = mid + 1 else hi = mid
+    }
+    lo < keys.length && keys(lo) <= mx
+  }
+
+  /** Small-batch bound for driver-side key collection: a CDC batch is
+    * small by definition; past this we fall back to the full scan
+    * rather than hold an unbounded key set on the driver. */
+  private val MaxPruneKeys = 100000L
 
   private def opName(batchId: Long) = s"cdc-batch-$batchId"
 
@@ -69,16 +165,40 @@ object CdcStream {
       val target = SnapshotLog.readAt(s, table, cur)
       val cols = target.columns
 
-      // files containing an affected key: key-column-only scan, keys
-      // broadcast; normalize _metadata.file_path (scheme-qualified) to
-      // the manifest's plain-path form driver-side — bounded by file
-      // count, the InMemoryFileIndex footprint class
-      val touched = target
-        .select(col(key), col("_metadata.file_path").as("__f"))
-        .join(broadcast(latest.select(key)), Seq(key), "left_semi")
-        .select("__f").distinct().collect()
-        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
-        .toSet
+      // files containing an affected key. With a stats sidecar the
+      // batch's (small, sorted) key set probes each file's [min, max]
+      // driver-side and only CANDIDATE files get the key-column scan;
+      // without one (or past the small-batch bound) every file does —
+      // same result, full cost. file_path is normalized
+      // (scheme-qualified → plain) driver-side; all driver state here
+      // is bounded by file count / batch keys.
+      val stats = readKeyStats(s, table, cur)
+      val batchKeys: Option[Array[Long]] =
+        if (stats.isEmpty) None
+        else {
+          val ks = latest.select(col(key).cast(
+              org.apache.spark.sql.types.LongType)).distinct()
+            .limit((MaxPruneKeys + 1).toInt).collect().map(_.getLong(0))
+          if (ks.length > MaxPruneKeys) None else Some(ks.sorted)
+        }
+      val candidates: Seq[String] = (stats, batchKeys) match {
+        case (Some(st), Some(ks)) => m.files.map(_._1).filter { f =>
+          st.get(f) match {
+            case Some((mn, mx)) => anyKeyIn(ks, mn, mx)
+            case None => true // unlisted file — cannot prune it
+          }
+        }
+        case _ => m.files.map(_._1)
+      }
+      lastDiscoveryScanFiles = candidates.size
+      val touched =
+        if (candidates.isEmpty) Set.empty[String]
+        else s.read.parquet(candidates: _*)
+          .select(col(key), col("_metadata.file_path").as("__f"))
+          .join(broadcast(latest.select(key)), Seq(key), "left_semi")
+          .select("__f").distinct().collect()
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+          .toSet
       val (touchedFiles, untouched) = m.files.partition(f => touched(f._1))
 
       // rewrite only the touched files: survivors (anti-join the
@@ -98,8 +218,22 @@ object CdcStream {
       val dir = s"$table/data/${opName(batchId)}"
       rewritten.repartition(math.max(1, touchedFiles.size))
         .write.mode("overwrite").parquet(dir)
-      SnapshotLog.commit(s, table, opName(batchId),
-        untouched ++ SnapshotLog.dataFiles(s, dir), Some(cur))
+      val newFiles = SnapshotLog.dataFiles(s, dir)
+      val v = SnapshotLog.commit(s, table, opName(batchId),
+        untouched ++ newFiles, Some(cur))
+      // incremental stats-on-commit: untouched files carry their old
+      // ranges, only the freshly-written files are scanned — O(touched)
+      // per batch. Healing path: with no prior sidecar, one full scan
+      // seeds stats so every later batch prunes.
+      val carried = stats.map(_.filter { case (f, _) =>
+        untouched.exists(_._1 == f) })
+      val newStats = carried match {
+        case Some(old) => old ++ computeKeyStats(s, newFiles.map(_._1), key)
+        case None => computeKeyStats(s,
+          (untouched ++ newFiles).map(_._1), key)
+      }
+      writeKeyStats(s, table, v, newStats)
+      v
     } finally latest.unpersist()
   }
 

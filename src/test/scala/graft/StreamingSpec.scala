@@ -378,4 +378,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() === Tables.orders(s, d).count())
     assert(got.filter(col("o_orderpriority") === "T-TOUCH").count() === 5L)
   }
+
+  test("CDC key-range stats prune touched-file discovery; results are " +
+      "identical to the statless full-scan path") {
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val tA = java.nio.file.Files.createTempDirectory("graft_cdc_stats").toString
+    val tB = java.nio.file.Files.createTempDirectory("graft_cdc_nostats").toString
+    // A: seeded WITH the key → range-clustered layout + stats sidecar
+    CdcStream.seedTarget(s, tA, Tables.orders(s, d), "o_orderkey")
+    // B: statless control over the SAME range-clustered layout
+    val base = s"$tB/data/base"
+    Tables.orders(s, d).repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(base)
+    SnapshotLog.commit(s, tB, "base-load",
+      SnapshotLog.dataFiles(s, base), Some(0L))
+    // a range-local batch: the 5 smallest keys live in one range file
+    val lowKeys = Tables.orders(s, d).orderBy("o_orderkey").limit(5)
+      .withColumn("op", lit("U")).withColumn("ts", lit(1))
+      .withColumn("o_orderpriority", lit("P-PRUNE"))
+    CdcStream.applyBatch(s, tA, lowKeys, 0L, "o_orderkey")
+    val pruned = CdcStream.lastDiscoveryScanFiles
+    CdcStream.applyBatch(s, tB, lowKeys, 0L, "o_orderkey")
+    val full = CdcStream.lastDiscoveryScanFiles
+    assert(full === 4, s"statless path should scan all 4 files, scanned $full")
+    assert(pruned < full && pruned >= 1,
+      s"stats failed to prune: scanned $pruned of $full files")
+    // bit-identical outcomes either way
+    def state(t: String) = SnapshotLog
+      .readAt(s, t, SnapshotLog.currentVersion(s, t))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(state(tA) === state(tB))
+    // and the sidecar carried forward: the NEXT batch on the statless
+    // table prunes too (the healing path wrote stats at its commit)
+    val low2 = Tables.orders(s, d).orderBy("o_orderkey").limit(3)
+      .withColumn("op", lit("U")).withColumn("ts", lit(2))
+      .withColumn("o_orderpriority", lit("P-HEAL"))
+    CdcStream.applyBatch(s, tB, low2, 1L, "o_orderkey")
+    assert(CdcStream.lastDiscoveryScanFiles < 4,
+      "healed stats did not prune the follow-up batch")
+  }
 }
