@@ -76,7 +76,14 @@ object Bench {
     // round-9: s07 drew 3.51 s in the new sim_b family vs 1.76-2.11 s
     // fresh-JVM solo (2.0×) — per-subspace codebook training + ADC +
     // re-rank is the sim side's codegen-heaviest plan, the q51 class
-    "s07_pq_topk")
+    "s07_pq_topk",
+    // round-10 session 2 (gen-sf1 full-surface sweep): s13 drew
+    // 72.7 s in-family vs 6.5-7.0 s fresh-JVM solo (11×) — it re-runs
+    // the WHOLE s12 graph pipeline plus a 50-probe exact scan, the
+    // d09 two-pipelines class; d16 drew 34.9 s in dedup_b vs
+    // 2.4-2.6 s solo (14×) — it runs the full d04 gram pipeline like
+    // d04/d10/c12, which are all soloists for the same reason
+    "s13_knn_graph_recall", "d16_containment")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name
@@ -90,10 +97,12 @@ object Bench {
       val num = name.drop(1).takeWhile(_.isDigit)
       if (num.nonEmpty && num.toInt <= 4) "dedup_a" else "dedup_b"
     } else if (prefix == "s") {
-      // sim grew past the ≤5-plan stability bar with s07-s10 (PQ, PCA):
-      // split like dedup/corpus/text
+      // sim grew past the ≤5-plan stability bar with s07-s10 (PQ, PCA)
+      // and again with s11-s15 (filtered/knn/radius/maxsim): three-way
+      // split like corpus/text (s07/s13 never reach here — Soloists)
       val num = name.drop(1).takeWhile(_.isDigit)
-      if (num.nonEmpty && num.toInt <= 5) "sim_a" else "sim_b"
+      if (num.nonEmpty && num.toInt <= 5) "sim_a"
+      else if (num.nonEmpty && num.toInt <= 10) "sim_b" else "sim_c"
     }
     else if (prefix == "c") {
       // corpus grew past the ≤5-plan stability bar (round-3 finding
