@@ -221,10 +221,27 @@ object SnapshotLog {
   def expire(s: SparkSession, table: String, keepLast: Int): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val fs = fsOf(s)
-    val cur = currentVersion(s, table)
-    val cutoff = cur - keepLast + 1 // retain [cutoff, cur]
-    val retained = (cutoff to cur)
-      .flatMap(v => readManifest(s, table, v)).flatMap(_.files.map(_._1)).toSet
+    // Concurrent-committer guard: a writer landing v(cur+1) AFTER the
+    // retained set was computed may re-reference pre-cutoff files
+    // (commit() permits a restore-to-v1), which deletion would then
+    // pull out from under a just-committed LIVE snapshot. Re-read the
+    // current version and recompute until it is stable — any commit
+    // that lands during the computation is folded into the retained
+    // set before anything is deleted. A writer landing BETWEEN the
+    // stability check and the deletes below remains exposed: like
+    // [[orphanFiles]], run expire with no writer in flight (production
+    // systems add an age threshold for exactly this race).
+    var cur = currentVersion(s, table)
+    var cutoff = 0L
+    var retained = Set.empty[String]
+    var stable = false
+    while (!stable) {
+      cutoff = cur - keepLast + 1 // retain [cutoff, cur]
+      retained = (cutoff to cur)
+        .flatMap(v => readManifest(s, table, v)).flatMap(_.files.map(_._1)).toSet
+      val recheck = currentVersion(s, table)
+      if (recheck == cur) stable = true else cur = recheck
+    }
     val expired = (1L until cutoff)
       .flatMap(v => readManifest(s, table, v).map(v -> _))
     val doomed = expired.flatMap(_._2.files.map(_._1)).distinct
@@ -234,7 +251,13 @@ object SnapshotLog {
     // parses but readAt fails loudly, and a re-run completes the
     // deletion; the reverse order would leak the files forever
     doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
-    expired.foreach { case (v, _) => fs.delete(vPath(table, v), false) }
+    expired.foreach { case (v, _) =>
+      fs.delete(vPath(table, v), false)
+      // version-keyed sidecars follow their manifest's lifecycle:
+      // the CDC layer writes per-version key-range stats under
+      // `_stats/vNNNNNNNN`, which would otherwise accumulate forever
+      fs.delete(new org.apache.hadoop.fs.Path(f"$table/_stats/v$v%08d"), false)
+    }
     (expired.map(_._1), doomed)
   }
 

@@ -98,30 +98,56 @@ object CdcStream {
 
   /** Best-effort sidecar write: stats are derived data, deterministic
     * for a version, so losing a race (or crashing before the write)
-    * only costs the next reader its pruning, never correctness. */
+    * only costs the next reader its pruning, never correctness.
+    * Torn-write-proof the same two ways the manifest is: the body is
+    * staged to a temp path and RENAMED into place (a crash mid-write
+    * leaves only the temp file), and a trailing `end` sentinel guards
+    * filesystems whose rename is not atomic — a reader that sees no
+    * sentinel discards the sidecar. Without this, a numerically
+    * truncated last line (max 9567 → 95) would parse as a
+    * valid-but-inverted range and silently prune a file that DOES
+    * contain affected keys — stale row versions surviving a CDC
+    * apply, the one failure mode "advisory" stats must not have. */
   private def writeKeyStats(s: SparkSession, table: String, v: Long,
       stats: Map[String, (Long, Long)]): Unit = {
     val fs = fsOf(s)
-    fs.mkdirs(statsPath(table, v).getParent)
-    val body = stats.toSeq.sorted
-      .map { case (f, (mn, mx)) => s"$f\t$mn\t$mx" }.mkString("\n")
+    val dst = statsPath(table, v)
+    fs.mkdirs(dst.getParent)
+    val body = (stats.toSeq.sorted
+      .map { case (f, (mn, mx)) => s"$f\t$mn\t$mx" } :+ "end").mkString("\n")
     try {
-      val out = fs.create(statsPath(table, v), false)
+      val tmp = new org.apache.hadoop.fs.Path(
+        dst.getParent, s".${dst.getName}.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-    } catch { case _: java.io.IOException => () } // lost the race — fine
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, false) // lost the race — fine
+    } catch { case _: java.io.IOException => () }
   }
 
+  /** None on any malformation — absent file, missing `end` sentinel,
+    * short/garbled line, or an inverted [mn > mx] range: the caller
+    * falls back to the full key scan, which is always correct. A
+    * malformed sidecar must never throw either (the old MatchError
+    * path failed every retry of the batch until the file was removed
+    * by hand). */
   private def readKeyStats(s: SparkSession, table: String,
       v: Long): Option[Map[String, (Long, Long)]] = {
     val fs = fsOf(s); val p = statsPath(table, v)
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    Some(text.split("\n").filter(_.nonEmpty).map { l =>
-      val Array(f, mn, mx) = l.split("\t", 3)
-      f -> (mn.toLong, mx.toLong)
-    }.toMap)
+    scala.util.Try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n").filter(_.nonEmpty)
+      require(lines.lastOption.contains("end"), "no end sentinel")
+      lines.dropRight(1).map { l =>
+        val parts = l.split("\t", 3)
+        require(parts.length == 3, s"short stats line: $l")
+        val (mn, mx) = (parts(1).toLong, parts(2).toLong)
+        require(mn <= mx, s"inverted range: $l")
+        parts(0) -> (mn, mx)
+      }.toMap
+    }.toOption
   }
 
   /** Any of the sorted `keys` inside [mn, mx]? Binary search for the
@@ -142,20 +168,97 @@ object CdcStream {
 
   private def opName(batchId: Long) = s"cdc-batch-$batchId"
 
-  /** Op strings of every committed snapshot — bounded by version count
-    * (metadata, not data; same class as the manifest read itself). */
-  private def committedOps(s: SparkSession, table: String): Set[String] =
-    (1L to SnapshotLog.currentVersion(s, table)).flatMap(v =>
-      SnapshotLog.readManifest(s, table, v).map(_.op)).toSet
+  // -----------------------------------------------------------------
+  // Transaction sidecar — the Delta `txn` (appId, version) pattern.
+  // `$table/_txn/last` records the highest APPLIED batchId and the
+  // snapshot version that commit landed as, replaced atomically
+  // (temp + rename, `end` sentinel) after every successful apply.
+  // Structured Streaming batchIds are monotonic per checkpoint, so
+  // "already applied" is ONE sidecar read: batchId <= lastApplied.
+  // The round-10 probe instead re-parsed EVERY manifest (1..current)
+  // per micro-batch — O(table history) metadata reads that a
+  // long-lived CDC table (10^5 commits) pays on every batch, and
+  // which silently broke once expire() deleted an old cdc-batch-N
+  // manifest. The sidecar lives OUTSIDE `_log`, so expire never
+  // touches it; the only manifests ever probed are the handful newer
+  // than the sidecar's version (the crash-window heal below), which
+  // are exactly the ones expire retains.
+  // -----------------------------------------------------------------
+
+  /** Manifest reads spent by the last idempotence probe — exposed for
+    * the O(1) spec (observability, not state). */
+  @volatile private[graft] var lastIdempotenceManifestReads: Int = -1
+
+  private def txnPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"$table/_txn/last")
+
+  private def readTxn(s: SparkSession, table: String): Option[(Long, Long)] = {
+    val fs = fsOf(s); val p = txnPath(table)
+    if (!fs.exists(p)) return None
+    scala.util.Try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n").filter(_.nonEmpty)
+      require(lines.length == 2 && lines(1) == "end", "torn txn sidecar")
+      val Array(id, ver) = lines(0).split("\t", 2)
+      (id.toLong, ver.toLong)
+    }.toOption
+  }
+
+  private def writeTxn(s: SparkSession, table: String, batchId: Long,
+      v: Long): Unit = {
+    val fs = fsOf(s)
+    val dst = txnPath(table)
+    fs.mkdirs(dst.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dst.getParent, s".last.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$batchId\t$v\nend".getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+  }
+
+  /** Already applied? O(1) in steady state: one sidecar read. The
+    * crash window (commit landed, sidecar write lost) is healed by
+    * probing ONLY the manifests newer than the sidecar's version —
+    * normally zero of them, a handful if compactors committed in
+    * between. A missing/torn sidecar degrades to the full-history
+    * probe (legacy tables, first batch), never to a wrong answer. */
+  private def alreadyApplied(s: SparkSession, table: String,
+      batchId: Long): Boolean = {
+    readTxn(s, table) match {
+      case Some((lastId, lastVer)) =>
+        if (batchId <= lastId) { lastIdempotenceManifestReads = 0; true }
+        else {
+          val cur = SnapshotLog.currentVersion(s, table)
+          val probed = (lastVer + 1) to cur
+          lastIdempotenceManifestReads = probed.size
+          val hit = probed.find(v => SnapshotLog.readManifest(s, table, v)
+            .exists(_.op == opName(batchId)))
+          hit.foreach(v => writeTxn(s, table, batchId, v)) // heal
+          hit.isDefined
+        }
+      case None =>
+        val cur = SnapshotLog.currentVersion(s, table)
+        lastIdempotenceManifestReads = cur.toInt
+        val hit = (1L to cur).find(v => SnapshotLog.readManifest(s, table, v)
+          .exists(_.op == opName(batchId)))
+        hit.foreach(v => writeTxn(s, table, batchId, v)) // heal
+        hit.isDefined
+    }
+  }
 
   /** Apply one CDC micro-batch to the snapshot table. Idempotent on
-    * `batchId`: a replayed batch (restart after a crash between the
-    * sink commit and the checkpoint commit) is detected by its op
-    * string and skipped. Returns the committed version, or -1 when
-    * the batch was already applied or empty. */
+    * `batchId` (monotonic per Structured Streaming checkpoint — the
+    * Delta txn contract): a replayed batch (restart after a crash
+    * between the sink commit and the checkpoint commit) is detected
+    * by the txn sidecar — O(1) reads regardless of table history —
+    * and skipped. Returns the committed version, or -1 when the
+    * batch was already applied or empty. */
   def applyBatch(s: SparkSession, table: String, batch: DataFrame,
       batchId: Long, key: String): Long = {
-    if (committedOps(s, table).contains(opName(batchId))) return -1L
+    if (alreadyApplied(s, table, batchId)) return -1L
     val latest = Upsert.latestOps(batch, key).cache()
     try {
       if (latest.isEmpty) return -1L
@@ -172,14 +275,26 @@ object CdcStream {
       // same result, full cost. file_path is normalized
       // (scheme-qualified → plain) driver-side; all driver state here
       // is bounded by file count / batch keys.
+      // null keys are excluded from the probe set by construction:
+      // they never join (semi/anti joins on NULL match nothing), so no
+      // file "contains" them for discovery purposes — a null-key
+      // insert simply appends. A key value the Long cast CANNOT
+      // represent (cast → null on a non-null key) means the range
+      // probe is meaningless: fall back to the full scan instead of
+      // silently mis-pruning (the old path NPE'd on getLong).
       val stats = readKeyStats(s, table, cur)
       val batchKeys: Option[Array[Long]] =
         if (stats.isEmpty) None
         else {
-          val ks = latest.select(col(key).cast(
+          val rows = latest.where(col(key).isNotNull)
+            .select(col(key).cast(
               org.apache.spark.sql.types.LongType)).distinct()
-            .limit((MaxPruneKeys + 1).toInt).collect().map(_.getLong(0))
-          if (ks.length > MaxPruneKeys) None else Some(ks.sorted)
+            .limit((MaxPruneKeys + 1).toInt).collect()
+          if (rows.exists(_.isNullAt(0))) None // non-castable key values
+          else {
+            val ks = rows.map(_.getLong(0))
+            if (ks.length > MaxPruneKeys) None else Some(ks.sorted)
+          }
         }
       val candidates: Seq[String] = (stats, batchKeys) match {
         case (Some(st), Some(ks)) => m.files.map(_._1).filter { f =>
@@ -221,12 +336,17 @@ object CdcStream {
       val newFiles = SnapshotLog.dataFiles(s, dir)
       val v = SnapshotLog.commit(s, table, opName(batchId),
         untouched ++ newFiles, Some(cur))
+      // record the applied batchId IMMEDIATELY after the commit (the
+      // idempotence guard); stats below are advisory and can wait
+      writeTxn(s, table, batchId, v)
       // incremental stats-on-commit: untouched files carry their old
       // ranges, only the freshly-written files are scanned — O(touched)
       // per batch. Healing path: with no prior sidecar, one full scan
-      // seeds stats so every later batch prunes.
-      val carried = stats.map(_.filter { case (f, _) =>
-        untouched.exists(_._1 == f) })
+      // seeds stats so every later batch prunes. Set membership, not
+      // a linear scan per entry: at ~100k files the quadratic form
+      // was ~10^10 driver comparisons per micro-batch.
+      val untouchedSet = untouched.iterator.map(_._1).toSet
+      val carried = stats.map(_.filter { case (f, _) => untouchedSet(f) })
       val newStats = carried match {
         case Some(old) => old ++ computeKeyStats(s, newFiles.map(_._1), key)
         case None => computeKeyStats(s,

@@ -418,4 +418,119 @@ class StreamingSpec extends AnyFunSuite {
     assert(CdcStream.lastDiscoveryScanFiles < 4,
       "healed stats did not prune the follow-up batch")
   }
+
+  private def cdcTouch(i: Int, ts: Int) =
+    Tables.orders(s, d).orderBy("o_orderkey").limit(3)
+      .withColumn("op", lit("U")).withColumn("ts", lit(ts))
+      .withColumn("o_orderpriority", lit(s"B-$i"))
+
+  test("batchId idempotence probe is O(1) manifest reads and survives " +
+      "snapshot expiry (which also reclaims stats sidecars)") {
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val table = java.nio.file.Files.createTempDirectory("graft_cdc_txn").toString
+    CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+    assert(CdcStream.applyBatch(s, table, cdcTouch(0, 1), 0L, "o_orderkey") === 2L)
+    assert(CdcStream.applyBatch(s, table, cdcTouch(1, 2), 1L, "o_orderkey") === 3L)
+    // steady state: the probe reads ZERO manifests — the txn sidecar
+    // answers alone, regardless of how long the table history grows
+    assert(CdcStream.applyBatch(s, table, cdcTouch(2, 3), 2L, "o_orderkey") === 4L)
+    assert(CdcStream.lastIdempotenceManifestReads === 0,
+      s"fresh batch probe read ${CdcStream.lastIdempotenceManifestReads} manifests")
+    assert(CdcStream.applyBatch(s, table, cdcTouch(0, 1), 0L, "o_orderkey") === -1L,
+      "replayed batch was applied twice")
+    assert(CdcStream.lastIdempotenceManifestReads === 0,
+      s"replay probe read ${CdcStream.lastIdempotenceManifestReads} manifests")
+    // expiring history must NOT break the replay guard (the manifest-
+    // op-string probe silently did: the expired cdc-batch-0 manifest
+    // took the evidence with it) and must reclaim the expired
+    // versions' _stats sidecars
+    SnapshotLog.expire(s, table, keepLast = 1)
+    assert(CdcStream.applyBatch(s, table, cdcTouch(0, 1), 0L, "o_orderkey") === -1L,
+      "replayed batch re-applied after expire")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(s"$table/_stats"))
+      .map(_.getPath.getName).toSet
+    assert(live === Set("v00000004"), s"expired stats sidecars linger: $live")
+  }
+
+  test("crash-window heal: commit landed but the txn sidecar write was lost") {
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val table = java.nio.file.Files.createTempDirectory("graft_cdc_heal").toString
+    CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+    assert(CdcStream.applyBatch(s, table, cdcTouch(0, 1), 0L, "o_orderkey") === 2L)
+    assert(CdcStream.applyBatch(s, table, cdcTouch(1, 2), 1L, "o_orderkey") === 3L)
+    // simulate the crash: rewind the sidecar to batch 0's state (as if
+    // batch 1's commit landed but the process died before writeTxn)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val txn = new org.apache.hadoop.fs.Path(s"$table/_txn/last")
+    fs.delete(txn, false)
+    val out = fs.create(txn, true)
+    try out.write("0\t2\nend".getBytes("UTF-8")) finally out.close()
+    // the replay of batch 1 probes ONLY the manifests newer than the
+    // sidecar's version (v3 — one read), finds its op, and skips
+    assert(CdcStream.applyBatch(s, table, cdcTouch(1, 2), 1L, "o_orderkey") === -1L)
+    assert(CdcStream.lastIdempotenceManifestReads === 1,
+      s"heal probe read ${CdcStream.lastIdempotenceManifestReads} manifests, wanted 1")
+    // and the probe healed the sidecar: the next replay is O(0) again
+    assert(CdcStream.applyBatch(s, table, cdcTouch(1, 2), 1L, "o_orderkey") === -1L)
+    assert(CdcStream.lastIdempotenceManifestReads === 0)
+  }
+
+  test("malformed stats sidecar (inverted range / no sentinel) falls back " +
+      "to the full scan with exact results — never a silent mis-prune") {
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val table = java.nio.file.Files.createTempDirectory("graft_cdc_torn").toString
+    CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+    // clobber the v1 sidecar with the torn-write signature: a
+    // numerically truncated max that parses as an INVERTED range under
+    // a naive reader (9567 → 95) and would wrongly prune every file
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$table/_stats/v00000001")
+    fs.delete(p, false)
+    val out = fs.create(p, true)
+    try out.write("some/file.parquet\t9567\t95\nend".getBytes("UTF-8"))
+    finally out.close()
+    val lowKeys = Tables.orders(s, d).orderBy("o_orderkey").limit(5)
+      .withColumn("op", lit("U")).withColumn("ts", lit(1))
+      .withColumn("o_orderpriority", lit("T-TORN"))
+    assert(CdcStream.applyBatch(s, table, lowKeys, 0L, "o_orderkey") === 2L)
+    assert(CdcStream.lastDiscoveryScanFiles === 4,
+      "malformed sidecar did not fall back to the full scan")
+    val got = SnapshotLog.readAt(s, table, 2L)
+    assert(got.count() === Tables.orders(s, d).count())
+    assert(got.filter(col("o_orderpriority") === "T-TORN").count() === 5L)
+  }
+
+  test("CDC batch with null keys applies cleanly and keeps pruning") {
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val table = java.nio.file.Files.createTempDirectory("graft_cdc_null").toString
+    CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+    val updates = Tables.orders(s, d).orderBy("o_orderkey").limit(2)
+      .withColumn("op", lit("U")).withColumn("ts", lit(1))
+      .withColumn("o_orderpriority", lit("N-UPD"))
+    val nullIns = Tables.orders(s, d).limit(1)
+      .withColumn("o_orderkey",
+        lit(null).cast(org.apache.spark.sql.types.LongType))
+      .withColumn("op", lit("I")).withColumn("ts", lit(1))
+      .withColumn("o_orderpriority", lit("N-NULL"))
+    val v = CdcStream.applyBatch(s, table,
+      updates.unionByName(nullIns), 0L, "o_orderkey")
+    assert(v === 2L)
+    // null keys join nothing: the insert appends, the updates land,
+    // and the stats path neither NPEs nor loses its pruning (nulls
+    // are excluded from the probe set, not poisoning it)
+    assert(CdcStream.lastDiscoveryScanFiles < 4,
+      "null key in the batch disabled stats pruning")
+    val got = SnapshotLog.readAt(s, table, 2L)
+    assert(got.count() === Tables.orders(s, d).count() + 1)
+    assert(got.filter(col("o_orderpriority") === "N-UPD").count() === 2L)
+    assert(got.filter(col("o_orderkey").isNull).count() === 1L)
+  }
 }
