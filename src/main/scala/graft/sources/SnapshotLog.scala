@@ -66,22 +66,98 @@ object SnapshotLog {
   private def vPath(table: String, v: Long) =
     new org.apache.hadoop.fs.Path(f"${logDir(table)}/v$v%08d")
 
+  // -----------------------------------------------------------------
+  // Version discovery — the Delta `_last_checkpoint` pattern.
+  //
+  // A manifest here is already SELF-CONTAINED (it names the full file
+  // list, not a delta of actions), so the log-replay problem Delta's
+  // checkpoint parquet solves does not arise: readAt is one manifest
+  // read at any history length. What WAS O(versions) is discovery —
+  // finding the current version listed the whole `_log` directory on
+  // every commit attempt, every CDC probe, every fixture check; at
+  // 10^5 commits that is a 10^5-entry listing per call against an
+  // object store. `_log/_last_checkpoint` pins a recently-committed
+  // version; discovery verifies it and probes FORWARD (existence
+  // checks) to catch commits that landed after the pointer was
+  // written — O(commits since the pointer) instead of O(history).
+  // The pointer is advisory: missing, torn, or stale-past-expiry
+  // pointers fall back to the full listing, which remains the
+  // correctness anchor (SnapshotLogSpec pins agreement + read counts).
+  // -----------------------------------------------------------------
+
+  /** Manifest reads spent by the last [[currentVersion]] call, and
+    * whether it fell back to the directory listing — exposed for the
+    * discovery-cost spec (observability, not state). */
+  @volatile private[graft] var lastVersionDiscoveryReads: Int = -1
+  @volatile private[graft] var lastVersionDiscoveryListed: Boolean = false
+
+  private def ckptPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"${logDir(table)}/_last_checkpoint")
+
+  private def readCkptHint(s: SparkSession, table: String): Option[Long] = {
+    val fs = fsOf(s); val p = ckptPath(table)
+    if (!fs.exists(p)) return None
+    scala.util.Try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n").filter(_.nonEmpty)
+      require(lines.length == 2 && lines(1) == "end", "torn checkpoint pointer")
+      lines(0).toLong
+    }.toOption
+  }
+
+  /** Best-effort pointer update (temp + rename; a loss or crash only
+    * costs the next reader its shortcut, never correctness). A stale
+    * CONCURRENT update landing after ours is equally fine — forward
+    * probing absorbs any lag. */
+  private def writeCkptHint(s: SparkSession, table: String, v: Long): Unit =
+    try {
+      val fs = fsOf(s)
+      val dst = ckptPath(table)
+      val tmp = new org.apache.hadoop.fs.Path(
+        dst.getParent, s"._last_checkpoint.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, false)
+      try out.write(s"$v\nend".getBytes("UTF-8")) finally out.close()
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+    } catch { case _: java.io.IOException => () }
+
   /** Highest version with a VALID (end-sentinel-complete) manifest;
     * 0 when the table has no committed snapshot. Torn or garbage
     * version files are skipped — they are in-flight or failed
     * commits, not table state.
     *
-    * Probes version numbers DESCENDING and returns the first valid
-    * manifest: one directory listing plus — normally — ONE manifest
-    * read, instead of parsing the whole log (which made every
-    * `commit` attempt O(versions) manifest reads; a long-lived table
-    * accumulates thousands). Semantics are identical: first-valid-
-    * from-the-top ≡ max-over-valid. The remaining O(listing) is what
-    * production formats amortize with a checkpoint file (Delta's
-    * `_last_checkpoint`) — the next step if version counts ever make
-    * the listing itself the bottleneck. */
+    * Fast path: verify the `_last_checkpoint` hint, then probe
+    * forward (file-existence checks; squatter files are stepped over,
+    * validity tracked separately) until the numbering runs out — no
+    * directory listing, O(commits since the pointer) manifest reads.
+    * Fallback (no/torn/expired-past pointer): list `_log` and probe
+    * version numbers DESCENDING, returning the first valid manifest
+    * (first-valid-from-the-top ≡ max-over-valid). */
   def currentVersion(s: SparkSession, table: String): Long = {
     val fs = fsOf(s)
+    readCkptHint(s, table) match {
+      case Some(h) if readManifest(s, table, h).isDefined =>
+        var reads = 1
+        var best = h
+        var probe = h + 1
+        while (fs.exists(vPath(table, probe))) {
+          reads += 1
+          if (readManifest(s, table, probe).isDefined) best = probe
+          probe += 1
+        }
+        lastVersionDiscoveryReads = reads
+        lastVersionDiscoveryListed = false
+        best
+      case _ => currentVersionByListing(s, table)
+    }
+  }
+
+  private[graft] def currentVersionByListing(s: SparkSession, table: String): Long = {
+    val fs = fsOf(s)
+    lastVersionDiscoveryListed = true
+    lastVersionDiscoveryReads = 0
     val dir = new org.apache.hadoop.fs.Path(logDir(table))
     if (!fs.exists(dir)) return 0L
     fs.listStatus(dir).iterator
@@ -89,7 +165,10 @@ object SnapshotLog {
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong)
       .toArray.sorted(Ordering[Long].reverse)
-      .find(v => readManifest(s, table, v).isDefined)
+      .find { v =>
+        lastVersionDiscoveryReads += 1
+        readManifest(s, table, v).isDefined
+      }
       .getOrElse(0L)
   }
 
@@ -178,6 +257,7 @@ object SnapshotLog {
       val m = Manifest(attempt, attempt - 1, op, files)
       try {
         publishAtomic(s, vPath(table, attempt), render(m))
+        writeCkptHint(s, table, attempt) // advisory; loss = no shortcut
         return attempt
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |
@@ -258,6 +338,10 @@ object SnapshotLog {
       // `_stats/vNNNNNNNN`, which would otherwise accumulate forever
       fs.delete(new org.apache.hadoop.fs.Path(f"$table/_stats/v$v%08d"), false)
     }
+    // re-anchor the discovery pointer: a pointer left below the
+    // cutoff would miss (expired manifest) and cost readers the
+    // listing fallback until the next commit
+    if (expired.nonEmpty) writeCkptHint(s, table, cur)
     (expired.map(_._1), doomed)
   }
 
@@ -580,7 +664,58 @@ object SnapshotLog {
     table
   }
 
+  /** i22 fixture: a LONG log — base load then ten single-shard
+    * appends (12 reachable versions incl. the implicit v0) — the
+    * shape where discovery cost shows: every commit k appends the
+    * deterministic %131 slice re-priced by +k. Idempotent and
+    * crash-resumable via the log like the other fixtures. */
+  def checkpointedOrdersTable(s: SparkSession, d: String): String = synchronized {
+    val table = stamped(s, d) + "_ckp"
+    if (currentVersion(s, table) == 0L) {
+      val base = s"$table/data/base"
+      Tables.orders(s, d).repartition(4)
+        .write.mode("overwrite").parquet(base)
+      try commit(s, table, "base-load", dataFiles(s, base), Some(0L))
+      catch { case _: SnapshotConflict => () }
+    }
+    var v = currentVersion(s, table)
+    while (v < 11L) {
+      val k = v // shard k lands as version k+1
+      val shard = s"$table/data/shard$k"
+      Tables.orders(s, d).filter(col("o_orderkey") % 131 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(k.toDouble))
+        .repartition(1).write.mode("overwrite").parquet(shard)
+      val prev = readManifest(s, table, v).get
+      try commit(s, table, s"append-$k",
+        prev.files ++ dataFiles(s, shard), Some(v))
+      catch { case _: SnapshotConflict => () }
+      v = currentVersion(s, table)
+    }
+    table
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // i22: CHECKPOINTED DISCOVERY — on a 11-commit log, finding the
+    // current version through the `_last_checkpoint` pointer must (a)
+    // agree exactly with the listing-based discovery, (b) cost O(1)
+    // manifest reads (pointer current → 1 read + 1 existence miss)
+    // with NO directory listing, and (c) read bit-identical content.
+    // The rollup is over the pointer-discovered snapshot; ckpt_ok
+    // pins the structural facts. At 100 TB this is the difference
+    // between one GET and a 10^5-entry LIST per plan — on object
+    // stores the listing is the slowest, most throttled call in the
+    // metadata path (why Delta ships `_last_checkpoint`).
+    "i22_checkpointed_log" -> ((s, d) => {
+      val table = checkpointedOrdersTable(s, d)
+      val viaCkpt = currentVersion(s, table)
+      val reads = lastVersionDiscoveryReads
+      val listed = lastVersionDiscoveryListed
+      val viaListing = currentVersionByListing(s, table)
+      val ok = !listed && reads <= 2 && viaCkpt == viaListing &&
+        viaCkpt == 11L
+      statusRollup(readAt(s, table, viaCkpt))
+        .withColumn("ckpt_ok", lit(if (ok) 1L else 0L))
+    }),
     // i13: TIME TRAVEL — read AS OF v1 after v2 exists. The oracle is
     // the plain source table: if the reader planned from a directory
     // listing (or any file v1's manifest doesn't name), the poison
@@ -739,6 +874,25 @@ object SnapshotLog {
   )
 
   val oracle: Map[String, String] = Map(
+    // i22: base + ten re-priced %131 shards, replayed with a
+    // generator instead of ten UNION ALL arms; ckpt_ok is the pinned
+    // structural constant (pointer path agreed with listing at O(1)
+    // reads)
+    "i22_checkpointed_log" -> """
+      WITH ks AS (SELECT unnest(range(1, 11)) AS k),
+      shards AS (
+        SELECT o_orderstatus, o_totalprice + k AS o_totalprice
+        FROM orders CROSS JOIN ks
+        WHERE o_orderkey % 131 = 0),
+      all_rows AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM shards)
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(1 AS BIGINT) AS ckpt_ok
+      FROM all_rows GROUP BY 1 ORDER BY 1""",
+
     "i13_time_travel" -> """
       SELECT o_orderstatus, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue

@@ -279,4 +279,56 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(joined === expected,
       "poison shards failed to join — the catalog let table versions diverge")
   }
+
+  test("checkpoint pointer: discovery is O(1) manifest reads on a long log, " +
+      "agrees with the listing, and every fallback path stays correct") {
+    val table = freshTable()
+    (0 until 6).foreach(tag => seed(table, tag))
+    // fast path: pointer current after the last commit → exactly ONE
+    // manifest read (verify the hint) + one existence miss, no listing
+    assert(SnapshotLog.currentVersion(s, table) === 6L)
+    assert(!SnapshotLog.lastVersionDiscoveryListed,
+      "pointer path fell back to the directory listing")
+    assert(SnapshotLog.lastVersionDiscoveryReads === 1,
+      s"discovery read ${SnapshotLog.lastVersionDiscoveryReads} manifests, wanted 1")
+    assert(SnapshotLog.currentVersionByListing(s, table) === 6L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(s"$table/_log/_last_checkpoint")
+    // stale pointer (commits landed after it): forward probe catches up
+    val out1 = fs.create(ptr, true)
+    try out1.write("3\nend".getBytes("UTF-8")) finally out1.close()
+    assert(SnapshotLog.currentVersion(s, table) === 6L,
+      "stale pointer was not probed forward")
+    assert(!SnapshotLog.lastVersionDiscoveryListed)
+    // torn pointer: fall back to the listing, same answer
+    val out2 = fs.create(ptr, true)
+    try out2.write("6".getBytes("UTF-8")) finally out2.close()
+    assert(SnapshotLog.currentVersion(s, table) === 6L)
+    assert(SnapshotLog.lastVersionDiscoveryListed,
+      "torn pointer did not fall back to the listing")
+    // missing pointer: listing fallback again
+    fs.delete(ptr, false)
+    assert(SnapshotLog.currentVersion(s, table) === 6L)
+    assert(SnapshotLog.lastVersionDiscoveryListed)
+    // next commit restores the fast path
+    seed(table, 6)
+    assert(SnapshotLog.currentVersion(s, table) === 7L)
+    assert(!SnapshotLog.lastVersionDiscoveryListed)
+    assert(SnapshotLog.lastVersionDiscoveryReads === 1)
+  }
+
+  test("checkpoint pointer: expire re-anchors it (a pointer at an expired " +
+      "version would miss); discovery stays fast and exact") {
+    val table = freshTable()
+    (0 until 5).foreach(tag => seed(table, tag))
+    SnapshotLog.expire(s, table, keepLast = 2) // retains v4, v5
+    assert(SnapshotLog.currentVersion(s, table) === 5L)
+    assert(!SnapshotLog.lastVersionDiscoveryListed,
+      "pointer was not re-anchored after expire")
+    assert(SnapshotLog.lastVersionDiscoveryReads === 1)
+    // and the content at the surviving versions is untouched
+    assert(SnapshotLog.readAt(s, table, 5L).count() ===
+      Tables.orders(s, d).filter(col("o_orderkey") % 7 === 4).count())
+  }
 }
