@@ -524,6 +524,69 @@ object Corpus {
     // global but a 1-row reduce; at 100 TB the prior table is
     // domain-count-sized, the natural broadcast side for the
     // filtering join that consumes it.
+    // c18: TEMPERATURE-SCALED SOURCE MIXING — the domain/language
+    // re-balancing op every multilingual/multi-domain pretraining
+    // pipeline runs between c13's mixture accounting and c09's
+    // ordering (the XLM-R / mC4 exponential-smoothing recipe): sample
+    // source s with weight n_s^α / Σ n^α, α = 0.3 — low-resource
+    // sources get up-weighted relative to their natural share,
+    // high-resource ones damped. Determinism contract (everything
+    // replayable cross-engine):
+    //   - the fixture's sources are uniform, so the working set is
+    //     skewed by a deterministic rule on the per-source sequence
+    //     number (doc_id div 20 — doc_id mod anything is CONSTANT
+    //     per source here, sources being doc_id % 20);
+    //   - Σ n^α is an ORDERED pairwise sum (window over the
+    //     source-sorted, source-count-sized aggregate — a bounded
+    //     gate-class global window, ~20 rows), bit-identical in both
+    //     engines where an unordered float sum is not;
+    //   - the integer cutoff floors the 6dp-ROUNDED weight (POWER
+    //     differs by 1 ulp between JVM and libm; rounding first is
+    //     the repo's cross-engine float convention), and is CAPPED at
+    //     n_s — sampling without replacement can't mint docs (epoch
+    //     repetition, c13's job, handles true up-sampling);
+    //   - selection inside a source is c04's md5-rank prefix.
+    // Shapes at 100 TB: one per-source aggregate, a source-count-sized
+    // broadcast of the targets, one rank window per source shard —
+    // the same partitioning c04/c09 already ride; nothing global but
+    // the ~|sources|-row weight table.
+    "c18_temperature_mix" -> ((s, d) => {
+      val srcNum = substring(col("source"), 4, 10).cast(IntegerType)
+      val working = Tables.documents(s, d)
+        .filter(pmod(expr("doc_id div 20"), lit(10)) <
+          pmod(srcNum, lit(5)) * 2 + 1)
+      val wTot = Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val mixed = working.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("p", pow(col("n_docs").cast(DoubleType), lit(0.3)))
+        .withColumn("z", sum(col("p")).over(wTot))
+        .withColumn("n_total", sum(col("n_docs")).over(wTot))
+        .withColumn("w", round(col("p") / col("z"), 6))
+        .withColumn("n_target", least(
+          floor(col("w") * (col("n_total").cast(DoubleType) / lit(2.0)))
+            .cast(LongType),
+          col("n_docs")))
+      val byHash = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      val sampled = working
+        .withColumn("rk", row_number().over(byHash))
+        .join(broadcast(mixed.select(col("source"), col("n_target"))),
+          Seq("source"))
+        .filter(col("rk") <= col("n_target"))
+        .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+      mixed.join(sampled, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs").cast(DoubleType) / col("n_total"), 6)
+            .as("nat_share"),
+          col("w").as("mix_share"),
+          col("n_target"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          when(coalesce(col("n_sampled"), lit(0L)) === col("n_target"), 1L)
+            .otherwise(0L).as("mix_ok"))
+        .orderBy("source")
+    }),
+
     "c17_source_prior" -> ((s, d) => {
       val q = Tables.documents(s, d)
         .select(col("source"),
@@ -1044,6 +1107,50 @@ object Corpus {
       SELECT source, n_docs,
         ROUND(sum_q / n_docs, 6) AS raw_mean,
         ROUND((sum_q + 20.0 * mu) / (n_docs + 20.0), 6) AS shrunk_mean
-      FROM per, corpus_mu ORDER BY source"""
+      FROM per, corpus_mu ORDER BY source""",
+
+    // c18: full replay — the skewed working set, the ordered pairwise
+    // Σ n^α (window over the source-sorted aggregate, matching Spark's
+    // summation order exactly), the floor-of-rounded-weight target
+    // capped at availability, and the md5-rank prefix selection
+    "c18_temperature_mix" -> """
+      WITH working AS (
+        SELECT source, doc_id FROM documents
+        WHERE (doc_id // 20) % 10 <
+              (CAST(substr(source, 4) AS INT) % 5) * 2 + 1),
+      per AS (
+        SELECT source, COUNT(*) AS n_docs FROM working GROUP BY source),
+      w AS (
+        SELECT source, n_docs,
+          POWER(CAST(n_docs AS DOUBLE), 0.3) AS p,
+          SUM(POWER(CAST(n_docs AS DOUBLE), 0.3)) OVER (ORDER BY source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS z,
+          CAST(SUM(n_docs) OVER (ORDER BY source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS n_total
+        FROM per),
+      t AS (
+        SELECT source, n_docs, n_total, ROUND(p / z, 6) AS wgt,
+          LEAST(CAST(FLOOR(ROUND(p / z, 6) *
+                  (CAST(n_total AS DOUBLE) / 2.0)) AS BIGINT),
+                n_docs) AS n_target
+        FROM w),
+      rk AS (
+        SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM working),
+      smp AS (
+        SELECT rk.source, COUNT(*) AS n_sampled
+        FROM rk JOIN t ON rk.source = t.source
+        WHERE rk.rk <= t.n_target GROUP BY rk.source)
+      SELECT t.source AS source, t.n_docs AS n_docs,
+        ROUND(CAST(t.n_docs AS DOUBLE) / t.n_total, 6) AS nat_share,
+        wgt AS mix_share,
+        t.n_target AS n_target,
+        CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled,
+        CAST(CASE WHEN COALESCE(n_sampled, 0) = t.n_target
+             THEN 1 ELSE 0 END AS BIGINT) AS mix_ok
+      FROM t LEFT JOIN smp ON t.source = smp.source
+      ORDER BY source"""
   )
 }

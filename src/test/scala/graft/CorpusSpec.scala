@@ -208,4 +208,34 @@ class CorpusSpec extends AnyFunSuite {
         assert(copies.size.toLong === nDocs)
     }
   }
+
+  test("c18: temperature mixing — shares sum to 1, targets capped at availability, " +
+    "low-resource sources up-weighted, deterministic") {
+    val run1 = Corpus.queries("c18_temperature_mix")(s, d).collect()
+    assert(run1.nonEmpty)
+    // exponential smoothing flattens the distribution: every share is a
+    // valid probability, they sum to 1 (within the 6-dp rounding), and
+    // α=0.3 < 1 pulls every source TOWARD uniform: below-average-sized
+    // sources gain share, above-average ones lose it.
+    val shareSum = run1.map(_.getAs[Double]("mix_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    val meanN = run1.map(_.getAs[Long]("n_docs")).sum.toDouble / run1.length
+    run1.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val nat = r.getAs[Double]("nat_share")
+      val mix = r.getAs[Double]("mix_share")
+      assert(r.getAs[Long]("n_target") <= n,
+        "sampling without replacement cannot mint docs")
+      assert(r.getAs[Long]("n_sampled") === r.getAs[Long]("n_target"),
+        "selection must hit the target exactly")
+      assert(r.getAs[Long]("mix_ok") === 1L)
+      if (n.toDouble < meanN * 0.8) assert(mix > nat,
+        s"small source (n=$n) must be up-weighted: mix=$mix nat=$nat")
+      if (n.toDouble > meanN * 1.25) assert(mix < nat,
+        s"large source (n=$n) must be damped: mix=$mix nat=$nat")
+    }
+    // deterministic end to end (md5-rank selection, no RNG)
+    val run2 = Corpus.queries("c18_temperature_mix")(s, d).collect()
+    assert(run1.map(_.toString).sameElements(run2.map(_.toString)))
+  }
 }
