@@ -14,17 +14,21 @@ import org.apache.spark.sql.functions._
   * 10-way exact duplicate and quadratically inflate the LSH buckets —
   * measuring THAT would benchmark the data, not the plan.
   *
-  * Usage: runMain graft.ScaleData /root/repo/tools/sf1 [scale] [docs]
+  * Usage: runMain graft.ScaleData /root/repo/tools/sf1 [scale] [docs|orders]
   * (scale multiplies the sf0.1 row counts; default 10 ≈ sf1. A third
   * arg `docs` limits generation to documents+embeddings — the tables
   * the heavy dedup/graph/similarity family reads — so the 100× growth
-  * corpus doesn't also pay a 15M-order star schema it never scans.)
+  * corpus doesn't also pay a 15M-order star schema it never scans.
+  * `orders` writes ONLY the orders table into an existing corpus dir —
+  * the minimal extension that lets the CDC-apply 100× row run without
+  * the lineitem/part/customer tables it never touches.)
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/tools/sf1")
     val scale = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val docsOnly = args.drop(2).headOption.contains("docs")
+    val ordersOnly = args.drop(2).headOption.contains("orders")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,7 +58,8 @@ object ScaleData {
       .withColumn("source", concat(lit("src"), col("doc_id") % 20))
       .withColumn("n_chars", length(col("text")))
       .drop("n_toks")
-    docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (!ordersOnly)
+      docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val nVecs = 2000L * scale
     val emb = spark.range(nVecs).toDF("vec_id")
@@ -63,7 +68,8 @@ object ScaleData {
           ((abs(xxhash64(col("vec_id"), d, lit("emb"))) % 20001).cast("double")
             / 10000.0 - 1.0).cast("float")))
       .withColumn("label", (abs(xxhash64(col("vec_id"), lit("lab"))) % 10).cast("int"))
-    emb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (!ordersOnly)
+      emb.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     if (docsOnly) {
       println(s"wrote $nDocs docs + $nVecs vecs (docs-only) to $out")
@@ -88,20 +94,22 @@ object ScaleData {
     val EventEpoch = 1704067200L
 
     val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
-    spark.range(5).toDF("id")
-      .select(col("id").cast("int").as("r_regionkey"),
-        element_at(array(regions.map(lit): _*), col("id").cast("int") + 1).as("r_name"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/region.parquet")
+    if (!ordersOnly) {
+      spark.range(5).toDF("id")
+        .select(col("id").cast("int").as("r_regionkey"),
+          element_at(array(regions.map(lit): _*), col("id").cast("int") + 1).as("r_name"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/region.parquet")
 
-    spark.range(25).toDF("id")
-      .select(col("id").cast("int").as("n_nationkey"),
-        concat(lit("NATION_"), col("id")).as("n_name"),
-        (col("id") % 5).cast("int").as("n_regionkey"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+      spark.range(25).toDF("id")
+        .select(col("id").cast("int").as("n_nationkey"),
+          concat(lit("NATION_"), col("id")).as("n_name"),
+          (col("id") % 5).cast("int").as("n_regionkey"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+    }
 
     val nCust = 15000L * scale
     val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
-    spark.range(nCust).toDF("c_custkey")
+    if (!ordersOnly) spark.range(nCust).toDF("c_custkey")
       .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
       .withColumn("c_nationkey", (h(col("c_custkey"), lit("cn")) % 25).cast("int"))
       .withColumn("c_acctbal",
@@ -111,7 +119,7 @@ object ScaleData {
       .repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
 
     val nSupp = 1000L * scale
-    spark.range(nSupp).toDF("s_suppkey")
+    if (!ordersOnly) spark.range(nSupp).toDF("s_suppkey")
       .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))
       .withColumn("s_nationkey", (h(col("s_suppkey"), lit("sn")) % 25).cast("int"))
       .withColumn("s_acctbal",
@@ -122,7 +130,7 @@ object ScaleData {
     val adjs = Seq("large", "hot", "blue", "small", "shiny", "red", "green", "dim")
     val nouns = Seq("ring", "bolt", "case", "plate", "tube", "cap", "rod", "gear")
     val ptypes = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
-    spark.range(nPart).toDF("p_partkey")
+    if (!ordersOnly) spark.range(nPart).toDF("p_partkey")
       .withColumn("p_name", concat_ws(" ",
         element_at(array(adjs.map(lit): _*), (h(col("p_partkey"), lit("pa")) % 8 + 1).cast("int")),
         element_at(array(nouns.map(lit): _*), (h(col("p_partkey"), lit("pn")) % 8 + 1).cast("int"))))
@@ -151,6 +159,12 @@ object ScaleData {
       .withColumn("o_orderpriority", element_at(array(prios.map(lit): _*),
         (h(col("o_orderkey"), lit("opr")) % 5 + 1).cast("int")))
     orders.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    if (ordersOnly) {
+      println(s"wrote $nOrders orders (orders-only) to $out")
+      spark.stop()
+      return
+    }
 
     // ~4 lines/order (1..7 hash-derived). l_shipdate is drawn
     // INDEPENDENTLY of o_orderdate over the fixture's marginal span
