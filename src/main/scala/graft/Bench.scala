@@ -54,7 +54,7 @@ object Bench {
     * is the query's own, which is the one composition that
     * reproduces. JVM start cost is excluded from per-query times
     * either way. */
-  private val Soloists = Set(
+  private[graft] val Soloists = Set(
     "c03_dup_clusters", "c08_decontaminate", "c11_pagerank",
     "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d06_minhash_recall", "d07_simhash_recall",
@@ -83,7 +83,17 @@ object Bench {
     // d09 two-pipelines class; d16 drew 34.9 s in dedup_b vs
     // 2.4-2.6 s solo (14×) — it runs the full d04 gram pipeline like
     // d04/d10/c12, which are all soloists for the same reason
-    "s13_knn_graph_recall", "d16_containment")
+    "s13_knn_graph_recall", "d16_containment",
+    // round-11: soloists AT BIRTH, no sweep required — every query
+    // whose builder re-invokes another registered query's builder
+    // re-runs that whole pipeline inside its own timing, the exact
+    // composite shape the d09/s13/d16 sweeps kept catching after the
+    // fact (5.4×/11×/14× in-family vs solo). BenchSoloistSpec scans
+    // the source for nested queries("...") calls and goes red if a
+    // future composite is packed into a family. s04/s05/s08/s10 are
+    // the remaining recall gates of that construction (each re-runs
+    // s01 PLUS its ANN pipeline, the d06/d07/d09 class).
+    "s04_lsh_recall", "s05_ivf_recall", "s08_pq_recall", "s10_pca_recall")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name
