@@ -524,6 +524,48 @@ object Corpus {
     // global but a 1-row reduce; at 100 TB the prior table is
     // domain-count-sized, the natural broadcast side for the
     // filtering join that consumes it.
+    // c19: CURRICULUM ORDERING — easy→hard phase assignment with a
+    // deterministic shuffle inside each phase (Bengio et al.'s
+    // curriculum learning, in the bucketed form practical pipelines
+    // use: train on the easiest quartile first, harden by phase,
+    // shuffle within phase so each difficulty band is i.i.d.).
+    // Difficulty proxy: INTEGER milli-chars-per-token (mean word
+    // length — the classic readability signal; any doc-level score
+    // slots into the same shape). Exact quartile cuts WITHOUT a
+    // row-global window or an interpolating percentile (whose 1-ulp
+    // engine differences poison hash gates): a cumulative count over
+    // the difficulty HISTOGRAM — value-domain-bounded (≤ ~40k
+    // distinct milli-ratios regardless of corpus size), the c06
+    // class — picks the smallest difficulty with cum·4 ≥ n (the
+    // discrete-quantile rule, pure integer, replayed identically by
+    // any engine). Phase assignment is a 1-row broadcast join +
+    // codegen'd comparisons; the epoch order is REALIZED by a
+    // distributed range sort on (phase, md5) — at 100 TB nothing
+    // global ever touches row-sized data.
+    "c19_curriculum_order" -> ((s, d) => {
+      val ev = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("(n_chars * 1000) div size(split(text, '\\\\s+'))").as("difficulty"))
+      val wCum = Window.orderBy("difficulty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hist = ev.groupBy("difficulty").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.orderBy("difficulty").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      val cuts = hist.agg(
+        min(when(col("cum") * 4 >= col("n"), col("difficulty"))).as("q1"),
+        min(when(col("cum") * 2 >= col("n"), col("difficulty"))).as("q2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("difficulty"))).as("q3"))
+      ev.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("difficulty"),
+          (lit(1L) + when(col("difficulty") > col("q1"), 1L).otherwise(0L)
+            + when(col("difficulty") > col("q2"), 1L).otherwise(0L)
+            + when(col("difficulty") > col("q3"), 1L).otherwise(0L)).as("phase"),
+          substring(md5(col("doc_id").cast(StringType)), 1, 8).as("shuffle_key"))
+        .orderBy("phase", "shuffle_key", "doc_id")
+    }),
+
     // c18: TEMPERATURE-SCALED SOURCE MIXING — the domain/language
     // re-balancing op every multilingual/multi-domain pretraining
     // pipeline runs between c13's mixture accounting and c09's
@@ -1108,6 +1150,36 @@ object Corpus {
         ROUND(sum_q / n_docs, 6) AS raw_mean,
         ROUND((sum_q + 20.0 * mu) / (n_docs + 20.0), 6) AS shrunk_mean
       FROM per, corpus_mu ORDER BY source""",
+
+    // c19: full integer replay — milli-ratio difficulty, histogram
+    // cumulative counts, the discrete-quantile cut rule, md5 shuffle
+    "c19_curriculum_order" -> """
+      WITH ev AS (
+        SELECT doc_id,
+          (n_chars * 1000) // len(string_split_regex(text, '\s+'))
+            AS difficulty
+        FROM documents),
+      hist AS (
+        SELECT difficulty, COUNT(*) AS cnt FROM ev GROUP BY difficulty),
+      cum AS (
+        SELECT difficulty,
+          SUM(cnt) OVER (ORDER BY difficulty
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(cnt) OVER () AS n
+        FROM hist),
+      cuts AS (
+        SELECT MIN(CASE WHEN cum * 4 >= n THEN difficulty END) AS q1,
+               MIN(CASE WHEN cum * 2 >= n THEN difficulty END) AS q2,
+               MIN(CASE WHEN cum * 4 >= n * 3 THEN difficulty END) AS q3
+        FROM cum)
+      SELECT doc_id, difficulty,
+        CAST(1 + (CASE WHEN difficulty > q1 THEN 1 ELSE 0 END)
+               + (CASE WHEN difficulty > q2 THEN 1 ELSE 0 END)
+               + (CASE WHEN difficulty > q3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS phase,
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+      FROM ev, cuts
+      ORDER BY phase, shuffle_key, doc_id""",
 
     // c18: full replay — the skewed working set, the ordered pairwise
     // Σ n^α (window over the source-sorted aggregate, matching Spark's

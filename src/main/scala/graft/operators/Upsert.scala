@@ -246,6 +246,66 @@ object Upsert {
       cdcRollup(SnapshotLog.readAt(s, table,
         SnapshotLog.currentVersion(s, table)))
         .withColumn("erased_ok", lit(if (ok) 1L else 0L))
+    }),
+
+    // u07: SCHEMA-EVOLVING CDC MERGE — the Delta
+    // `mergeSchema`/autoMerge path: sources grow columns mid-stream
+    // (every Debezium pipeline meets an upstream ALTER TABLE), and the
+    // merge must WIDEN the target without rewriting history. Batch 0
+    // applies in the seed schema; batch 1 carries a NEW `o_channel`
+    // column — its apply rewrites only the touched files in the union
+    // schema (survivor rows null-fill), carries every untouched file
+    // VERBATIM in the old schema (zero IO — the evolution contract),
+    // and readers union file schemas via the i17 merge-read. Value
+    // semantics the oracle replays exactly: only rows batch 1 touched
+    // carry a channel; everything else is NULL. evolved_ok pins the
+    // structural half — the evolved read has the column, the v1
+    // (pre-evolution) read does NOT (old files were never touched).
+    // At 100 TB this is u04's O(batch + touched files) apply with a
+    // wider projection — evolution adds zero data-proportional cost.
+    "u07_evolving_merge" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val table = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
+        "graft_u07_table").toString
+      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+      val orders = Tables.orders(s, d)
+      def chanOf(k: org.apache.spark.sql.Column) =
+        when(pmod(k, lit(2)) === 0, lit("WEB")).otherwise(lit("STORE"))
+      // batch 0: plain re-price in the SEED schema
+      val b0 = orders.filter(col("o_orderkey") % 17 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("R").as("o_orderstatus"),
+          (col("o_totalprice") + lit(500.0)).as("o_totalprice"),
+          col("o_orderdate"), lit("7-REPRICED").as("o_orderpriority"))
+        .withColumn("op", lit("U")).withColumn("ts", lit(1))
+      graft.streaming.CdcStream.applyBatch(s, table, b0, 0L, "o_orderkey")
+      // batch 1: updates + inserts CARRYING the new column
+      val b1u = orders.filter(col("o_orderkey") % 23 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("E").as("o_orderstatus"),
+          (col("o_totalprice") + lit(700.0)).as("o_totalprice"),
+          col("o_orderdate"), lit("8-EVOLVED").as("o_orderpriority"))
+        .withColumn("o_channel", chanOf(col("o_orderkey")))
+        .withColumn("op", lit("U")).withColumn("ts", lit(2))
+      val b1i = orders.filter(col("o_orderkey") % 89 === 0)
+        .select((col("o_orderkey") + lit(30000000L)).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"),
+          lit("9-NEW").as("o_orderpriority"))
+        .withColumn("o_channel", chanOf(col("o_orderkey")))
+        .withColumn("op", lit("I")).withColumn("ts", lit(2))
+      graft.streaming.CdcStream.applyBatch(s, table,
+        b1u.unionByName(b1i), 1L, "o_orderkey", evolveSchema = true)
+      val evolved = SnapshotLog.readAt(s, table,
+        SnapshotLog.currentVersion(s, table), mergeSchema = true)
+      val ok = evolved.columns.contains("o_channel") &&
+        !SnapshotLog.readAt(s, table, 1L).columns.contains("o_channel")
+      evolved.groupBy("o_orderstatus", "o_channel")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .withColumn("evolved_ok", lit(if (ok) 1L else 0L))
+        .orderBy("o_orderstatus", "o_channel")
     })
   )
 
@@ -435,6 +495,36 @@ object Upsert {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         CAST(1 AS BIGINT) AS erased_ok
       FROM orders WHERE o_custkey % 50 <> 0
-      GROUP BY 1, 2 ORDER BY 1, 2"""
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // u07: final-state replay of the two sequential applies. Batch 1
+    // (ts=2) overrides batch 0 (ts=1) wherever keys overlap (% 17 AND
+    // % 23), both price deltas are against the ORIGINAL row (CDC ops
+    // carry full images, not increments), and o_channel is NULL on
+    // every row batch 1 did not touch — the null-fill the evolving
+    // merge guarantees. evolved_ok replays as the pinned structural
+    // constant. NULLS FIRST matches Spark's ascending default.
+    "u07_evolving_merge" -> """
+      WITH final AS (
+        SELECT o_orderstatus, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_channel
+        FROM orders WHERE o_orderkey % 17 <> 0 AND o_orderkey % 23 <> 0
+        UNION ALL
+        SELECT 'R', o_totalprice + 500.0, CAST(NULL AS VARCHAR)
+        FROM orders WHERE o_orderkey % 17 = 0 AND o_orderkey % 23 <> 0
+        UNION ALL
+        SELECT 'E', o_totalprice + 700.0,
+          CASE WHEN o_orderkey % 2 = 0 THEN 'WEB' ELSE 'STORE' END
+        FROM orders WHERE o_orderkey % 23 = 0
+        UNION ALL
+        SELECT 'N', o_totalprice,
+          CASE WHEN (o_orderkey + 30000000) % 2 = 0
+               THEN 'WEB' ELSE 'STORE' END
+        FROM orders WHERE o_orderkey % 89 = 0)
+      SELECT o_orderstatus, o_channel, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(1 AS BIGINT) AS evolved_ok
+      FROM final GROUP BY 1, 2
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_channel ASC NULLS FIRST"""
   )
 }

@@ -255,9 +255,18 @@ object CdcStream {
     * between the sink commit and the checkpoint commit) is detected
     * by the txn sidecar — O(1) reads regardless of table history —
     * and skipped. Returns the committed version, or -1 when the
-    * batch was already applied or empty. */
+    * batch was already applied or empty.
+    *
+    * `evolveSchema = true` is the Delta `mergeSchema`/autoMerge MERGE
+    * path: a batch carrying columns the target lacks WIDENS the table
+    * — rewritten files get the union schema (survivor rows null-fill
+    * the new columns), UNTOUCHED files are carried verbatim in their
+    * old schema (zero IO — the lakehouse evolution contract), and
+    * readers union the file schemas via `readAt(mergeSchema = true)`,
+    * the i17 read path. Default false preserves the strict contract:
+    * unknown batch columns are dropped, the target schema is law. */
   def applyBatch(s: SparkSession, table: String, batch: DataFrame,
-      batchId: Long, key: String): Long = {
+      batchId: Long, key: String, evolveSchema: Boolean = false): Long = {
     if (alreadyApplied(s, table, batchId)) return -1L
     val latest = Upsert.latestOps(batch, key).cache()
     try {
@@ -265,8 +274,12 @@ object CdcStream {
       val cur = SnapshotLog.currentVersion(s, table)
       val m = SnapshotLog.readManifest(s, table, cur).getOrElse(
         throw new IllegalStateException(s"CDC apply against unseeded $table"))
-      val target = SnapshotLog.readAt(s, table, cur)
-      val cols = target.columns
+      val target = SnapshotLog.readAt(s, table, cur, mergeSchema = evolveSchema)
+      val newCols =
+        if (!evolveSchema) Array.empty[String]
+        else batch.columns.filterNot(c => c == "op" || c == "ts")
+          .filterNot(target.columns.contains)
+      val cols = target.columns ++ newCols
 
       // files containing an affected key. With a stats sidecar the
       // batch's (small, sorted) key set probes each file's [min, max]
@@ -320,10 +333,16 @@ object CdcStream {
       // broadcast key set) + applied non-delete ops
       val touchedScan =
         if (touchedFiles.isEmpty) target.limit(0)
-        else s.read.parquet(touchedFiles.map(_._1): _*)
+        else s.read.option("mergeSchema", evolveSchema.toString)
+          .parquet(touchedFiles.map(_._1): _*)
+      // survivor rows null-fill columns their files predate (types
+      // taken from the batch — the schema source of the widening)
+      val survivorCols = cols.map(c =>
+        if (touchedScan.columns.contains(c)) col(c)
+        else lit(null).cast(batch.schema(c).dataType).as(c))
       val rewritten = touchedScan
         .join(broadcast(latest.select(key)), Seq(key), "left_anti")
-        .select(cols.map(col): _*)
+        .select(survivorCols: _*)
         .unionByName(latest.filter(col("op") =!= "D")
           .select(cols.map(col): _*))
       // output parallelism ∝ files being replaced: a batch that

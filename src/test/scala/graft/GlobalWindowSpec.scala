@@ -29,6 +29,8 @@ class GlobalWindowSpec extends AnyFunSuite {
       "cumulative coverage over the DISTINCT-term aggregate — vocabulary-sized (Heaps'-law bounded), not token-stream-sized",
     "c13_domain_mixture" ->
       "weight table over the per-source aggregate — |sources| rows (~20), the broadcast side downstream",
+    "c19_curriculum_order" ->
+      "cumulative count over the difficulty HISTOGRAM — value-domain bounded (≤ ~40k distinct milli-ratios at any corpus size), the c06 class",
     "c18_temperature_mix" ->
       "ordered pairwise Σ n^α over the per-source aggregate — |sources| rows; ordering is the cross-engine float-determinism contract",
     "q39_window_range_frame" ->
