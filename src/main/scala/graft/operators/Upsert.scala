@@ -306,6 +306,44 @@ object Upsert {
           sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
         .withColumn("evolved_ok", lit(if (ok) 1L else 0L))
         .orderBy("o_orderstatus", "o_channel")
+    }),
+
+    // u08: MERGE-ON-READ equality deletes — the Iceberg v2 delete-file
+    // path, and the write-amplification complement to u04's
+    // copy-on-write apply: a delete commits a SMALL file of deleted
+    // key values (O(deleted keys), one atomic commit, ZERO data-file
+    // rewrites); readers apply accumulated deletes as one broadcast
+    // anti-join; compaction folds them in when the read tax outgrows
+    // the rewrite cost. Two overlapping delete sets accumulate, the
+    // MOR read is the oracle-checked output, then compaction rewrites
+    // survivors and mor_ok pins the equivalence: compacted read ≡ MOR
+    // read (exceptAll both ways empty), the compacted manifest carries
+    // NO delete files, the pre-compaction manifest carried exactly 2.
+    // At 100 TB this is why streaming deletes are survivable at all —
+    // a 100-key delete against a 100k-file table is one 100-row file
+    // + manifest, not a scan-and-rewrite of every touched file.
+    "u08_mor_delete" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val table = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
+        "graft_u08_table").toString
+      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+      val orders = Tables.orders(s, d)
+      SnapshotLog.deleteMor(s, table,
+        orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        "o_orderkey")
+      SnapshotLog.deleteMor(s, table,
+        orders.filter(col("o_custkey") % 31 === 0).select("o_orderkey"),
+        "o_orderkey")
+      val vMor = SnapshotLog.currentVersion(s, table)
+      val mor = SnapshotLog.readMor(s, table, vMor, "o_orderkey")
+      val vC = SnapshotLog.compactMor(s, table, "o_orderkey")
+      val compacted = SnapshotLog.readAt(s, table, vC)
+      val ok = SnapshotLog.readManifest(s, table, vMor).get.deletes.size == 2 &&
+        SnapshotLog.readManifest(s, table, vC).get.deletes.isEmpty &&
+        compacted.exceptAll(mor).limit(1).count() == 0 &&
+        mor.exceptAll(compacted).limit(1).count() == 0
+      cdcRollup(mor).withColumn("mor_ok", lit(if (ok) 1L else 0L))
     })
   )
 
@@ -525,6 +563,17 @@ object Upsert {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         CAST(1 AS BIGINT) AS evolved_ok
       FROM final GROUP BY 1, 2
-      ORDER BY o_orderstatus ASC NULLS FIRST, o_channel ASC NULLS FIRST"""
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_channel ASC NULLS FIRST""",
+
+    // u08: survivors = rows in neither delete set (key % 7 and the
+    // custkey-derived set overlap — dedup is the anti-join's job);
+    // mor_ok replays as the pinned structural constant
+    "u08_mor_delete" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(1 AS BIGINT) AS mor_ok
+      FROM orders
+      WHERE o_orderkey % 7 <> 0 AND o_custkey % 31 <> 0
+      GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -51,8 +51,20 @@ import graft.Tables
   */
 object SnapshotLog {
 
+  /** `stats` carries optional per-file [min, max] of one integral
+    * column (`s:` manifest lines) — the Iceberg scan-planning stats
+    * that let a reader skip files whose range misses its predicate
+    * WITHOUT opening any footer. `deletes` carries merge-on-read
+    * equality-delete files (`d:` lines): small parquet files holding
+    * deleted key values that readers anti-join at scan time, so a
+    * delete commit is O(deleted keys), never a data-file rewrite
+    * (Iceberg v2 MOR). Both are optional line types older manifests
+    * simply lack and prefix-filtering parsers ignore — the format
+    * stays forward- and backward-compatible. */
   case class Manifest(version: Long, parent: Long, op: String,
-      files: Seq[(String, Long)])
+      files: Seq[(String, Long)],
+      stats: Map[String, (Long, Long)] = Map.empty,
+      deletes: Seq[(String, Long)] = Nil)
 
   /** Thrown in expected-parent mode when another writer committed
     * first — the caller re-reads table state and re-plans (the
@@ -193,17 +205,33 @@ object SnapshotLog {
       ver <- field("version").map(_.toLong)
       par <- field("parent").map(_.toLong)
       op  <- field("op")
-    } yield Manifest(ver, par, op,
-      lines.takeWhile(_ != "end").filter(_.startsWith("f:")).map { l =>
-        val Array(path, len) = l.drop(2).split("\t", 2)
-        (path, len.toLong)
-      })
+    } yield {
+      val committed = lines.takeWhile(_ != "end")
+      Manifest(ver, par, op,
+        committed.filter(_.startsWith("f:")).map { l =>
+          val Array(path, len) = l.drop(2).split("\t", 2)
+          (path, len.toLong)
+        },
+        committed.filter(_.startsWith("s:")).map { l =>
+          val Array(path, mn, mx) = l.drop(2).split("\t", 3)
+          path -> (mn.toLong, mx.toLong)
+        }.toMap,
+        committed.filter(_.startsWith("d:")).map { l =>
+          val Array(path, len) = l.drop(2).split("\t", 2)
+          (path, len.toLong)
+        })
+    }
   }
 
   private def render(m: Manifest): String =
     (Seq(s"graft-snapshot:1", s"version:${m.version}", s"parent:${m.parent}",
       s"op:${m.op}") ++
-      m.files.map { case (p, l) => s"f:$p\t$l" } :+ "end").mkString("\n")
+      m.files.map { case (p, l) => s"f:$p\t$l" } ++
+      // stats only for files this manifest names (sorted: render is
+      // deterministic so identical commits are byte-identical)
+      m.files.flatMap { case (p, _) =>
+        m.stats.get(p).map { case (mn, mx) => s"s:$p\t$mn\t$mx" } } ++
+      m.deletes.map { case (p, l) => s"d:$p\t$l" } :+ "end").mkString("\n")
 
   /** Atomically create `path` with `content`, failing if it already
     * exists. `file:` scheme goes through java.nio CREATE_NEW — true
@@ -236,13 +264,15 @@ object SnapshotLog {
     * Returns the committed version. */
   def commit(s: SparkSession, table: String, op: String,
       files: Seq[(String, Long)],
-      expectedParent: Option[Long] = None): Long = {
+      expectedParent: Option[Long] = None,
+      stats: Map[String, (Long, Long)] = Map.empty,
+      deletes: Seq[(String, Long)] = Nil): Long = {
     // the manifest format is line/tab-delimited: an op or path
     // carrying those characters would write a manifest that parses
     // into the WRONG file list — reject loudly instead
     require(!op.exists(c => c == '\n' || c == '\r' || c == '\t'),
       s"op must be single-line, got: ${op.take(80)}")
-    files.foreach { case (p, _) =>
+    (files ++ deletes).foreach { case (p, _) =>
       require(!p.exists(c => c == '\n' || c == '\r' || c == '\t'),
         s"file path contains manifest delimiters: ${p.take(120)}") }
     fsOf(s).mkdirs(new org.apache.hadoop.fs.Path(logDir(table)))
@@ -254,7 +284,7 @@ object SnapshotLog {
         if (cur != p) throw new SnapshotConflict(
           s"table $table moved to v$cur while writer derived from v$p")
       }
-      val m = Manifest(attempt, attempt - 1, op, files)
+      val m = Manifest(attempt, attempt - 1, op, files, stats, deletes)
       try {
         publishAtomic(s, vPath(table, attempt), render(m))
         writeCkptHint(s, table, attempt) // advisory; loss = no shortcut
@@ -289,6 +319,105 @@ object SnapshotLog {
       .parquet(m.files.map(_._1): _*)
   }
 
+  // -----------------------------------------------------------------
+  // Scan planning from manifest stats (the Iceberg min/max route) and
+  // merge-on-read equality deletes (the Iceberg v2 delete-file route).
+  // -----------------------------------------------------------------
+
+  /** Files planned / skipped by the last [[readAtPruned]] call —
+    * observability for the pruning spec and the i23 gate, mirroring
+    * [[lastVersionDiscoveryReads]]. */
+  @volatile private[graft] var lastPrunePlanned: Int = -1
+  @volatile private[graft] var lastPruneSkipped: Int = -1
+
+  /** Per-file [min, max] of an integral column, for carrying in a
+    * commit's `stats`: ONE column-only scan of `files` grouped by
+    * `_metadata.file_path` — cost O(files × one column), result
+    * bounded by file count (the a06 bounded-driver-read class). */
+  def fileStats(s: SparkSession, files: Seq[String],
+      keyCol: String): Map[String, (Long, Long)] =
+    if (files.isEmpty) Map.empty
+    else s.read.parquet(files: _*)
+      .select(col(keyCol).cast(org.apache.spark.sql.types.LongType).as("__k"),
+        col("_metadata.file_path").as("__f"))
+      .where(col("__k").isNotNull)
+      .groupBy("__f").agg(min(col("__k")).as("mn"), max(col("__k")).as("mx"))
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath ->
+        (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  /** Plan a snapshot read that SKIPS every file whose manifest-carried
+    * [min, max] range on `keyCol` is disjoint from [lo, hi] — zero
+    * footer opens, zero data IO for skipped files; the decision is
+    * made entirely from the manifest text already in hand. Files
+    * WITHOUT stats are conservatively kept, so stats are a pure
+    * accelerator (pruning never affects correctness — the caller
+    * still applies its own predicate; this only shrinks the file
+    * list the scan plans over). At 100 TB this is the difference
+    * between a point-range query opening 100k footers and opening
+    * exactly the handful of files whose range can match. */
+  def readAtPruned(s: SparkSession, table: String, v: Long, keyCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val m = readManifest(s, table, v).getOrElse(throw new IllegalArgumentException(
+      s"no committed snapshot v$v in $table"))
+    val kept = m.files.map(_._1).filter { p =>
+      m.stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } }
+    lastPrunePlanned = kept.size
+    lastPruneSkipped = m.files.size - kept.size
+    if (kept.isEmpty) readAt(s, table, v).limit(0)
+    else s.read.parquet(kept: _*)
+  }
+
+  /** Commit a MERGE-ON-READ equality delete: `keys` (one column named
+    * `key`) is written as a small delete file and the new snapshot
+    * carries the SAME data files plus the delete file — O(deleted
+    * keys) work and one atomic commit, never a data-file rewrite.
+    * Deletes accumulate across versions until [[compactMor]] folds
+    * them in; [[readMor]] applies them at scan time. */
+  def deleteMor(s: SparkSession, table: String, keys: DataFrame,
+      key: String): Long = {
+    val cur = currentVersion(s, table)
+    val m = readManifest(s, table, cur).getOrElse(throw new IllegalStateException(
+      s"MOR delete against unseeded $table"))
+    val dir = s"$table/data/deletes/${java.util.UUID.randomUUID}"
+    keys.select(col(key)).distinct().coalesce(1).write.parquet(dir)
+    commit(s, table, "mor-delete", m.files, Some(cur),
+      m.stats, m.deletes ++ dataFiles(s, dir))
+  }
+
+  /** Read snapshot `v` with its equality deletes applied: one
+    * left-anti join of the data scan against the (small, broadcast)
+    * union of delete files. Reader cost is the scan + one broadcast
+    * probe per row — the Iceberg v2 read path. */
+  def readMor(s: SparkSession, table: String, v: Long,
+      key: String): DataFrame = {
+    val m = readManifest(s, table, v).getOrElse(throw new IllegalArgumentException(
+      s"no committed snapshot v$v in $table"))
+    val data = s.read.parquet(m.files.map(_._1): _*)
+    if (m.deletes.isEmpty) data
+    else data.join(
+      broadcast(s.read.parquet(m.deletes.map(_._1): _*).distinct()),
+      Seq(key), "left_anti")
+  }
+
+  /** Fold accumulated equality deletes into the data files: rewrite
+    * the surviving rows, commit a snapshot with NO delete files. The
+    * Iceberg `rewrite_data_files` maintenance step — readers before
+    * and after see the identical row set ([[readMor]] ≡ plain
+    * [[readAt]] post-compaction); delete-file anti-join cost is paid
+    * once here instead of on every subsequent read. */
+  def compactMor(s: SparkSession, table: String, key: String): Long = {
+    val cur = currentVersion(s, table)
+    val m = readManifest(s, table, cur).getOrElse(throw new IllegalStateException(
+      s"MOR compaction against unseeded $table"))
+    if (m.deletes.isEmpty) return cur
+    val dir = s"$table/data/compact-v$cur"
+    readMor(s, table, cur, key)
+      .repartition(math.max(1, m.files.size)).write.parquet(dir)
+    commit(s, table, "mor-compact", dataFiles(s, dir), Some(cur))
+  }
+
   /** Expire all snapshots except the newest `keepLast`: delete their
     * manifests, then delete every data file referenced ONLY by expired
     * manifests (reference-count against the retained set — a file
@@ -318,14 +447,15 @@ object SnapshotLog {
     while (!stable) {
       cutoff = cur - keepLast + 1 // retain [cutoff, cur]
       retained = (cutoff to cur)
-        .flatMap(v => readManifest(s, table, v)).flatMap(_.files.map(_._1)).toSet
+        .flatMap(v => readManifest(s, table, v))
+        .flatMap(m => (m.files ++ m.deletes).map(_._1)).toSet
       val recheck = currentVersion(s, table)
       if (recheck == cur) stable = true else cur = recheck
     }
     val expired = (1L until cutoff)
       .flatMap(v => readManifest(s, table, v).map(v -> _))
-    val doomed = expired.flatMap(_._2.files.map(_._1)).distinct
-      .filterNot(retained)
+    val doomed = expired.flatMap(e => (e._2.files ++ e._2.deletes).map(_._1))
+      .distinct.filterNot(retained)
     // data first, manifests second: a crash between the two leaves
     // expired manifests pointing at deleted files — readManifest still
     // parses but readAt fails loudly, and a re-run completes the
@@ -358,7 +488,8 @@ object SnapshotLog {
   def orphanFiles(s: SparkSession, table: String): Seq[String] = {
     val fs = fsOf(s)
     val referenced = (1L to currentVersion(s, table))
-      .flatMap(v => readManifest(s, table, v)).flatMap(_.files.map(_._1)).toSet
+      .flatMap(v => readManifest(s, table, v))
+      .flatMap(m => (m.files ++ m.deletes).map(_._1)).toSet
     val dataRoot = new org.apache.hadoop.fs.Path(s"$table/data")
     if (!fs.exists(dataRoot)) return Nil
     val it = fs.listFiles(dataRoot, true)
@@ -694,7 +825,47 @@ object SnapshotLog {
     table
   }
 
+  /** i23 fixture: orders range-partitioned on o_orderkey into 8 files
+    * and committed WITH per-file [min, max] key stats in the manifest
+    * — the layout where manifest-level pruning shows (each file owns a
+    * disjoint key range, so a narrow key predicate can only match a
+    * few files). Idempotent via the log like the other fixtures. */
+  def statsPrunedOrdersTable(s: SparkSession, d: String): String = synchronized {
+    val table = stamped(s, d) + "_prn"
+    if (currentVersion(s, table) == 0L) {
+      val base = s"$table/data/base"
+      Tables.orders(s, d).repartitionByRange(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(base)
+      val files = dataFiles(s, base)
+      try commit(s, table, "base-load", files, Some(0L),
+        stats = fileStats(s, files.map(_._1), "o_orderkey"))
+      catch { case _: SnapshotConflict => () }
+    }
+    table
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // i23: MANIFEST-STATS PRUNED SCAN — a narrow key-range query plans
+    // over ONLY the files whose manifest-carried [min, max] can match:
+    // no footer opens, no data IO for the rest. The rollup runs over
+    // the pruned read (so the oracle's full-table replay catches a
+    // lost row the instant pruning is wrong); pruned_ok pins that
+    // pruning actually skipped files AND the plan covered all 8.
+    // At 100 TB: a point-range query on a 100k-file table goes from
+    // 100k footer opens to a manifest already in hand — the Iceberg
+    // min/max scan-planning path, and what the CDC layer's stats
+    // sidecar (u04) looks like promoted into the commit itself.
+    "i23_stats_pruned_scan" -> ((s, d) => {
+      val table = statsPrunedOrdersTable(s, d)
+      val cur = currentVersion(s, table)
+      val pruned = readAtPruned(s, table, cur, "o_orderkey", 1L, 2000L)
+        .filter(col("o_orderkey").between(1L, 2000L))
+      val ok = lastPruneSkipped >= 1 &&
+        lastPrunePlanned + lastPruneSkipped == 8
+      statusRollup(pruned)
+        .withColumn("pruned_ok", lit(if (ok) 1L else 0L))
+    }),
+
     // i22: CHECKPOINTED DISCOVERY — on a 11-commit log, finding the
     // current version through the `_last_checkpoint` pointer must (a)
     // agree exactly with the listing-based discovery, (b) cost O(1)
@@ -874,6 +1045,17 @@ object SnapshotLog {
   )
 
   val oracle: Map[String, String] = Map(
+    // i23: the pruned scan must be exactly the full-table filter —
+    // a wrongly-skipped file loses rows and splits every checksum;
+    // pruned_ok is the pinned structural constant (files skipped,
+    // plan covered all 8)
+    "i23_stats_pruned_scan" -> """
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(1 AS BIGINT) AS pruned_ok
+      FROM orders WHERE o_orderkey BETWEEN 1 AND 2000
+      GROUP BY 1 ORDER BY 1""",
+
     // i22: base + ten re-priced %131 shards, replayed with a
     // generator instead of ten UNION ALL arms; ckpt_ok is the pinned
     // structural constant (pointer path agreed with listing at O(1)

@@ -331,4 +331,74 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.readAt(s, table, 5L).count() ===
       Tables.orders(s, d).filter(col("o_orderkey") % 7 === 4).count())
   }
+
+  test("manifest stats round-trip; pruned read ≡ filtered full read and " +
+      "actually skips files; stats-less files are conservatively kept") {
+    val table = freshTable()
+    val dir = s"$table/data/base"
+    Tables.orders(s, d).repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    val files = SnapshotLog.dataFiles(s, dir)
+    val stats = SnapshotLog.fileStats(s, files.map(_._1), "o_orderkey")
+    assert(stats.keySet === files.map(_._1).toSet)
+    val v = SnapshotLog.commit(s, table, "base", files, stats = stats)
+    // round-trip: the committed manifest carries exactly the stats
+    assert(SnapshotLog.readManifest(s, table, v).get.stats === stats)
+    // pruned ≡ full under the same predicate, and files were skipped
+    val lo = 1L; val hi = 500L
+    val pruned = SnapshotLog.readAtPruned(s, table, v, "o_orderkey", lo, hi)
+      .filter(col("o_orderkey").between(lo, hi))
+    assert(SnapshotLog.lastPruneSkipped >= 1, "no file was pruned")
+    assert(SnapshotLog.lastPrunePlanned + SnapshotLog.lastPruneSkipped === 8)
+    val full = SnapshotLog.readAt(s, table, v)
+      .filter(col("o_orderkey").between(lo, hi))
+    assert(pruned.count() === full.count())
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // a commit WITHOUT stats keeps every file (stats are an
+    // accelerator, never a requirement)
+    val v2 = SnapshotLog.commit(s, table, "restats", files, Some(v))
+    SnapshotLog.readAtPruned(s, table, v2, "o_orderkey", lo, hi)
+    assert(SnapshotLog.lastPruneSkipped === 0)
+    assert(SnapshotLog.lastPrunePlanned === 8)
+  }
+
+  test("MOR deletes: O(keys) commits, read applies them, compaction folds " +
+      "them in, expire reference-counts delete files") {
+    val table = freshTable()
+    seed(table, 0) // orders with o_orderkey % 7 === 0
+    val base = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+    val del1 = base.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+    val v2 = SnapshotLog.deleteMor(s, table, del1, "o_orderkey")
+    // the delete commit reuses every data file verbatim (zero rewrites)
+    val m1 = SnapshotLog.readManifest(s, table, 1L).get
+    val m2 = SnapshotLog.readManifest(s, table, v2).get
+    assert(m2.files === m1.files)
+    assert(m2.deletes.size === 1)
+    val expect1 = base.filter(col("o_orderkey") % 3 =!= 0)
+    val mor1 = SnapshotLog.readMor(s, table, v2, "o_orderkey")
+    assert(mor1.count() === expect1.count())
+    // second, overlapping delete accumulates
+    val del2 = base.filter(col("o_custkey") % 5 === 0).select("o_orderkey")
+    val v3 = SnapshotLog.deleteMor(s, table, del2, "o_orderkey")
+    val expect2 = base.filter(col("o_orderkey") % 3 =!= 0)
+      .filter(col("o_custkey") % 5 =!= 0)
+    val mor2 = SnapshotLog.readMor(s, table, v3, "o_orderkey")
+    assert(mor2.count() === expect2.count())
+    // v2's MOR read is unchanged by v3's delete (snapshot isolation)
+    assert(SnapshotLog.readMor(s, table, v2, "o_orderkey").count()
+      === expect1.count())
+    // expire down to v3: its delete files must SURVIVE (they are
+    // referenced by the live manifest), and the MOR read still works
+    SnapshotLog.expire(s, table, keepLast = 1)
+    assert(SnapshotLog.readMor(s, table, v3, "o_orderkey").count()
+      === expect2.count())
+    // compaction: plain readAt ≡ the MOR read, no delete files left
+    val v4 = SnapshotLog.compactMor(s, table, "o_orderkey")
+    assert(SnapshotLog.readManifest(s, table, v4).get.deletes.isEmpty)
+    val compacted = SnapshotLog.readAt(s, table, v4)
+    assert(compacted.count() === expect2.count())
+    assert(compacted.exceptAll(mor2).isEmpty)
+    // compacting an already-compacted table is a no-op
+    assert(SnapshotLog.compactMor(s, table, "o_orderkey") === v4)
+  }
 }
