@@ -418,6 +418,68 @@ object SnapshotLog {
     commit(s, table, "mor-compact", dataFiles(s, dir), Some(cur))
   }
 
+  // -----------------------------------------------------------------
+  // Write-audit-publish (WAP) — the staged-commit workflow (Netflix's
+  // Iceberg pattern, Delta's shadow-branch equivalent): a writer
+  // COMMITS its snapshot normally (atomic, immutable, time-travelable)
+  // but consumers read through a separate `_published` pointer that
+  // only an explicit publish step advances — after audits pass. A
+  // failed audit simply never publishes: the bad snapshot exists for
+  // forensics but is unreachable through the consumer path, and no
+  // rollback (with its races) is ever needed. At 100 TB this is how
+  // pipelines gate petabyte appends on data-quality checks without
+  // either blocking the writer or exposing readers to unaudited data.
+  // -----------------------------------------------------------------
+
+  private def pubPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"${logDir(table)}/_published")
+
+  /** The version consumers see: the `_published` pointer, or 0 when
+    * nothing has been published (missing/torn pointer = nothing
+    * published — the pointer is AUTHORITATIVE, unlike the advisory
+    * `_last_checkpoint`, so a torn write must fail closed, and the
+    * temp+rename publish below makes torn states near-impossible on
+    * rename-atomic filesystems). */
+  def publishedVersion(s: SparkSession, table: String): Long = {
+    val fs = fsOf(s); val p = pubPath(table)
+    if (!fs.exists(p)) return 0L
+    scala.util.Try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n").filter(_.nonEmpty)
+      require(lines.length == 2 && lines(1) == "end", "torn publish pointer")
+      lines(0).toLong
+    }.getOrElse(0L)
+  }
+
+  /** Atomically advance the publish pointer to committed version `v`
+    * (monotonic: publishing backwards is refused — that's a restore,
+    * which commits a NEW version). */
+  def publish(s: SparkSession, table: String, v: Long): Unit = {
+    require(readManifest(s, table, v).isDefined,
+      s"cannot publish uncommitted v$v of $table")
+    val prev = publishedVersion(s, table)
+    require(v >= prev, s"publish would move backwards: v$v < published v$prev")
+    val fs = fsOf(s)
+    val dst = pubPath(table)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dst.getParent, s"._published.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$v\nend".getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"publish rename lost for $table v$v")
+  }
+
+  /** The consumer read path: the latest PUBLISHED snapshot, never a
+    * staged-but-unaudited one. */
+  def readPublished(s: SparkSession, table: String): DataFrame = {
+    val v = publishedVersion(s, table)
+    require(v >= 1, s"nothing published in $table")
+    readAt(s, table, v)
+  }
+
   /** Expire all snapshots except the newest `keepLast`: delete their
     * manifests, then delete every data file referenced ONLY by expired
     * manifests (reference-count against the retained set — a file
@@ -452,7 +514,15 @@ object SnapshotLog {
       val recheck = currentVersion(s, table)
       if (recheck == cur) stable = true else cur = recheck
     }
+    // a WAP table's PUBLISHED snapshot is the consumer read path —
+    // it must survive expiration even when it trails the cutoff
+    // (published-but-superseded is the normal audit-lag state)
+    val pub = publishedVersion(s, table)
+    if (pub >= 1 && pub < cutoff)
+      retained ++= readManifest(s, table, pub).toSeq
+        .flatMap(m => (m.files ++ m.deletes).map(_._1))
     val expired = (1L until cutoff)
+      .filter(v => v != pub)
       .flatMap(v => readManifest(s, table, v).map(v -> _))
     val doomed = expired.flatMap(e => (e._2.files ++ e._2.deletes).map(_._1))
       .distinct.filterNot(retained)
@@ -844,7 +914,76 @@ object SnapshotLog {
     table
   }
 
+  /** i24 fixture: the WAP lifecycle — v1 base (published), v2 = base
+    * + an audited-good shard (%131 re-priced +5, audit passes →
+    * published), v3 = v2 + a CORRUPT shard (negative prices — the
+    * audit fails, so v3 is committed but NEVER published). The audit
+    * here is the canonical data-quality predicate (no negative
+    * totals); any check slots into the same gate. Idempotent via the
+    * log like the other fixtures. */
+  def wapOrdersTable(s: SparkSession, d: String): String = synchronized {
+    val table = stamped(s, d) + "_wap"
+    if (currentVersion(s, table) == 0L) {
+      val base = s"$table/data/base"
+      Tables.orders(s, d).repartition(4)
+        .write.mode("overwrite").parquet(base)
+      try commit(s, table, "base-load", dataFiles(s, base), Some(0L))
+      catch { case _: SnapshotConflict => () }
+    }
+    def auditPasses(v: Long): Boolean =
+      readAt(s, table, v).filter(col("o_totalprice") < 0).limit(1).count() == 0
+    if (publishedVersion(s, table) < 1L) publish(s, table, 1L)
+    if (currentVersion(s, table) == 1L) {
+      val shard = s"$table/data/good1"
+      Tables.orders(s, d).filter(col("o_orderkey") % 131 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(50000000L))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+        .repartition(1).write.mode("overwrite").parquet(shard)
+      val v1 = readManifest(s, table, 1L).get
+      try {
+        val v2 = commit(s, table, "stage-good",
+          v1.files ++ dataFiles(s, shard), Some(1L))
+        if (auditPasses(v2)) publish(s, table, v2) // write, AUDIT, publish
+      } catch { case _: SnapshotConflict => () }
+    }
+    if (currentVersion(s, table) == 2L) {
+      val shard = s"$table/data/bad2"
+      Tables.orders(s, d).filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(60000000L))
+        .withColumn("o_totalprice", (col("o_totalprice") * lit(-1.0)) - lit(1.0))
+        .repartition(1).write.mode("overwrite").parquet(shard)
+      val v2 = readManifest(s, table, 2L).get
+      try {
+        val v3 = commit(s, table, "stage-bad",
+          v2.files ++ dataFiles(s, shard), Some(2L))
+        if (auditPasses(v3)) publish(s, table, v3) // audit fails: no publish
+      } catch { case _: SnapshotConflict => () }
+    }
+    table
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // i24: WRITE-AUDIT-PUBLISH — consumers read through the publish
+    // pointer, which only audited snapshots advance. The rollup runs
+    // over the PUBLISHED view: the corrupt staged head (v3, negative
+    // prices) must be invisible to it even though it is the table's
+    // current version — if the read path ever leaks the staged head,
+    // the negative totals shift every revenue checksum. wap_ok pins
+    // the lifecycle facts: published == 2 while current == 3, the
+    // staged head really contains bad rows, the published view none.
+    "i24_wap_publish" -> ((s, d) => {
+      val table = wapOrdersTable(s, d)
+      val pub = publishedVersion(s, table)
+      val cur = currentVersion(s, table)
+      val stagedBad = readAt(s, table, cur)
+        .filter(col("o_totalprice") < 0).limit(1).count()
+      val pubBad = readPublished(s, table)
+        .filter(col("o_totalprice") < 0).limit(1).count()
+      val ok = pub == 2L && cur == 3L && stagedBad > 0 && pubBad == 0
+      statusRollup(readPublished(s, table))
+        .withColumn("wap_ok", lit(if (ok) 1L else 0L))
+    }),
+
     // i23: MANIFEST-STATS PRUNED SCAN — a narrow key-range query plans
     // over ONLY the files whose manifest-carried [min, max] can match:
     // no footer opens, no data IO for the rest. The rollup runs over
@@ -1045,6 +1184,20 @@ object SnapshotLog {
   )
 
   val oracle: Map[String, String] = Map(
+    // i24: the published view = base + the audited-good shard; the
+    // corrupt staged head never appears. wap_ok replays as the pinned
+    // lifecycle constant.
+    "i24_wap_publish" -> """
+      WITH all_rows AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice + 5.0 FROM orders
+        WHERE o_orderkey % 131 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(1 AS BIGINT) AS wap_ok
+      FROM all_rows GROUP BY 1 ORDER BY 1""",
+
     // i23: the pruned scan must be exactly the full-table filter —
     // a wrongly-skipped file loses rows and splits every checksum;
     // pruned_ok is the pinned structural constant (files skipped,

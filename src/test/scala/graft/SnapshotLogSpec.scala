@@ -401,4 +401,34 @@ class SnapshotLogSpec extends AnyFunSuite {
     // compacting an already-compacted table is a no-op
     assert(SnapshotLog.compactMor(s, table, "o_orderkey") === v4)
   }
+
+  test("WAP: publish is monotonic and fails closed on a torn pointer; " +
+      "expire spares the published snapshot even past the cutoff") {
+    val table = freshTable()
+    seed(table, 0); seed(table, 1); seed(table, 2) // v1..v3 (each full-replace)
+    // nothing published yet → readPublished refuses
+    assert(SnapshotLog.publishedVersion(s, table) === 0L)
+    intercept[IllegalArgumentException] { SnapshotLog.readPublished(s, table) }
+    // publish v2; the staged head v3 stays invisible to consumers
+    SnapshotLog.publish(s, table, 2L)
+    assert(SnapshotLog.publishedVersion(s, table) === 2L)
+    assert(SnapshotLog.readPublished(s, table).count() ===
+      Tables.orders(s, d).filter(col("o_orderkey") % 7 === 1).count())
+    // publishing backwards is refused; an uncommitted version too
+    intercept[IllegalArgumentException] { SnapshotLog.publish(s, table, 1L) }
+    intercept[IllegalArgumentException] { SnapshotLog.publish(s, table, 9L) }
+    // expire to the head only: v2 is BELOW the cutoff but published —
+    // its manifest and files must survive; v1 goes
+    SnapshotLog.expire(s, table, keepLast = 1)
+    assert(SnapshotLog.readManifest(s, table, 1L).isEmpty, "v1 not expired")
+    assert(SnapshotLog.readManifest(s, table, 2L).isDefined, "published v2 expired")
+    assert(SnapshotLog.readPublished(s, table).count() ===
+      Tables.orders(s, d).filter(col("o_orderkey") % 7 === 1).count())
+    // torn pointer fails closed (0 = nothing published), never garbage
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(s"$table/_log/_published")
+    val out = fs.create(ptr, true)
+    try out.write("2".getBytes("UTF-8")) finally out.close() // no sentinel
+    assert(SnapshotLog.publishedVersion(s, table) === 0L)
+  }
 }
