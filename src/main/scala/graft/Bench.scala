@@ -224,8 +224,22 @@ object Bench {
     // locale, which on comma-decimal locales would emit "1,23" and
     // break the JSON contract.
     def s2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = entries.map { case (k, v) => s""""$k":${s2(v)}""" }
-      .mkString("{", ",", "}")
+    // Per-query values are the line's bulk (~11 chars × |queries|), so
+    // they get trailing-zero trimming ("0.50"→"0.5", "1.00"→"1" — still
+    // valid JSON numbers) and, below, an adaptive decisecond fallback:
+    // the capture window is fixed at ~2000 chars while the surface
+    // keeps growing, and the FULL-precision record lives in
+    // BENCH_FULL.json / BENCH_COMPACT.json either way — the stdout
+    // twin only has to survive the tail capture whole.
+    def trim(s: String) =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    def s1(v: Double) =
+      trim(String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
+    def renderQs(fmt: Double => String) =
+      entries.map { case (k, v) => s""""$k":${fmt(v)}""" }
+        .mkString("{", ",", "}")
+    val qs = renderQs(v => trim(s2(v)))
     val fPart = line.substring(line.indexOf("\"failed\":"))
     val failed = fPart.substring(9, fPart.indexOf(']') + 1)
     val sf = line.substring(line.indexOf("\"sf\":"))
@@ -241,7 +255,14 @@ object Bench {
           .mkString("{", ",", "}")
         s""","spread":$es"""
       }
-    s"""{"metric":"total","value":${s2(total)},"unit":"sec","n":${entries.size},"queries":$qs,"failed":$failed$spreadField,"sf":$sf,"full":"$fullPath"}"""
+    def assemble(qsRendered: String) =
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec","n":${entries.size},"queries":$qsRendered,"failed":$failed$spreadField,"sf":$sf,"full":"$fullPath"}"""
+    val atCenti = assemble(qs)
+    // the spread-carrying FILE variant has no capture window to fit;
+    // only the stdout twin degrades to deciseconds when centiseconds
+    // would overflow the ~2000-char tail
+    if (withSpread || atCenti.length <= 2000) atCenti
+    else assemble(renderQs(s1))
   }
 
   /** Fork one child JVM per query family, merge their JSON lines. */

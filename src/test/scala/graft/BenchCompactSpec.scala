@@ -29,6 +29,31 @@ class BenchCompactSpec extends AnyFunSuite {
     assert(c.contains(""""sf":"/root/testdata/sf0.1""""))
   }
 
+  test("compact degrades to deciseconds when centiseconds would overflow " +
+      "the capture window, and every id still survives") {
+    // the surface keeps growing while the capture window does not:
+    // when centisecond values would overflow, the stdout twin degrades
+    // to deciseconds (full precision stays in BENCH_FULL.json / the
+    // spread-carrying BENCH_COMPACT.json, which never degrades). The
+    // deci path buys ~15 queries of headroom past today's surface; the
+    // hard ceiling of the per-query-object shape is ~210 ids — past
+    // that the stdout twin needs a different channel, not more trim.
+    val names = SparkEntry.queries.keys.toSeq.sorted ++
+      (1 to 12).map(i => f"z$i%02d_synthetic_growth")
+    val full = names.zipWithIndex
+      .map { case (n, i) => s""""$n":${1.0 + i * 0.037}""" }
+      .mkString(
+        """{"metric":"total","value":999.0,"unit":"sec","queries":{""",
+        ",",
+        """},"failed":[],"sf":"/root/testdata/sf0.1"}""")
+    val c = Bench.compact(full, "/root/repo/BENCH_FULL.json")
+    assert(c.length <= 2000, s"compact line is ${c.length} chars")
+    names.foreach { n =>
+      val id = n.takeWhile(ch => ch.isLetter || ch.isDigit)
+      assert(c.contains(s""""$id":"""), s"missing $id")
+    }
+  }
+
   test("compact file variant carries per-query draw spread; stdout variant stays slim") {
     // the BENCH_COMPACT.json FILE records each query's [min,max] draw
     // spread (noise vs plan-regression separation without the log
@@ -82,7 +107,7 @@ class BenchCompactSpec extends AnyFunSuite {
         """"sf":"/root/testdata/sf0.1"}"""
     val c = Bench.compact(full, "/root/repo/BENCH_FULL.json")
     assert(c.contains(""""q01":1.25"""), c)
-    assert(c.contains(""""st05":0.10"""), c)
+    assert(c.contains(""""st05":0.1"""), c) // trailing zero trimmed
     assert(c.contains(""""failed":["st05_stateful_user_totals"]"""), c)
     assert(c.contains(""""sf":"/root/testdata/sf0.1""""), c)
     assert(c.contains(""""n":2"""), c)

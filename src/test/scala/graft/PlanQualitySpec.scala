@@ -236,7 +236,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "q54_event_funnel",
       // s15 scans doc subvectors against crossJoin(broadcast(80 query
       // subvector rows)) — the s01 class
-      "s15_maxsim_topk")
+      "s15_maxsim_topk",
+      // c19 attaches the 1-row quartile-cut triple via explicit
+      // broadcast crossJoin — bounded by construction, the c06 class
+      "c19_curriculum_order")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
