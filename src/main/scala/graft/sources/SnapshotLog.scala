@@ -275,6 +275,11 @@ object SnapshotLog {
     (files ++ deletes).foreach { case (p, _) =>
       require(!p.exists(c => c == '\n' || c == '\r' || c == '\t'),
         s"file path contains manifest delimiters: ${p.take(120)}") }
+    // an inverted range would silently prune a file that DOES contain
+    // matching keys — the one failure mode advisory stats must not
+    // have; reject it loudly at the source instead of trusting readers
+    stats.foreach { case (p, (mn, mx)) =>
+      require(mn <= mx, s"inverted stats range [$mn, $mx] for $p") }
     fsOf(s).mkdirs(new org.apache.hadoop.fs.Path(logDir(table)))
     var attempt = math.max(currentVersion(s, table),
       expectedParent.getOrElse(0L)) + 1
@@ -533,9 +538,9 @@ object SnapshotLog {
     doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
     expired.foreach { case (v, _) =>
       fs.delete(vPath(table, v), false)
-      // version-keyed sidecars follow their manifest's lifecycle:
-      // the CDC layer writes per-version key-range stats under
-      // `_stats/vNNNNNNNN`, which would otherwise accumulate forever
+      // legacy sidecar cleanup: key-range stats now ride the manifest
+      // itself (`s:` lines), but tables written by older builds may
+      // still carry per-version `_stats/vNNNNNNNN` files
       fs.delete(new org.apache.hadoop.fs.Path(f"$table/_stats/v$v%08d"), false)
     }
     // re-anchor the discovery pointer: a pointer left below the

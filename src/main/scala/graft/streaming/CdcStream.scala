@@ -50,105 +50,40 @@ object CdcStream {
       else data.repartitionByRange(4, col(key))
     shaped.write.mode("overwrite").parquet(dir)
     val files = SnapshotLog.dataFiles(s, dir)
-    val v = SnapshotLog.commit(s, table, "base-load", files, Some(0L))
-    if (key != null)
-      writeKeyStats(s, table, v, computeKeyStats(s, files.map(_._1), key))
-    v
+    val stats =
+      if (key == null) Map.empty[String, (Long, Long)]
+      else SnapshotLog.fileStats(s, files.map(_._1), key)
+    SnapshotLog.commit(s, table, "base-load", files, Some(0L), stats)
   }
 
   // -----------------------------------------------------------------
   // Commit-time per-file KEY-RANGE stats — the Iceberg manifest-stats
   // / Delta Add.stats pattern applied to the CDC key: each snapshot
-  // version carries a sidecar mapping data file → [min, max] of the
-  // key, maintained INCREMENTALLY (untouched files carry their stats
-  // forward; only freshly-written files are scanned — O(touched) per
-  // batch). Touched-file discovery then probes the batch's key set
-  // against the ranges driver-side and key-scans only the CANDIDATE
-  // files, closing the "at 100 TB zone maps would shortcut this"
-  // note: per-batch cost drops from O(table key column) to
-  // O(candidate files). Stats are advisory — a missing sidecar or an
-  // unlisted file falls back to the full key scan, bit-identical
-  // results either way (StreamingSpec pins parity + that pruning
-  // actually bites).
+  // version carries per-file [min, max] of the key IN ITS MANIFEST
+  // (the `s:` lines of SnapshotLog.Manifest — the i23 scan-planning
+  // machinery), maintained INCREMENTALLY (untouched files carry their
+  // stats forward; only freshly-written files are scanned —
+  // O(touched) per batch). Touched-file discovery then probes the
+  // batch's key set against the ranges driver-side and key-scans only
+  // the CANDIDATE files, closing the "at 100 TB zone maps would
+  // shortcut this" note: per-batch cost drops from O(table key
+  // column) to O(candidate files). Stats are advisory — a stats-less
+  // manifest (older table, statless seed) or an unlisted file falls
+  // back to the full key scan, bit-identical results either way
+  // (StreamingSpec pins parity + that pruning actually bites). Riding
+  // the manifest removes the failure surface a separate sidecar had:
+  // stats land ATOMICALLY with the file list (a torn manifest is an
+  // invisible version — there is no state where the files committed
+  // but their stats tore), expire reclaims them for free, and
+  // inverted ranges are rejected at commit time by SnapshotLog.
   // -----------------------------------------------------------------
 
   /** Scan files in the last apply's touched-file discovery — exposed
     * for the pruning spec (driver-side observability, not state). */
   @volatile private[graft] var lastDiscoveryScanFiles: Int = -1
 
-  private def statsPath(table: String, v: Long) =
-    new org.apache.hadoop.fs.Path(f"$table/_stats/v$v%08d")
-
   private def fsOf(s: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-
-  /** Per-file [min, max] of the integral CDC key: ONE key-column-only
-    * scan of `files`, result bounded by file count. */
-  private def computeKeyStats(s: SparkSession, files: Seq[String],
-      key: String): Map[String, (Long, Long)] =
-    if (files.isEmpty) Map.empty
-    else s.read.parquet(files: _*)
-      .select(col(key).cast(org.apache.spark.sql.types.LongType).as("__k"),
-        col("_metadata.file_path").as("__f"))
-      .groupBy("__f").agg(min(col("__k")).as("mn"), max(col("__k")).as("mx"))
-      .collect()
-      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath ->
-        (r.getLong(1), r.getLong(2)))
-      .toMap
-
-  /** Best-effort sidecar write: stats are derived data, deterministic
-    * for a version, so losing a race (or crashing before the write)
-    * only costs the next reader its pruning, never correctness.
-    * Torn-write-proof the same two ways the manifest is: the body is
-    * staged to a temp path and RENAMED into place (a crash mid-write
-    * leaves only the temp file), and a trailing `end` sentinel guards
-    * filesystems whose rename is not atomic — a reader that sees no
-    * sentinel discards the sidecar. Without this, a numerically
-    * truncated last line (max 9567 → 95) would parse as a
-    * valid-but-inverted range and silently prune a file that DOES
-    * contain affected keys — stale row versions surviving a CDC
-    * apply, the one failure mode "advisory" stats must not have. */
-  private def writeKeyStats(s: SparkSession, table: String, v: Long,
-      stats: Map[String, (Long, Long)]): Unit = {
-    val fs = fsOf(s)
-    val dst = statsPath(table, v)
-    fs.mkdirs(dst.getParent)
-    val body = (stats.toSeq.sorted
-      .map { case (f, (mn, mx)) => s"$f\t$mn\t$mx" } :+ "end").mkString("\n")
-    try {
-      val tmp = new org.apache.hadoop.fs.Path(
-        dst.getParent, s".${dst.getName}.tmp-${java.util.UUID.randomUUID}")
-      val out = fs.create(tmp, false)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, dst)) fs.delete(tmp, false) // lost the race — fine
-    } catch { case _: java.io.IOException => () }
-  }
-
-  /** None on any malformation — absent file, missing `end` sentinel,
-    * short/garbled line, or an inverted [mn > mx] range: the caller
-    * falls back to the full key scan, which is always correct. A
-    * malformed sidecar must never throw either (the old MatchError
-    * path failed every retry of the batch until the file was removed
-    * by hand). */
-  private def readKeyStats(s: SparkSession, table: String,
-      v: Long): Option[Map[String, (Long, Long)]] = {
-    val fs = fsOf(s); val p = statsPath(table, v)
-    if (!fs.exists(p)) return None
-    scala.util.Try {
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val lines = text.split("\n").filter(_.nonEmpty)
-      require(lines.lastOption.contains("end"), "no end sentinel")
-      lines.dropRight(1).map { l =>
-        val parts = l.split("\t", 3)
-        require(parts.length == 3, s"short stats line: $l")
-        val (mn, mx) = (parts(1).toLong, parts(2).toLong)
-        require(mn <= mx, s"inverted range: $l")
-        parts(0) -> (mn, mx)
-      }.toMap
-    }.toOption
-  }
 
   /** Any of the sorted `keys` inside [mn, mx]? Binary search for the
     * first key ≥ mn. */
@@ -281,13 +216,13 @@ object CdcStream {
           .filterNot(target.columns.contains)
       val cols = target.columns ++ newCols
 
-      // files containing an affected key. With a stats sidecar the
-      // batch's (small, sorted) key set probes each file's [min, max]
-      // driver-side and only CANDIDATE files get the key-column scan;
-      // without one (or past the small-batch bound) every file does —
-      // same result, full cost. file_path is normalized
-      // (scheme-qualified → plain) driver-side; all driver state here
-      // is bounded by file count / batch keys.
+      // files containing an affected key. With manifest-carried stats
+      // the batch's (small, sorted) key set probes each file's
+      // [min, max] driver-side and only CANDIDATE files get the
+      // key-column scan; without them (or past the small-batch bound)
+      // every file does — same result, full cost. file_path is
+      // normalized (scheme-qualified → plain) driver-side; all driver
+      // state here is bounded by file count / batch keys.
       // null keys are excluded from the probe set by construction:
       // they never join (semi/anti joins on NULL match nothing), so no
       // file "contains" them for discovery purposes — a null-key
@@ -295,7 +230,7 @@ object CdcStream {
       // represent (cast → null on a non-null key) means the range
       // probe is meaningless: fall back to the full scan instead of
       // silently mis-pruning (the old path NPE'd on getLong).
-      val stats = readKeyStats(s, table, cur)
+      val stats = if (m.stats.nonEmpty) Some(m.stats) else None
       val batchKeys: Option[Array[Long]] =
         if (stats.isEmpty) None
         else {
@@ -353,25 +288,26 @@ object CdcStream {
       rewritten.repartition(math.max(1, touchedFiles.size))
         .write.mode("overwrite").parquet(dir)
       val newFiles = SnapshotLog.dataFiles(s, dir)
-      val v = SnapshotLog.commit(s, table, opName(batchId),
-        untouched ++ newFiles, Some(cur))
-      // record the applied batchId IMMEDIATELY after the commit (the
-      // idempotence guard); stats below are advisory and can wait
-      writeTxn(s, table, batchId, v)
       // incremental stats-on-commit: untouched files carry their old
       // ranges, only the freshly-written files are scanned — O(touched)
-      // per batch. Healing path: with no prior sidecar, one full scan
-      // seeds stats so every later batch prunes. Set membership, not
+      // per batch. Healing path: with no prior stats, one full scan
+      // seeds them so every later batch prunes. Set membership, not
       // a linear scan per entry: at ~100k files the quadratic form
-      // was ~10^10 driver comparisons per micro-batch.
+      // was ~10^10 driver comparisons per micro-batch. Stats ride the
+      // manifest commit itself — atomic with the file list, never a
+      // separately-torn sidecar.
       val untouchedSet = untouched.iterator.map(_._1).toSet
       val carried = stats.map(_.filter { case (f, _) => untouchedSet(f) })
       val newStats = carried match {
-        case Some(old) => old ++ computeKeyStats(s, newFiles.map(_._1), key)
-        case None => computeKeyStats(s,
+        case Some(old) => old ++ SnapshotLog.fileStats(s, newFiles.map(_._1), key)
+        case None => SnapshotLog.fileStats(s,
           (untouched ++ newFiles).map(_._1), key)
       }
-      writeKeyStats(s, table, v, newStats)
+      val v = SnapshotLog.commit(s, table, opName(batchId),
+        untouched ++ newFiles, Some(cur), newStats)
+      // record the applied batchId IMMEDIATELY after the commit (the
+      // idempotence guard)
+      writeTxn(s, table, batchId, v)
       v
     } finally latest.unpersist()
   }

@@ -443,16 +443,19 @@ class StreamingSpec extends AnyFunSuite {
       s"replay probe read ${CdcStream.lastIdempotenceManifestReads} manifests")
     // expiring history must NOT break the replay guard (the manifest-
     // op-string probe silently did: the expired cdc-batch-0 manifest
-    // took the evidence with it) and must reclaim the expired
-    // versions' _stats sidecars
+    // took the evidence with it)
     SnapshotLog.expire(s, table, keepLast = 1)
     assert(CdcStream.applyBatch(s, table, cdcTouch(0, 1), 0L, "o_orderkey") === -1L,
       "replayed batch re-applied after expire")
+    // stats ride the manifest, so expire reclaims them with the
+    // manifests — no per-version sidecar files exist to leak
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
-    val live = fs.listStatus(new org.apache.hadoop.fs.Path(s"$table/_stats"))
-      .map(_.getPath.getName).toSet
-    assert(live === Set("v00000004"), s"expired stats sidecars linger: $live")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$table/_stats")),
+      "stats sidecar directory should not exist — stats ride the manifest")
+    val cur = SnapshotLog.currentVersion(s, table)
+    assert(SnapshotLog.readManifest(s, table, cur).get.stats.nonEmpty,
+      "live manifest lost its key-range stats")
   }
 
   test("crash-window heal: commit landed but the txn sidecar write was lost") {
@@ -480,31 +483,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(CdcStream.lastIdempotenceManifestReads === 0)
   }
 
-  test("malformed stats sidecar (inverted range / no sentinel) falls back " +
-      "to the full scan with exact results — never a silent mis-prune") {
+  test("stats cannot tear separately from their commit: inverted ranges " +
+      "are rejected at commit time; a stats-less manifest falls back to " +
+      "the full scan with exact results") {
     import graft.sources.SnapshotLog
     import graft.streaming.CdcStream
+    // the old torn-sidecar failure (a numerically truncated max that
+    // parses as an INVERTED range, 9567 → 95, wrongly pruning every
+    // file) is now unrepresentable twice over: stats ride the atomic
+    // manifest (a torn manifest is an invisible VERSION, not bad
+    // stats), and commit() rejects an inverted range loudly
     val table = java.nio.file.Files.createTempDirectory("graft_cdc_torn").toString
     CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
-    // clobber the v1 sidecar with the torn-write signature: a
-    // numerically truncated max that parses as an INVERTED range under
-    // a naive reader (9567 → 95) and would wrongly prune every file
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$table/_stats/v00000001")
-    fs.delete(p, false)
-    val out = fs.create(p, true)
-    try out.write("some/file.parquet\t9567\t95\nend".getBytes("UTF-8"))
-    finally out.close()
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commit(s, table, "bad-stats",
+        SnapshotLog.readManifest(s, table, 1L).get.files,
+        Some(1L), Map("some/file.parquet" -> (9567L, 95L)))
+    }
+    // a commit WITHOUT stats (older build / manual append) degrades to
+    // the full key scan — exact results, full cost
+    SnapshotLog.commit(s, table, "strip-stats",
+      SnapshotLog.readManifest(s, table, 1L).get.files, Some(1L))
     val lowKeys = Tables.orders(s, d).orderBy("o_orderkey").limit(5)
       .withColumn("op", lit("U")).withColumn("ts", lit(1))
       .withColumn("o_orderpriority", lit("T-TORN"))
-    assert(CdcStream.applyBatch(s, table, lowKeys, 0L, "o_orderkey") === 2L)
+    assert(CdcStream.applyBatch(s, table, lowKeys, 0L, "o_orderkey") === 3L)
     assert(CdcStream.lastDiscoveryScanFiles === 4,
-      "malformed sidecar did not fall back to the full scan")
-    val got = SnapshotLog.readAt(s, table, 2L)
+      "stats-less manifest did not fall back to the full scan")
+    val got = SnapshotLog.readAt(s, table, 3L)
     assert(got.count() === Tables.orders(s, d).count())
     assert(got.filter(col("o_orderpriority") === "T-TORN").count() === 5L)
+    // and the apply's own commit re-seeded stats: the next batch prunes
+    val low2 = Tables.orders(s, d).orderBy("o_orderkey").limit(3)
+      .withColumn("op", lit("U")).withColumn("ts", lit(2))
+      .withColumn("o_orderpriority", lit("T-HEAL"))
+    CdcStream.applyBatch(s, table, low2, 1L, "o_orderkey")
+    assert(CdcStream.lastDiscoveryScanFiles < 4,
+      "healed stats did not prune the follow-up batch")
   }
 
   test("CDC batch with null keys applies cleanly and keeps pruning") {
