@@ -344,6 +344,41 @@ object Upsert {
         compacted.exceptAll(mor).limit(1).count() == 0 &&
         mor.exceptAll(compacted).limit(1).count() == 0
       cdcRollup(mor).withColumn("mor_ok", lit(if (ok) 1L else 0L))
+    }),
+
+    // u09: STREAMING MOR DELETES — the retraction-feed twin of u04:
+    // each micro-batch of deleted keys commits O(batch) (one small
+    // delete file + one manifest), never a data-file rewrite, guarded
+    // by the same txn sidecar so a batch replayed past the checkpoint
+    // is a no-op. Three key-disjoint micro-batches (% 63 shards of
+    // the % 21 doomed set) accumulate, a replay proves idempotence,
+    // compaction folds the deletes in, and the oracle replays the
+    // survivor set. At 100 TB this is the GDPR-trickle/account-
+    // closure shape: thousands of tiny deletes a day are survivable
+    // only because each costs O(its keys) — the CoW alternative
+    // rewrites files on every batch.
+    "u09_mor_delete_stream" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val table = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
+        "graft_u09_table").toString
+      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+      val doomed = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 21 === 0).select("o_orderkey")
+      (0 until 3).foreach { i =>
+        graft.streaming.CdcStream.deleteBatch(s, table,
+          doomed.filter(col("o_orderkey") % 63 === i * 21), i.toLong,
+          "o_orderkey")
+      }
+      val replay = graft.streaming.CdcStream.deleteBatch(
+        s, table, doomed, 1L, "o_orderkey")
+      val vMor = SnapshotLog.currentVersion(s, table)
+      val vC = SnapshotLog.compactMor(s, table, "o_orderkey")
+      val ok = replay == -1L &&
+        SnapshotLog.readManifest(s, table, vMor).get.deletes.size == 3 &&
+        SnapshotLog.readManifest(s, table, vC).get.deletes.isEmpty
+      cdcRollup(SnapshotLog.readAt(s, table, vC))
+        .withColumn("stream_ok", lit(if (ok) 1L else 0L))
     })
   )
 
@@ -574,6 +609,17 @@ object Upsert {
         CAST(1 AS BIGINT) AS mor_ok
       FROM orders
       WHERE o_orderkey % 7 <> 0 AND o_custkey % 31 <> 0
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // u09: survivors = everything outside the % 21 doomed set (the
+    // three key-disjoint micro-batches union to exactly it; the
+    // replayed batch committed nothing); stream_ok replays as the
+    // pinned lifecycle constant
+    "u09_mor_delete_stream" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(1 AS BIGINT) AS stream_ok
+      FROM orders WHERE o_orderkey % 21 <> 0
       GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

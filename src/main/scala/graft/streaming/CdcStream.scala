@@ -321,4 +321,42 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyBatch(s, table, batch, id, key); ()
       }
+
+  /** Streaming MERGE-ON-READ delete: one equality-delete commit per
+    * micro-batch — O(batch keys) and ZERO data-file rewrites, where
+    * [[applyBatch]] with 'D' ops rewrites every touched file. The
+    * retraction-feed shape (GDPR trickle, account closures): deletes
+    * accumulate as `d:` files that [[SnapshotLog.readMor]] anti-joins
+    * at scan time and [[SnapshotLog.compactMor]] folds in on the
+    * maintenance cadence. Guarded by the SAME txn sidecar as
+    * applyBatch (the commit op IS the batch marker), so a batch
+    * replayed past the checkpoint commits nothing — no duplicate
+    * delete file, no second version. Returns the committed version or
+    * -1 when already applied. */
+  def deleteBatch(s: SparkSession, table: String, keys: DataFrame,
+      batchId: Long, key: String): Long = {
+    if (alreadyApplied(s, table, batchId)) return -1L
+    val cur = SnapshotLog.currentVersion(s, table)
+    val m = SnapshotLog.readManifest(s, table, cur).getOrElse(
+      throw new IllegalStateException(s"MOR delete against unseeded $table"))
+    // deterministic per-batch dir: a crash after the write but before
+    // the commit leaves an orphan the retry simply overwrites
+    val dir = s"$table/data/deletes/${opName(batchId)}"
+    keys.select(col(key)).where(col(key).isNotNull).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val v = SnapshotLog.commit(s, table, opName(batchId), m.files,
+      Some(cur), m.stats, m.deletes ++ SnapshotLog.dataFiles(s, dir))
+    writeTxn(s, table, batchId, v)
+    v
+  }
+
+  /** Wire a key-retraction stream into [[deleteBatch]]: one O(keys)
+    * delete commit per micro-batch. Caller owns start()/await. */
+  def deleteStream(s: SparkSession, table: String, keys: DataFrame,
+      key: String, checkpoint: String) =
+    keys.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        deleteBatch(s, table, batch, id, key); ()
+      }
 }

@@ -332,6 +332,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(SnapshotLog.currentVersion(s, table) === vAfterFirst)
   }
 
+  test("streaming MOR deletes: each micro-batch commits one delete file and " +
+      "zero rewrites; restart commits nothing; compaction converges") {
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val table = java.nio.file.Files.createTempDirectory("graft_u09").toString
+    CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+    val baseFiles = SnapshotLog.readManifest(s, table, 1L).get.files
+    // retraction feed: the %21 doomed keys in 3 key-disjoint files
+    val keysDir = java.nio.file.Files.createTempDirectory("graft_u09_keys").toString
+    val doomed = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 21 === 0).select("o_orderkey")
+    (0 until 3).foreach { i =>
+      doomed.filter(col("o_orderkey") % 63 === i * 21)
+        .coalesce(1).write.mode("append").parquet(keysDir)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_u09_ckpt").toString
+    def run(): Unit = {
+      val stream = s.readStream.schema(doomed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(keysDir)
+      val q = CdcStream.deleteStream(s, table, stream, "o_orderkey", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val vMor = SnapshotLog.currentVersion(s, table)
+    assert(vMor === 4L, s"expected v4 (seed + 3 delete commits), got v$vMor")
+    val m = SnapshotLog.readManifest(s, table, vMor).get
+    // zero rewrites: every data file carried verbatim; 3 delete files
+    assert(m.files === baseFiles)
+    assert(m.deletes.size === 3)
+    val expected = Tables.orders(s, d).filter(col("o_orderkey") % 21 =!= 0)
+    assert(SnapshotLog.readMor(s, table, vMor, "o_orderkey").count()
+      === expected.count())
+    // restart from checkpoint: no new commits; replay past the
+    // checkpoint: txn-guarded no-op
+    run()
+    assert(SnapshotLog.currentVersion(s, table) === vMor)
+    assert(CdcStream.deleteBatch(s, table, doomed, 1L, "o_orderkey") === -1L)
+    // compaction folds the deletes in; plain read ≡ MOR read
+    val vC = SnapshotLog.compactMor(s, table, "o_orderkey")
+    assert(SnapshotLog.readManifest(s, table, vC).get.deletes.isEmpty)
+    assert(SnapshotLog.readAt(s, table, vC).count() === expected.count())
+  }
+
   test("CDC apply survives a delete-everything batch (empty table still readable)") {
     import graft.sources.SnapshotLog
     import graft.streaming.CdcStream
