@@ -524,6 +524,38 @@ object Corpus {
     // global but a 1-row reduce; at 100 TB the prior table is
     // domain-count-sized, the natural broadcast side for the
     // filtering join that consumes it.
+    // c20: INTER-SOURCE VOCABULARY OVERLAP — the domain-similarity
+    // matrix every multi-source pipeline profiles before setting
+    // mixture weights (near-identical crawls → merge or dedup
+    // harder; disjoint domains → balance explicitly): per source
+    // pair, shared distinct tokens and vocabulary Jaccard. Scale
+    // shape: the distinct (token, source) relation is Heaps'-law
+    // bounded (vocab × |sources|, NOT token-stream-sized), the
+    // self-join key fan-out is ≤ |sources| per token, and the output
+    // matrix is |sources|² — after the distinct, nothing is
+    // row-proportional. Jaccard is a ratio of identical integers
+    // rounded at 6dp, exact in any engine.
+    "c20_vocab_overlap" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0).distinct()
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("v"))
+      vocab.as("a").join(vocab.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+          .withColumnRenamed("v", "va")), Seq("source_a"))
+        .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+          .withColumnRenamed("v", "vb")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("shared"),
+          round(col("shared").cast(DoubleType) /
+            (col("va") + col("vb") - col("shared")).cast(DoubleType), 6)
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // c19: CURRICULUM ORDERING — easy→hard phase assignment with a
     // deterministic shuffle inside each phase (Bengio et al.'s
     // curriculum learning, in the bucketed form practical pipelines
@@ -1150,6 +1182,29 @@ object Corpus {
         ROUND(sum_q / n_docs, 6) AS raw_mean,
         ROUND((sum_q + 20.0 * mu) / (n_docs + 20.0), 6) AS shrunk_mean
       FROM per, corpus_mu ORDER BY source""",
+
+    // c20: same distinct-vocab self-join; jaccard is a 6dp-rounded
+    // ratio of identical integer counts
+    "c20_vocab_overlap" -> """
+      WITH vocab AS (
+        SELECT DISTINCT source, tok
+        FROM (SELECT source,
+                unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents)
+        WHERE len(tok) > 0),
+      sizes AS (SELECT source, COUNT(*) AS v FROM vocab GROUP BY source),
+      pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS shared
+        FROM vocab a JOIN vocab b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared,
+        ROUND(CAST(shared AS DOUBLE) / (sa.v + sb.v - shared), 6) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.source = pairs.source_a
+      JOIN sizes sb ON sb.source = pairs.source_b
+      ORDER BY source_a, source_b""",
 
     // c19: full integer replay — milli-ratio difficulty, histogram
     // cumulative counts, the discrete-quantile cut rule, md5 shuffle
