@@ -180,6 +180,41 @@ object Sketches {
           when(abs(col("est") - col("exact")) <= col("width"), 1L)
             .otherwise(0L).as("within_ok"))
         .orderBy("q")
+    }),
+
+    // a08: ROLLING-WINDOW DISTINCT via mergeable HLL partials — the
+    // precompute-partials workflow every metrics store runs for
+    // "7-day active users": ONE pass over the events builds one HLL
+    // sketch per day (the persisted partial), and every rolling
+    // window is then a union-merge of ≤7 sketches — the raw events
+    // are never re-scanned per window, which is the whole point (the
+    // naive per-window COUNT DISTINCT re-reads W days of events for
+    // every output day). The window-merge join is calendar-bounded:
+    // |days| × ≤7 sketch rows, independent of event volume — at
+    // 100 TB the partials table IS the operand, not the events. The
+    // exact leg exists only to price the gate on the fixture (the
+    // a05 convention); window_ok pins the estimate within the HLL
+    // error envelope for EVERY window.
+    "a08_rolling_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val partials = ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val days = partials.select(col("day").as("w_day"))
+      val est = days.join(partials,
+          datediff(col("w_day"), col("day")).between(0, 6))
+        .groupBy("w_day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      val exact = ev.join(days,
+          datediff(col("w_day"), col("day")).between(0, 6))
+        .groupBy("w_day")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, Seq("w_day"))
+        .select(col("w_day"), col("exact_users"),
+          when(abs(col("est_users") - col("exact_users")) <=
+            col("exact_users") * 0.05 + lit(5.0), 1L)
+            .otherwise(0L).as("window_ok"))
+        .orderBy("w_day")
     })
   )
 
@@ -230,5 +265,19 @@ object Sketches {
           (p.bin + (p.q * mm.n - (c.cum - c.cnt)) / c.cnt), 6) AS est,
         CAST(1 AS BIGINT) AS within_ok
       FROM pick p JOIN c ON c.bin = p.bin CROSS JOIN mm
-      ORDER BY p.q""")
+      ORDER BY p.q""",
+
+    // a08: exact rolling distinct replayed day for day; window_ok is
+    // the pinned HLL bound (the a05 convention). ts normalized to µs
+    // TIMESTAMP before the DATE cast (the q55 rule).
+    "a08_rolling_distinct" -> """
+      WITH ev AS (
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               user_id
+        FROM events),
+      days AS (SELECT DISTINCT day AS w_day FROM ev)
+      SELECT w_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        CAST(1 AS BIGINT) AS window_ok
+      FROM days JOIN ev ON ev.day BETWEEN w_day - 6 AND w_day
+      GROUP BY w_day ORDER BY w_day""")
 }

@@ -239,7 +239,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "s15_maxsim_topk",
       // c19 attaches the 1-row quartile-cut triple via explicit
       // broadcast crossJoin — bounded by construction, the c06 class
-      "c19_curriculum_order")
+      "c19_curriculum_order",
+      // a08's window-merge joins are calendar-bounded non-equi joins
+      // (|days| × ≤7 partial sketches; days is a few-dozen-row
+      // broadcast side) — bounded by construction, never event-sized
+      "a08_rolling_distinct")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
