@@ -524,6 +524,40 @@ object Corpus {
     // global but a 1-row reduce; at 100 TB the prior table is
     // domain-count-sized, the natural broadcast side for the
     // filtering join that consumes it.
+    // c21: SEQUENCE PACKING — the concat-then-chunk batch layout every
+    // pretraining run performs between curation and training (GPT-3
+    // §2.3 / T5 "packing": documents are concatenated in a fixed
+    // order and split into context-window-sized sequences; each doc
+    // is charged to the sequence its FIRST token lands in). Packing
+    // is per SHARD by design — training never needs a globally
+    // packed order, only a deterministic one per shard, which is how
+    // real pipelines parallelize this — so the running token offset
+    // is a window partitioned by `source` (the fixture's shard
+    // analog; at 100 TB the key is the physical shard/file split and
+    // the window never sees more than one shard's rows). Output: the
+    // per-sequence index (docs starting in each window, their token
+    // mass, doc-id span) that the batch loader replays. Pure integer
+    // arithmetic — cumsum, integer division — hash-exact in any
+    // engine; one shuffle (the shard window) feeds the rollup whose
+    // partial aggregation rides the same partitioning.
+    "c21_sequence_pack" -> ((s, d) => {
+      val ctx = 512
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(lower(col("text")), "\\s+")).cast(LongType)
+            .as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("seq_id", expr(s"(cum - n_tokens) div $ctx"))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "seq_id")
+    }),
+
     // c20: INTER-SOURCE VOCABULARY OVERLAP — the domain-similarity
     // matrix every multi-source pipeline profiles before setting
     // mixture weights (near-identical crawls → merge or dedup
@@ -1182,6 +1216,25 @@ object Corpus {
         ROUND(sum_q / n_docs, 6) AS raw_mean,
         ROUND((sum_q + 20.0 * mu) / (n_docs + 20.0), 6) AS shrunk_mean
       FROM per, corpus_mu ORDER BY source""",
+
+    // c21: identical integer replay — per-shard cumsum window, the
+    // `//` integer division (never `/`: the float+round-half-even
+    // cast is the q55 class of version fragility)
+    "c21_sequence_pack" -> """
+      WITH t AS (
+        SELECT source, doc_id,
+          CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT source, (cum - n_tokens) // 512 AS seq_id,
+        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c GROUP BY 1, 2 ORDER BY source, seq_id""",
 
     // c20: same distinct-vocab self-join; jaccard is a 6dp-rounded
     // ratio of identical integer counts

@@ -452,6 +452,76 @@ object TextAnalysis {
         .select(col("doc_id"), (col("pos") + 1).as("rk"),
           col("e.term").as("term"), col("e.score").as("score"))
         .orderBy("doc_id", "rk")
+    }),
+
+    // t14: PII REDACTION + PSEUDONYMIZATION — the privacy scrub every
+    // released pretraining corpus runs (Dolma/FineWeb mask emails,
+    // phones, IPs; CCNet hashes identifiers). Two legs over the
+    // customer quasi-identifiers, both pure per-row projections:
+    //   - pattern redaction: digit runs ≥6 (account/ID shapes — the
+    //     one PII pattern the synthetic fixtures carry; the regex is
+    //     a config constant, the email/phone/IP alternatives slot into
+    //     the same regexp_replace) replaced with a [ID] placeholder,
+    //     plus the per-row hit count;
+    //   - salted pseudonymization: md5(name || salt) — referential
+    //     integrity preserved (same input → same token, so joins on
+    //     the pseudonym still work downstream) without the raw value.
+    // Scale shape: zero shuffle before the output sort — codegen'd
+    // regex + digest per row, scan speed at 100 TB like t03. The
+    // regex is RE2-safe (no lookaround) so the oracle replays it
+    // byte-identically.
+    "t14_pii_redact" -> ((s, d) => {
+      val idRun = "[0-9]{6,}"
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), idRun, "[ID]").as("masked_name"),
+          md5(concat(col("c_name"), lit("|graft-pii-v1"))).as("pseudonym"),
+          size(regexp_extract_all(col("c_name"), lit(idRun), lit(0)))
+            .cast(LongType).as("pii_hits"))
+        .orderBy("c_custkey")
+    }),
+
+    // t15: REPETITION SIGNALS — the Gopher/Dolma repetition rules
+    // (Rae et al. 2021 §A1.1: drop docs whose duplicate-line /
+    // top-n-gram fraction exceeds a band), in the token form the
+    // newline-free fixture supports: duplicate-token fraction
+    // (1 − |distinct|/|tokens|) and top-bigram fraction (occurrences
+    // of the most frequent bigram × 2 / |tokens|). ONE scan: the
+    // per-doc scalars (n_tokens, n_distinct — computed narrow from
+    // the single split() array) ride the bigram explode as grouping
+    // keys, so no second documents pass and no self-join; bigrams
+    // build via the t08 arrays_zip slice pairing (narrow, codegen'd,
+    // never the O(tokens²) interpreted-HOF shape). Docs with <2
+    // tokens have no bigram and are excluded by definition (a
+    // repetition signal needs ≥2 tokens) — the oracle applies the
+    // same len ≥ 2 guard. Both fractions are ratios of exact integers
+    // rounded at 6dp — hash-exact in any engine. The keep flag uses
+    // corpus-calibrated cuts so both classes appear in the fixture;
+    // real pipelines tune the same two thresholds.
+    "t15_repetition_signals" -> ((s, d) => {
+      val toks = split(lower(col("text")), "\\s+")
+      val nPairs = greatest(size(toks) - 1, lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          explode(arrays_zip(
+            slice(toks, lit(1), nPairs), slice(toks, lit(2), nPairs))).as("p"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("p.0").as("w1"), col("p.1").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(max(col("n")).as("top_bigram_n"))
+        .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+          col("n_distinct").cast(LongType).as("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 6).as("dup_token_frac"),
+          col("top_bigram_n"),
+          round(col("top_bigram_n").cast(DoubleType) * 2.0 /
+            col("n_tokens").cast(DoubleType), 6).as("top_bigram_frac"))
+        .withColumn("keep",
+          (col("dup_token_frac") <= 0.62 && col("top_bigram_frac") <= 0.2)
+            .cast(LongType))
+        .orderBy("doc_id")
     })
   )
 
@@ -745,7 +815,51 @@ object TextAnalysis {
               ORDER BY score DESC, term) AS rk
           FROM scored)
         SELECT doc_id, CAST(rk AS INT) AS rk, term, score
-        FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""
+        FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+      // DuckDB regexp_replace needs the explicit 'g' flag (Spark
+      // replaces all matches by default); the pattern itself is
+      // RE2-safe so both engines see identical matches.
+      "t14_pii_redact" -> """
+        SELECT c_custkey,
+          regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g') AS masked_name,
+          md5(c_name || '|graft-pii-v1') AS pseudonym,
+          CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT)
+            AS pii_hits
+        FROM customer ORDER BY c_custkey""",
+
+      "t15_repetition_signals" -> """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+          FROM documents),
+        base AS (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct, w
+          FROM t WHERE len(w) >= 2),
+        bi AS (
+          SELECT doc_id, n_tokens, n_distinct,
+            unnest(list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i + 1])) AS bg
+          FROM base),
+        cnt AS (
+          SELECT doc_id, n_tokens, n_distinct, bg, COUNT(*) AS n
+          FROM bi GROUP BY 1, 2, 3, 4),
+        top AS (
+          SELECT doc_id, n_tokens, n_distinct,
+            CAST(MAX(n) AS BIGINT) AS top_bigram_n
+          FROM cnt GROUP BY 1, 2, 3)
+        SELECT doc_id, n_tokens, n_distinct,
+          ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+            AS dup_token_frac,
+          top_bigram_n,
+          ROUND(CAST(top_bigram_n AS DOUBLE) * 2.0 / n_tokens, 6)
+            AS top_bigram_frac,
+          CASE WHEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+                 <= 0.62
+                AND ROUND(CAST(top_bigram_n AS DOUBLE) * 2.0 / n_tokens, 6)
+                 <= 0.2
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+        FROM top ORDER BY doc_id"""
     )
   }
 }
