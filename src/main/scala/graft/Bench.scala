@@ -93,7 +93,12 @@ object Bench {
     // future composite is packed into a family. s04/s05/s08/s10 are
     // the remaining recall gates of that construction (each re-runs
     // s01 PLUS its ANN pipeline, the d06/d07/d09 class).
-    "s04_lsh_recall", "s05_ivf_recall", "s08_pq_recall", "s10_pca_recall")
+    "s04_lsh_recall", "s05_ivf_recall", "s08_pq_recall", "s10_pca_recall",
+    // d17 is the whole-corpus 8-gram explode — the d04/d10/d16
+    // gram-pipeline class, every member of which the sweeps moved to
+    // a soloist after the fact (14× in-family for d16); seated here
+    // at birth like the s04 class above
+    "d17_novelty_score")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name
@@ -259,10 +264,17 @@ object Bench {
       s"""{"metric":"total","value":${s2(total)},"unit":"sec","n":${entries.size},"queries":$qsRendered,"failed":$failed$spreadField,"sf":$sf,"full":"$fullPath"}"""
     val atCenti = assemble(qs)
     // the spread-carrying FILE variant has no capture window to fit;
-    // only the stdout twin degrades to deciseconds when centiseconds
-    // would overflow the ~2000-char tail
+    // only the stdout twin degrades — centi → deci → whole seconds —
+    // until it fits the ~2000-char tail. The last tier is nearly
+    // value-free for sub-second queries, but the stdout twin's real
+    // contract is ids + total + failed surviving the capture whole;
+    // per-query precision always lives in BENCH_FULL/BENCH_COMPACT.
     if (withSpread || atCenti.length <= 2000) atCenti
-    else assemble(renderQs(s1))
+    else {
+      val atDeci = assemble(renderQs(s1))
+      if (atDeci.length <= 2000) atDeci
+      else assemble(renderQs(v => String.valueOf(math.round(v))))
+    }
   }
 
   /** Fork one child JVM per query family, merge their JSON lines. */

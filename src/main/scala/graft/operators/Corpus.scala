@@ -534,8 +534,13 @@ object Corpus {
     // real pipelines parallelize this — so the running token offset
     // is a window partitioned by `source` (the fixture's shard
     // analog; at 100 TB the key is the physical shard/file split and
-    // the window never sees more than one shard's rows). Output: the
-    // per-sequence index (docs starting in each window, their token
+    // the window never sees more than one shard's rows). This is the
+    // SEQUENCE-side view of the same packing rule c02 applies per doc
+    // (c02 emits doc_id→seq_id at the 4096 shard budget for the
+    // shuffle-writer; this emits the per-sequence index at the
+    // 512-token model context for the batch loader — one cumsum core,
+    // two consumers, deliberately priced as one extra rollup). Output:
+    // the per-sequence index (docs starting in each window, their token
     // mass, doc-id span) that the batch loader replays. Pure integer
     // arithmetic — cumsum, integer division — hash-exact in any
     // engine; one shuffle (the shard window) feeds the rollup whose
@@ -692,6 +697,54 @@ object Corpus {
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
           when(coalesce(col("n_sampled"), lit(0L)) === col("n_target"), 1L)
             .otherwise(0L).as("mix_ok"))
+        .orderBy("source")
+    }),
+
+    // c22: EPOCH-BUDGET ACCOUNTING — the data-constrained scaling
+    // feasibility check (Muennighoff et al. 2023, "Scaling
+    // Data-Constrained Language Models"): given a total training
+    // budget B and per-source mixture weights, how many EPOCHS of
+    // each source does the run consume, and which sources cross the
+    // ~4-epoch mark past which the paper measures repeated tokens
+    // decaying to negligible value? Sits between c13 (what the
+    // mixture IS), c18 (who gets sampled) and c09 (what order) — the
+    // check a pipeline runs BEFORE committing to a mixture, and the
+    // origin of the capped_tokens column a rebalancing pass consumes.
+    // Cross-engine arithmetic contract (all c18's conventions):
+    // weights are the temperature rule (α = 0.3) on TOKEN mass, Σ n^α
+    // and Σ tokens are ordered pairwise window sums, the weight
+    // rounds at 6dp before the budget multiply, needed tokens floor
+    // to integers, epochs are a 6dp-rounded ratio of those integers.
+    // B = 4 × corpus tokens, so epochs ≈ 4 × (mix share ÷ natural
+    // share): temperature-upweighted (small) sources land above the
+    // cap, damped ones below — the flag genuinely splits. Shapes at
+    // 100 TB: ONE per-source aggregate (map-side partials over the
+    // scan), then a |sources|-row window — past the scan nothing is
+    // row-proportional.
+    "c22_epoch_budget" -> ((s, d) => {
+      val wTot = Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(split(lower(col("text")), "\\s+")).cast(LongType)
+            .as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+        .withColumn("p", pow(col("src_tokens").cast(DoubleType), lit(0.3)))
+        .withColumn("z", sum(col("p")).over(wTot))
+        .withColumn("total_tokens", sum(col("src_tokens")).over(wTot))
+        .withColumn("mix_share", round(col("p") / col("z"), 6))
+        .withColumn("needed_tokens",
+          floor(col("mix_share") * col("total_tokens").cast(DoubleType) *
+            lit(4.0)).cast(LongType))
+        .withColumn("epochs", round(col("needed_tokens").cast(DoubleType) /
+          col("src_tokens").cast(DoubleType), 6))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          col("mix_share"), col("needed_tokens"), col("epochs"),
+          when(col("epochs") > 4.0, 1L).otherwise(0L).as("over_cap"),
+          least(col("needed_tokens"),
+            floor(col("src_tokens").cast(DoubleType) * lit(4.0))
+              .cast(LongType)).as("capped_tokens"))
         .orderBy("source")
     }),
 
@@ -1331,6 +1384,44 @@ object Corpus {
         CAST(CASE WHEN COALESCE(n_sampled, 0) = t.n_target
              THEN 1 ELSE 0 END AS BIGINT) AS mix_ok
       FROM t LEFT JOIN smp ON t.source = smp.source
-      ORDER BY source"""
+      ORDER BY source""",
+
+    // c22: full replay of the budget arithmetic — ordered pairwise
+    // window sums (c18's float-determinism contract), floor of the
+    // 6dp-rounded weight × budget, epochs a ratio of those integers
+    "c22_epoch_budget" -> """
+      WITH t AS (
+        SELECT source,
+          CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      per AS (
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        FROM t GROUP BY source),
+      w AS (
+        SELECT source, n_docs, src_tokens,
+          POWER(CAST(src_tokens AS DOUBLE), 0.3) AS p,
+          SUM(POWER(CAST(src_tokens AS DOUBLE), 0.3)) OVER (ORDER BY source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS z,
+          CAST(SUM(src_tokens) OVER (ORDER BY source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS total_tokens
+        FROM per),
+      x AS (
+        SELECT source, n_docs, src_tokens,
+          ROUND(p / z, 6) AS mix_share,
+          CAST(FLOOR(ROUND(p / z, 6) * CAST(total_tokens AS DOUBLE) * 4.0)
+            AS BIGINT) AS needed_tokens
+        FROM w)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs, src_tokens,
+        mix_share, needed_tokens,
+        ROUND(CAST(needed_tokens AS DOUBLE) / src_tokens, 6) AS epochs,
+        CAST(CASE WHEN ROUND(CAST(needed_tokens AS DOUBLE) / src_tokens, 6)
+             > 4.0 THEN 1 ELSE 0 END AS BIGINT) AS over_cap,
+        LEAST(needed_tokens,
+          CAST(FLOOR(CAST(src_tokens AS DOUBLE) * 4.0) AS BIGINT))
+          AS capped_tokens
+      FROM x ORDER BY source"""
   )
 }

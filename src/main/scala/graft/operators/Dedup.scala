@@ -628,7 +628,44 @@ object Dedup {
           col("ni").cast(DoubleType) / col("nb").cast(DoubleType) > 0.02)
         .select(col("source"), col("doc_a"), col("doc_b"),
           col("cont_a_in_b"), col("cont_b_in_a"))
-        .orderBy("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // d17: TEMPORAL NOVELTY — per doc, the fraction of its distinct
+    // word 8-grams never seen in any EARLIER document (ingestion
+    // order = doc_id). Where d01–d16 ask "is this a copy of
+    // something", novelty asks "how much NEW text does this doc
+    // contribute" — the incremental-value signal pipelines read to
+    // prioritize fresh crawl slices and down-rank boilerplate tails
+    // (the 8-gram window is the classic overlap unit; GPT-3 App. C
+    // uses 13-grams for the same machinery at decontamination).
+    // Scale shape: the gram relation is d04's shingle class (one
+    // narrow explode, distinct within doc); the first-seen index is
+    // ONE hash aggregate keyed on the gram — min(doc_id), the same
+    // persistable, incrementally-mergeable index d12 maintains for
+    // exact digests (tomorrow's crawl updates it with a merge, no
+    // rescan) — and the scoring re-join is shuffle-hash keyed on the
+    // gram (vocab-sized relation; a broadcast would mis-size at
+    // corpus scale, the d08 lesson). Two shuffles over the gram
+    // relation, per-doc rollup on the doc_id partitioning, nothing
+    // global but the output sort.
+    "d17_novelty_score" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 8)," +
+            " i -> concat_ws(' ', slice(toks, i + 1, 8)))"))).as("gram"))
+      val firstSeen = grams.groupBy("gram")
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.hint("shuffle_hash").join(firstSeen, Seq("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("novel_grams"))
+        .withColumn("novelty", round(col("novel_grams").cast(DoubleType) /
+          col("n_grams").cast(DoubleType), 6))
+        .orderBy("doc_id")
+    })
   )
 
   /** LSH-banded embedding near-dup pairs (the d08 body) over any
@@ -920,6 +957,29 @@ object Dedup {
       WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
             (SQRT(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
              SQRT(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) > 0.3
-      ORDER BY id_a, id_b"""
+      ORDER BY id_a, id_b""",
+
+    // d17: same 8-gram construction (list slice ≡ Spark's
+    // slice(toks, i+1, 8)), first-seen = MIN(doc_id) per gram,
+    // novelty a 6dp-rounded ratio of identical integers
+    "d17_novelty_score" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(toks) - 6),
+          i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+        FROM t WHERE len(toks) >= 8),
+      f AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+      SELECT g.doc_id AS doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS novel_grams,
+        ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*), 6) AS novelty
+      FROM g JOIN f USING (gram)
+      GROUP BY g.doc_id ORDER BY g.doc_id"""
   )
 }

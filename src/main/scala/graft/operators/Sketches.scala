@@ -215,6 +215,52 @@ object Sketches {
             col("exact_users") * 0.05 + lit(5.0), 1L)
             .otherwise(0L).as("window_ok"))
         .orderBy("w_day")
+    }),
+
+    // a09: SKETCH SET-INTERSECTION — audience-overlap estimation via
+    // inclusion–exclusion over mergeable HLL sketches: |A∩B| ≈
+    // est(A) + est(B) − est(A∪B). HLL unions compose exactly
+    // (a02/a05); intersections do NOT — inclusion–exclusion is the
+    // standard workaround, and its error scales with the operand SET
+    // sizes, not the intersection, which is exactly what the gate
+    // pins. Workflow this sells at 100 TB: the events are scanned
+    // ONCE to build one persisted sketch per segment (a02's partial),
+    // then EVERY pairwise overlap cell — all |segments|² of them — is
+    // answered from the |segments|-row sketch table alone, no
+    // re-scan per cell (the naive exact form re-shuffles the events
+    // for every pair). The pair join is a bounded NLJ over the 5-row
+    // sketch aggregate (≤ |types|² cells by construction); the exact
+    // leg — fixture-only, pricing the gate per the a05/a08
+    // convention — self-joins the distinct (type, user) relation equi
+    // on user_id. overlap_ok pins |est − exact| within 5% of
+    // |A|+|B| (three ~1.6%-rsd estimates of sets ≤ |A|+|B| compound
+    // inside it) plus the a08 small-count slack.
+    "a09_hll_intersection" -> ((s, d) => {
+      val tu = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      val sk = tu.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("nd"))
+      val est = sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk")) -
+            hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
+            .as("est_overlap"),
+          (col("a.nd") + col("b.nd")).as("nd_sum"))
+      val du = tu.distinct()
+      val exact = du.select(col("event_type").as("type_a"), col("user_id"))
+        .join(du.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("exact_overlap"))
+      est.join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("exact_overlap"),
+          when(abs(col("est_overlap") - col("exact_overlap")) <=
+            col("nd_sum") * 0.05 + lit(5.0), 1L).otherwise(0L)
+            .as("overlap_ok"))
+        .orderBy("type_a", "type_b")
     })
   )
 
@@ -279,5 +325,16 @@ object Sketches {
       SELECT w_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         CAST(1 AS BIGINT) AS window_ok
       FROM days JOIN ev ON ev.day BETWEEN w_day - 6 AND w_day
-      GROUP BY w_day ORDER BY w_day""")
+      GROUP BY w_day ORDER BY w_day""",
+
+    // a09: exact pairwise overlap replayed; overlap_ok is the pinned
+    // inclusion–exclusion error envelope (the a04/a05 convention)
+    "a09_hll_intersection" -> """
+      WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+        CAST(1 AS BIGINT) AS overlap_ok
+      FROM tu a JOIN tu b ON a.user_id = b.user_id
+        AND a.event_type < b.event_type
+      GROUP BY 1, 2 ORDER BY type_a, type_b""")
 }

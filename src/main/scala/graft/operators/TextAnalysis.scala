@@ -469,7 +469,10 @@ object TextAnalysis {
     // Scale shape: zero shuffle before the output sort — codegen'd
     // regex + digest per row, scan speed at 100 TB like t03. The
     // regex is RE2-safe (no lookaround) so the oracle replays it
-    // byte-identically.
+    // byte-identically. Complements t05 (which DETECTS — match counts
+    // per class for audit dashboards) with the REWRITE leg: masked
+    // text + join-stable pseudonyms, the shape the redacted corpus
+    // actually ships in.
     "t14_pii_redact" -> ((s, d) => {
       val idRun = "[0-9]{6,}"
       Tables.customer(s, d)

@@ -33,10 +33,11 @@ class BenchCompactSpec extends AnyFunSuite {
       "the capture window, and every id still survives") {
     // the surface keeps growing while the capture window does not:
     // when centisecond values would overflow, the stdout twin degrades
-    // to deciseconds (full precision stays in BENCH_FULL.json / the
-    // spread-carrying BENCH_COMPACT.json, which never degrades). The
-    // deci path buys ~15 queries of headroom past today's surface; the
-    // hard ceiling of the per-query-object shape is ~210 ids — past
+    // to deciseconds, then to whole seconds (full precision stays in
+    // BENCH_FULL.json / the spread-carrying BENCH_COMPACT.json, which
+    // never degrades). The seconds tier is nearly value-free but keeps
+    // the twin's real contract — ids + total + failed surviving the
+    // tail capture whole; its envelope shape supports ~240 ids — past
     // that the stdout twin needs a different channel, not more trim.
     val names = SparkEntry.queries.keys.toSeq.sorted ++
       (1 to 12).map(i => f"z$i%02d_synthetic_growth")

@@ -238,4 +238,57 @@ class CorpusSpec extends AnyFunSuite {
     val run2 = Corpus.queries("c18_temperature_mix")(s, d).collect()
     assert(run1.map(_.toString).sameElements(run2.map(_.toString)))
   }
+
+  test("c22: shares sum to 1, budget conserved, the 4-epoch flag " +
+    "genuinely splits, caps bind") {
+    val rows = Corpus.queries("c22_epoch_budget")(s, d).collect()
+    assert(rows.length === 20) // one row per fixture source
+    val shareSum = rows.map(_.getAs[Double]("mix_share")).sum
+    assert(math.abs(shareSum - 1.0) < 2e-5,
+      s"6dp-rounded temperature weights must sum to ~1, got $shareSum")
+    rows.foreach { r =>
+      val epochs = r.getAs[Double]("epochs")
+      assert(r.getAs[Long]("over_cap") ===
+        (if (epochs > 4.0) 1L else 0L), "flag must restate its rule")
+      assert(r.getAs[Long]("capped_tokens") <= r.getAs[Long]("needed_tokens"))
+      assert(r.getAs[Long]("capped_tokens") <= 4L * r.getAs[Long]("src_tokens"))
+    }
+    // temperature up-weights small sources past the cap and damps big
+    // ones below it — if either side is empty the flag is vacuous
+    assert(rows.exists(_.getAs[Long]("over_cap") == 1L) &&
+      rows.exists(_.getAs[Long]("over_cap") == 0L),
+      "the 4-epoch flag should split on the fixture")
+    // Σ needed ≈ 4 × corpus tokens: each source loses < 1 token to the
+    // floor and < 0.1 to 6dp weight rounding
+    val total = rows.map(_.getAs[Long]("src_tokens")).sum
+    val needed = rows.map(_.getAs[Long]("needed_tokens")).sum
+    assert(math.abs(needed - 4.0 * total) <= rows.length + 2,
+      s"budget not conserved: Σ needed=$needed vs 4×total=${4L * total}")
+  }
+
+  test("d17: novelty bounded, first doc fully novel, novel grams " +
+    "partition the corpus vocabulary") {
+    val rows = Dedup.queries("d17_novelty_score")(s, d).collect()
+    assert(rows.length === 500) // every fixture doc carries ≥8 tokens
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") === 1.0,
+      "the earliest doc has no predecessors — everything it says is new")
+    rows.foreach { r =>
+      val (n, nov) = (r.getAs[Long]("n_grams"), r.getAs[Long]("novel_grams"))
+      assert(nov >= 0L && nov <= n)
+      val ratio = r.getAs[Double]("novelty")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // every distinct 8-gram is novel in EXACTLY one doc (its first):
+    // Σ novel_grams must equal the corpus-wide distinct gram count
+    val novelSum = rows.map(_.getAs[Long]("novel_grams")).sum
+    val vocab = Tables.documents(s, d)
+      .select(split(lower(col("text")), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 8)
+      .select(explode(expr("transform(sequence(0, size(toks) - 8)," +
+        " i -> concat_ws(' ', slice(toks, i + 1, 8)))")).as("g"))
+      .agg(countDistinct(col("g"))).first().getLong(0)
+    assert(novelSum === vocab,
+      s"Σ novel_grams=$novelSum must partition the $vocab distinct grams")
+  }
 }

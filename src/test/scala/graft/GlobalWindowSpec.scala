@@ -33,6 +33,8 @@ class GlobalWindowSpec extends AnyFunSuite {
       "cumulative count over the difficulty HISTOGRAM — value-domain bounded (≤ ~40k distinct milli-ratios at any corpus size), the c06 class",
     "c18_temperature_mix" ->
       "ordered pairwise Σ n^α over the per-source aggregate — |sources| rows; ordering is the cross-engine float-determinism contract",
+    "c22_epoch_budget" ->
+      "ordered pairwise Σ n^α / Σ tokens over the per-source TOKEN aggregate — |sources| rows, the c18 class",
     "q39_window_range_frame" ->
       "RANGE frame over the per-day rollup — calendar-domain bounded (~365 rows/yr regardless of data volume)",
     "t11_quality_classifier" ->

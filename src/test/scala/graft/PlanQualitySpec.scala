@@ -243,7 +243,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // a08's window-merge joins are calendar-bounded non-equi joins
       // (|days| × ≤7 partial sketches; days is a few-dozen-row
       // broadcast side) — bounded by construction, never event-sized
-      "a08_rolling_distinct")
+      "a08_rolling_distinct",
+      // a09's pair join is |event-types|² over the 5-row sketch
+      // aggregate (≤25 cells) — bounded by construction; the exact
+      // leg stays equi on user_id
+      "a09_hll_intersection")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")

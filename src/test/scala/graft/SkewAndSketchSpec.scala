@@ -58,4 +58,50 @@ class SkewAndSketchSpec extends AnyFunSuite {
     assert(math.abs(merged - exactGlobal) / exactGlobal < 0.15,
       s"merged estimate $merged vs global exact $exactGlobal out of bounds")
   }
+
+  test("a09: inclusion–exclusion overlap error stays within HALF the " +
+    "registered gate (measured headroom, sf0.01)") {
+    // sf0.01 deliberately: the sf0.001 events table has only 15
+    // distinct users, where HLL sits in sparse mode and is EXACT —
+    // a zero-error draw proves nothing about the envelope. The 10k-row
+    // fixture exercises dense estimation on all three sketch terms.
+    val big = "/root/testdata/sf0.01"
+    val tu = Tables.events(s, big).select(col("event_type"), col("user_id"))
+    val sk = tu.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("nd"))
+    val est = sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk")) -
+          hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
+          .as("est_overlap"),
+        (col("a.nd") + col("b.nd")).as("nd_sum"))
+      .collect()
+    assert(est.length === 10) // C(5,2) event-type pairs
+    val du = tu.distinct()
+    val exact = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    est.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      // hll_sketch_estimate returns LONG — the integer arithmetic keeps
+      // est_overlap a Long column
+      val err = math.abs(r.getAs[Long]("est_overlap").toDouble - exact(key).toDouble)
+      val halfGate = r.getAs[Long]("nd_sum") * 0.025 + 2.5
+      assert(err <= halfGate,
+        s"$key: est error $err exceeds HALF the gate ($halfGate) — the " +
+          "registered 5% envelope is losing its headroom")
+    }
+    // and the registered gate rows themselves are green at both SFs
+    Seq(d, big).foreach { dir =>
+      val flags = Sketches.queries("a09_hll_intersection")(s, dir).collect()
+      assert(flags.nonEmpty && flags.forall(_.getAs[Long]("overlap_ok") == 1L))
+    }
+  }
 }
