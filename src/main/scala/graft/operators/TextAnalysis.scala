@@ -525,6 +525,94 @@ object TextAnalysis {
           (col("dup_token_frac") <= 0.62 && col("top_bigram_frac") <= 0.2)
             .cast(LongType))
         .orderBy("doc_id")
+    }),
+
+    // t16: POWER-LAW DIAGNOSTICS — the corpus-health check run before
+    // committing a crawl to training: does term frequency follow Zipf
+    // (rank-frequency slope ≈ −1 on natural text; a flat slope means
+    // synthetic/templated content, a cliff means boilerplate), and
+    // does the type inventory grow by Heaps' law V(n) ≈ K·n^β
+    // (β ≈ 0.4–0.6 on natural text; saturation means a closed
+    // vocabulary)? Both exponents come from OLS over log-log points —
+    // run DISTRIBUTED as sufficient statistics, never a driver fit.
+    // The fixture's unigram vocabulary is closed (31 types), so the
+    // Heaps leg measures type growth where this corpus actually has
+    // it: word-trigram types (the d04 shingle space) — exactly the
+    // move a real pipeline makes when diagnosing phrase-level
+    // diversity under a fixed word list. Cross-engine float contract
+    // (the c18/q55 discipline): regression inputs are 6dp-ROUNDED
+    // ln() points — rounding collapses the JVM-vs-libm 1-ulp log
+    // divergence BEFORE any sum — and every Σ is an ordered pairwise
+    // window sum over a BOUNDED relation (≤256 Zipf ranks by fixed
+    // cap, 32 Heaps checkpoints by construction), so both engines
+    // accumulate bit-identically. Scale shapes: term counts are one
+    // vocab-bounded hash aggregate; trigram first-seen is d17's
+    // persistable min(doc_id) index; per-bucket token mass aggregates
+    // the corpus to 32 rows; everything past the two scans is
+    // Heaps'-bounded or constant-sized.
+    "t16_zipf_heaps" -> ((s, d) => {
+      val toksCol = split(lower(col("text")), "\\s+")
+      // ---- Zipf leg: top-256 unigram (rank, frequency) points
+      val zipfPts = Tables.documents(s, d)
+        .select(explode(toksCol).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("term")))) // vocab-sized
+        .filter(col("rnk") <= 256) // fixed probe cap (the c15 rule)
+        .select(round(log(col("rnk").cast(DoubleType)), 6).as("x"),
+          round(log(col("cnt").cast(DoubleType)), 6).as("y"))
+      // ---- Heaps leg: trigram types vs tokens at 32 doc-id buckets
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), size(toksCol).cast(LongType).as("n_tokens"))
+      val mx = perDoc.agg(max(col("doc_id")).as("mx"))
+      val bucketTokens = perDoc.crossJoin(broadcast(mx))
+        .withColumn("bucket", expr("doc_id * 32 div (mx + 1)"))
+        .groupBy("bucket").agg(sum(col("n_tokens")).as("bucket_tokens"))
+      val newTypes = Tables.documents(s, d)
+        .select(col("doc_id"), toksCol.as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 3)," +
+            " i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("gram"))
+        .groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+        .crossJoin(broadcast(mx))
+        .withColumn("bucket", expr("first_doc * 32 div (mx + 1)"))
+        .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+      val wb = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val heapsPts = bucketTokens
+        .join(newTypes, Seq("bucket"), "left_outer")
+        .withColumn("cum_tokens", sum(col("bucket_tokens")).over(wb))
+        .withColumn("cum_types",
+          sum(coalesce(col("new_types"), lit(0L))).over(wb))
+        .select(round(log(col("cum_tokens").cast(DoubleType)), 6).as("x"),
+          round(log(col("cum_types").cast(DoubleType)), 6).as("y"))
+      // ---- shared OLS via ordered-window sufficient statistics
+      def fit(pts: DataFrame, label: String): DataFrame = {
+        val wAll = Window.orderBy("x", "y")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val dn = col("n") * col("sxx") - col("sx") * col("sx")
+        val nm = col("n") * col("sxy") - col("sx") * col("sy")
+        pts.select(
+            count(lit(1)).over(wAll).cast(DoubleType).as("n"),
+            sum(col("x")).over(wAll).as("sx"),
+            sum(col("y")).over(wAll).as("sy"),
+            sum(col("x") * col("y")).over(wAll).as("sxy"),
+            sum(col("x") * col("x")).over(wAll).as("sxx"),
+            sum(col("y") * col("y")).over(wAll).as("syy"))
+          .distinct() // every row carries the same totals
+          .select(lit(label).as("metric"),
+            col("n").cast(LongType).as("n_points"),
+            round(nm / dn, 6).as("slope"),
+            round((col("sy") - nm / dn * col("sx")) / col("n"), 6)
+              .as("intercept"),
+            round((nm * nm) /
+              (dn * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("r2"))
+      }
+      fit(heapsPts, "heaps_trigram")
+        .unionByName(fit(zipfPts, "zipf_unigram"))
+        .orderBy("metric")
     })
   )
 
@@ -862,7 +950,86 @@ object TextAnalysis {
                 AND ROUND(CAST(top_bigram_n AS DOUBLE) * 2.0 / n_tokens, 6)
                  <= 0.2
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
-        FROM top ORDER BY doc_id"""
+        FROM top ORDER BY doc_id""",
+
+      // t16: full replay — 6dp-rounded ln points (rounding collapses
+      // the libm-vs-JVM 1-ulp log divergence before any sum), ordered
+      // pairwise window sums for every Σ, identical OLS closed form
+      "t16_zipf_heaps" -> """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+            AS term
+          FROM documents),
+        zc AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        zr AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk, cnt
+          FROM zc),
+        zp AS (
+          SELECT ROUND(ln(CAST(rnk AS DOUBLE)), 6) AS x,
+                 ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS y
+          FROM zr WHERE rnk <= 256),
+        t AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          FROM documents),
+        pd AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        mx AS (SELECT MAX(doc_id) AS mx FROM pd),
+        bt AS (
+          SELECT doc_id * 32 // (mx + 1) AS bucket,
+                 CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+          FROM pd, mx GROUP BY 1),
+        g AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gram
+          FROM t WHERE len(toks) >= 3),
+        fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+        nt AS (
+          SELECT first_doc * 32 // (mx + 1) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS new_types
+          FROM fs, mx GROUP BY 1),
+        hc AS (
+          SELECT bt.bucket,
+            SUM(bucket_tokens) OVER (ORDER BY bt.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cum_tokens,
+            SUM(COALESCE(new_types, 0)) OVER (ORDER BY bt.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cum_types
+          FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket),
+        hp AS (
+          SELECT ROUND(ln(CAST(cum_tokens AS DOUBLE)), 6) AS x,
+                 ROUND(ln(CAST(cum_types AS DOUBLE)), 6) AS y
+          FROM hc),
+        fz AS (
+          SELECT DISTINCT CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+            SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+            SUM(x*y) OVER w AS sxy, SUM(x*x) OVER w AS sxx,
+            SUM(y*y) OVER w AS syy
+          FROM zp WINDOW w AS (ORDER BY x, y
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        fh AS (
+          SELECT DISTINCT CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+            SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+            SUM(x*y) OVER w AS sxy, SUM(x*x) OVER w AS sxx,
+            SUM(y*y) OVER w AS syy
+          FROM hp WINDOW w AS (ORDER BY x, y
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        SELECT 'heaps_trigram' AS metric, CAST(n AS BIGINT) AS n_points,
+          ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+          ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+            AS intercept,
+          ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+            ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        FROM fh
+        UNION ALL
+        SELECT 'zipf_unigram' AS metric, CAST(n AS BIGINT) AS n_points,
+          ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+          ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+            AS intercept,
+          ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+            ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        FROM fz
+        ORDER BY metric"""
     )
   }
 }

@@ -38,7 +38,9 @@ class GlobalWindowSpec extends AnyFunSuite {
     "q39_window_range_frame" ->
       "RANGE frame over the per-day rollup — calendar-domain bounded (~365 rows/yr regardless of data volume)",
     "t11_quality_classifier" ->
-      "AUC rank over the held-out eval slice only — documented eval-sample-bounded; the training scan stays distributed")
+      "AUC rank over the held-out eval slice only — documented eval-sample-bounded; the training scan stays distributed",
+    "t16_zipf_heaps" ->
+      "rank over the vocab-bounded term aggregate + OLS ordered sums over ≤256 capped regression points + 32-bucket cumsums — all Heaps'-bounded or constant-sized, never rows")
 
   test("only whitelisted queries plan an empty-partition Window") {
     val s = TestSpark.spark

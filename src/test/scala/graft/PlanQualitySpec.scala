@@ -247,7 +247,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // a09's pair join is |event-types|² over the 5-row sketch
       // aggregate (≤25 cells) — bounded by construction; the exact
       // leg stays equi on user_id
-      "a09_hll_intersection")
+      "a09_hll_intersection",
+      // t16 attaches the 1-row max-doc-id via explicit broadcast
+      // crossJoin (twice: token buckets, first-seen buckets) — the
+      // c06 class
+      "t16_zipf_heaps")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
