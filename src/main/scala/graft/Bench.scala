@@ -98,7 +98,14 @@ object Bench {
     // gram-pipeline class, every member of which the sweeps moved to
     // a soloist after the fact (14× in-family for d16); seated here
     // at birth like the s04 class above
-    "d17_novelty_score")
+    "d17_novelty_score",
+    // round-11 closing sweep (180-query gen-sf1): t15 drew 39.4 s in
+    // text_b vs 2.15-2.56 s fresh-JVM solo (18×) — the bigram-explode
+    // t06/t08 class finally hit by the family lottery; d13 drew
+    // 64.7 s in dedup_b vs 6.9 s solo (9.4×) — it runs IVF-cell
+    // assignment plus within-cell pair scoring, the s12-class heavy
+    // plan pair
+    "t15_repetition_signals", "d13_semantic_dedup")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name
