@@ -58,13 +58,19 @@ object SnapshotLog {
     * equality-delete files (`d:` lines): small parquet files holding
     * deleted key values that readers anti-join at scan time, so a
     * delete commit is O(deleted keys), never a data-file rewrite
-    * (Iceberg v2 MOR). Both are optional line types older manifests
-    * simply lack and prefix-filtering parsers ignore — the format
-    * stays forward- and backward-compatible. */
+    * (Iceberg v2 MOR). `ndv` carries optional per-file HLL sketch
+    * blobs (base64, `n:` lines) of one key column — the Iceberg
+    * Puffin / Theta-sketch pattern: a table-level distinct-count
+    * estimate is then a union-merge of the blobs already in the
+    * manifest, NO data scan (see [[fileNdv]] / i25). All three are
+    * optional line types older manifests simply lack and
+    * prefix-filtering parsers ignore — the format stays forward- and
+    * backward-compatible. */
   case class Manifest(version: Long, parent: Long, op: String,
       files: Seq[(String, Long)],
       stats: Map[String, (Long, Long)] = Map.empty,
-      deletes: Seq[(String, Long)] = Nil)
+      deletes: Seq[(String, Long)] = Nil,
+      ndv: Map[String, String] = Map.empty)
 
   /** Thrown in expected-parent mode when another writer committed
     * first — the caller re-reads table state and re-plans (the
@@ -219,7 +225,11 @@ object SnapshotLog {
         committed.filter(_.startsWith("d:")).map { l =>
           val Array(path, len) = l.drop(2).split("\t", 2)
           (path, len.toLong)
-        })
+        },
+        committed.filter(_.startsWith("n:")).map { l =>
+          val Array(path, b64) = l.drop(2).split("\t", 2)
+          path -> b64
+        }.toMap)
     }
   }
 
@@ -231,6 +241,8 @@ object SnapshotLog {
       // deterministic so identical commits are byte-identical)
       m.files.flatMap { case (p, _) =>
         m.stats.get(p).map { case (mn, mx) => s"s:$p\t$mn\t$mx" } } ++
+      m.files.flatMap { case (p, _) =>
+        m.ndv.get(p).map(b64 => s"n:$p\t$b64") } ++
       m.deletes.map { case (p, l) => s"d:$p\t$l" } :+ "end").mkString("\n")
 
   /** Atomically create `path` with `content`, failing if it already
@@ -266,7 +278,8 @@ object SnapshotLog {
       files: Seq[(String, Long)],
       expectedParent: Option[Long] = None,
       stats: Map[String, (Long, Long)] = Map.empty,
-      deletes: Seq[(String, Long)] = Nil): Long = {
+      deletes: Seq[(String, Long)] = Nil,
+      ndv: Map[String, String] = Map.empty): Long = {
     // the manifest format is line/tab-delimited: an op or path
     // carrying those characters would write a manifest that parses
     // into the WRONG file list — reject loudly instead
@@ -280,6 +293,13 @@ object SnapshotLog {
     // have; reject it loudly at the source instead of trusting readers
     stats.foreach { case (p, (mn, mx)) =>
       require(mn <= mx, s"inverted stats range [$mn, $mx] for $p") }
+    // sketch blobs are base64 (delimiter-free by construction) — a
+    // raw blob with a tab/newline would corrupt the line format, so
+    // reject anything that is not clean base64
+    ndv.foreach { case (p, b64) =>
+      require(b64.nonEmpty && b64.forall(c => c.isLetterOrDigit ||
+        c == '+' || c == '/' || c == '='),
+        s"ndv blob for $p is not base64") }
     fsOf(s).mkdirs(new org.apache.hadoop.fs.Path(logDir(table)))
     var attempt = math.max(currentVersion(s, table),
       expectedParent.getOrElse(0L)) + 1
@@ -289,7 +309,7 @@ object SnapshotLog {
         if (cur != p) throw new SnapshotConflict(
           s"table $table moved to v$cur while writer derived from v$p")
       }
-      val m = Manifest(attempt, attempt - 1, op, files, stats, deletes)
+      val m = Manifest(attempt, attempt - 1, op, files, stats, deletes, ndv)
       try {
         publishAtomic(s, vPath(table, attempt), render(m))
         writeCkptHint(s, table, attempt) // advisory; loss = no shortcut
@@ -350,6 +370,25 @@ object SnapshotLog {
       .collect()
       .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath ->
         (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  /** Per-file HLL sketch blobs of `keyCol`, base64 for the manifest's
+    * `n:` lines — the Iceberg Puffin / Theta-sketch workflow: ONE
+    * distributed aggregate over the files being committed (the same
+    * job shape as [[fileStats]]), after which a table-level
+    * distinct-count estimate is a union-merge of blobs already in the
+    * manifest text — no data scan, ever again. Driver-side map is
+    * file-count-bounded (the fileStats class), each blob ~1.5 KB. */
+  def fileNdv(s: SparkSession, files: Seq[String],
+      keyCol: String): Map[String, String] =
+    if (files.isEmpty) Map.empty
+    else s.read.parquet(files: _*)
+      .select(col(keyCol).as("__k"), col("_metadata.file_path").as("__f"))
+      .where(col("__k").isNotNull)
+      .groupBy("__f").agg(hll_sketch_agg(col("__k")).as("sk"))
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath ->
+        java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]]("sk")))
       .toMap
 
   /** Plan a snapshot read that SKIPS every file whose manifest-carried
@@ -919,6 +958,36 @@ object SnapshotLog {
     table
   }
 
+  /** i25 fixture: v1 = base load (8 range files) with per-file NDV
+    * sketch blobs committed alongside; v2 appends a %131 re-priced
+    * shard whose sketch is computed for the NEW file ONLY — the base
+    * files' blobs are CARRIED from v1's manifest verbatim (sketched
+    * once at write time, never re-scanned: the whole point).
+    * Idempotent via the log like the other fixtures. */
+  def ndvOrdersTable(s: SparkSession, d: String): String = synchronized {
+    val table = stamped(s, d) + "_ndv"
+    if (currentVersion(s, table) == 0L) {
+      val base = s"$table/data/base"
+      Tables.orders(s, d).repartitionByRange(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(base)
+      val files = dataFiles(s, base)
+      try commit(s, table, "base-load", files, Some(0L),
+        ndv = fileNdv(s, files.map(_._1), "o_custkey"))
+      catch { case _: SnapshotConflict => () }
+    }
+    if (currentVersion(s, table) == 1L) {
+      val shard = s"$table/data/shard1"
+      poisonShard(s, d).repartition(1)
+        .write.mode("overwrite").parquet(shard)
+      val m = readManifest(s, table, 1L).get
+      val sf = dataFiles(s, shard)
+      try commit(s, table, "append-shard", m.files ++ sf, Some(1L),
+        ndv = m.ndv ++ fileNdv(s, sf.map(_._1), "o_custkey"))
+      catch { case _: SnapshotConflict => () }
+    }
+    table
+  }
+
   /** i24 fixture: the WAP lifecycle — v1 base (published), v2 = base
     * + an audited-good shard (%131 re-priced +5, audit passes →
     * published), v3 = v2 + a CORRUPT shard (negative prices — the
@@ -1008,6 +1077,41 @@ object SnapshotLog {
         lastPrunePlanned + lastPruneSkipped == 8
       statusRollup(pruned)
         .withColumn("pruned_ok", lit(if (ok) 1L else 0L))
+    }),
+
+    // i25: METADATA-ONLY NDV — the Iceberg Puffin / DataSketches
+    // pattern: each commit carries a per-file HLL sketch blob in the
+    // manifest (`n:` lines), sketched ONCE when the file is written
+    // (v2 carries v1's blobs VERBATIM — the append job sketched only
+    // its own shard, see [[ndvOrdersTable]]). A table-level
+    // distinct-count estimate is then a union-merge of blobs already
+    // in the manifest TEXT: zero data files opened, zero footers —
+    // the planner-side cardinality estimate a CBO wants for free, and
+    // at 100 TB the difference between reading ~1.5 KB × files of
+    // metadata and re-shuffling the key column of the whole table.
+    // The exact leg prices the gate on the fixture (the a05
+    // convention); ndv_ok pins the estimate inside the HLL envelope
+    // AND the structural fact that EVERY file carried a blob.
+    "i25_ndv_stats" -> ((s, d) => {
+      import s.implicits._
+      val table = ndvOrdersTable(s, d)
+      val cur = currentVersion(s, table)
+      val m = readManifest(s, table, cur).get
+      // file-count-bounded driver list (the i11 zone-map class)
+      val blobs = m.files.flatMap { case (p, _) => m.ndv.get(p) }
+        .map(java.util.Base64.getDecoder.decode)
+      val est = blobs.toDF("sk")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = readAt(s, table, cur)
+        .agg(countDistinct(col("o_custkey")).as("exact_custkeys"))
+      exact.withColumn("k", lit(1))
+        .join(est.withColumn("k", lit(1)), Seq("k"))
+        .select(lit(m.files.size.toLong).as("n_files"),
+          col("exact_custkeys"),
+          when(lit(blobs.size == m.files.size) &&
+            abs(col("est") - col("exact_custkeys")) <=
+              col("exact_custkeys") * 0.05 + lit(5.0), 1L)
+            .otherwise(0L).as("ndv_ok"))
     }),
 
     // i22: CHECKPOINTED DISCOVERY — on a 11-commit log, finding the
@@ -1213,6 +1317,16 @@ object SnapshotLog {
         CAST(1 AS BIGINT) AS pruned_ok
       FROM orders WHERE o_orderkey BETWEEN 1 AND 2000
       GROUP BY 1 ORDER BY 1""",
+
+    // i25: the poison shard re-keys %97 clones but keeps their
+    // custkeys, so v2's exact distinct-custkey set IS the base
+    // table's; n_files = 8 range files + 1 shard; ndv_ok is the
+    // pinned sketch-envelope gate (the a05 convention)
+    "i25_ndv_stats" -> """
+      SELECT CAST(9 AS BIGINT) AS n_files,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+        CAST(1 AS BIGINT) AS ndv_ok
+      FROM orders""",
 
     // i22: base + ten re-priced %131 shards, replayed with a
     // generator instead of ten UNION ALL arms; ckpt_ok is the pinned

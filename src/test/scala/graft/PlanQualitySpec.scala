@@ -251,7 +251,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // t16 attaches the 1-row max-doc-id via explicit broadcast
       // crossJoin (twice: token buckets, first-seen buckets) — the
       // c06 class
-      "t16_zipf_heaps")
+      "t16_zipf_heaps",
+      // i25 joins two 1-row scalar aggregates on a literal key — the
+      // a05 class
+      "i25_ndv_stats")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")

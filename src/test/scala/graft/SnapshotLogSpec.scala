@@ -362,6 +362,39 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.lastPrunePlanned === 8)
   }
 
+  test("manifest NDV blobs round-trip; carried blobs estimate like " +
+      "recomputed ones; malformed blobs are rejected at commit") {
+    val table = freshTable()
+    val dir = s"$table/data/base"
+    Tables.orders(s, d).repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    val files = SnapshotLog.dataFiles(s, dir)
+    val ndv = SnapshotLog.fileNdv(s, files.map(_._1), "o_custkey")
+    assert(ndv.keySet === files.map(_._1).toSet)
+    val v = SnapshotLog.commit(s, table, "base", files, ndv = ndv)
+    // round-trip: blobs survive the manifest text byte-for-byte
+    assert(SnapshotLog.readManifest(s, table, v).get.ndv === ndv)
+    // the metadata-only estimate: union of blobs ≈ exact distinct
+    import s.implicits._
+    def estimate(blobs: Iterable[String]): Double =
+      blobs.toSeq.map(java.util.Base64.getDecoder.decode).toDF("sk")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).first().getLong(0)
+        .toDouble
+    val exact = SnapshotLog.readAt(s, table, v)
+      .agg(countDistinct(col("o_custkey"))).first().getLong(0).toDouble
+    assert(math.abs(estimate(ndv.values) - exact) <= exact * 0.05 + 5.0)
+    // CARRIED blobs (v2 re-commits v1's map verbatim) estimate
+    // identically — sketch once at write time, never re-scan
+    val v2 = SnapshotLog.commit(s, table, "carry", files, Some(v), ndv = ndv)
+    val carried = SnapshotLog.readManifest(s, table, v2).get.ndv
+    assert(estimate(carried.values) === estimate(ndv.values))
+    // a blob with a manifest delimiter cannot be committed
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commit(s, table, "bad", files,
+        ndv = Map(files.head._1 -> "abc\tdef"))
+    }
+  }
+
   test("MOR deletes: O(keys) commits, read applies them, compaction folds " +
       "them in, expire reference-counts delete files") {
     val table = freshTable()
