@@ -161,6 +161,22 @@ class PlanQualitySpec extends AnyFunSuite {
         assert(!sch.contains(c), s"unpruned column $c in t10 scan: $sch")))
   }
 
+  test("q58 streak scan reads only (user_id, ts); d17 novelty scan only " +
+      "(doc_id, text)") {
+    // same pruning pin as t10: the events/documents scans must not
+    // drag unused columns through the shuffle
+    val q58 = """ReadSchema: struct<([^>]*)>""".r
+      .findAllMatchIn(plan("q58_longest_streak")).map(_.group(1)).toSeq
+    assert(q58.nonEmpty)
+    q58.foreach(sch => Seq("event_type", "value", "props").foreach(c =>
+      assert(!sch.contains(c), s"unpruned column $c in q58 scan: $sch")))
+    val d17 = """ReadSchema: struct<([^>]*)>""".r
+      .findAllMatchIn(plan("d17_novelty_score")).map(_.group(1)).toSeq
+    assert(d17.nonEmpty)
+    d17.foreach(sch => Seq("lang", "source", "n_chars").foreach(c =>
+      assert(!sch.contains(c), s"unpruned column $c in d17 scan: $sch")))
+  }
+
   test("i13 time travel plans over the manifest's file list, not a directory listing") {
     import graft.sources.SnapshotLog
     val table = SnapshotLog.snapshottedOrders(s, d)
