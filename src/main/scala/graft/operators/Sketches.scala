@@ -236,25 +236,7 @@ object Sketches {
     // |A|+|B| (three ~1.6%-rsd estimates of sets ≤ |A|+|B| compound
     // inside it) plus the a08 small-count slack.
     "a09_hll_intersection" -> ((s, d) => {
-      val tu = Tables.events(s, d).select(col("event_type"), col("user_id"))
-      val sk = tu.groupBy("event_type")
-        .agg(hll_sketch_agg(col("user_id")).as("sk"),
-          countDistinct(col("user_id")).as("nd"))
-      val est = sk.as("a").join(sk.as("b"),
-          col("a.event_type") < col("b.event_type"))
-        .select(col("a.event_type").as("type_a"),
-          col("b.event_type").as("type_b"),
-          (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk")) -
-            hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
-            .as("est_overlap"),
-          (col("a.nd") + col("b.nd")).as("nd_sum"))
-      val du = tu.distinct()
-      val exact = du.select(col("event_type").as("type_a"), col("user_id"))
-        .join(du.select(col("event_type").as("type_b"), col("user_id")),
-          Seq("user_id"))
-        .filter(col("type_a") < col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(count(lit(1)).as("exact_overlap"))
+      val (est, exact) = overlapLegs(s, d)
       est.join(exact, Seq("type_a", "type_b"))
         .select(col("type_a"), col("type_b"), col("exact_overlap"),
           when(abs(col("est_overlap") - col("exact_overlap")) <=
@@ -263,6 +245,35 @@ object Sketches {
         .orderBy("type_a", "type_b")
     })
   )
+
+  /** a09's two legs, SHARED with SkewAndSketchSpec's headroom test so
+    * the measured half-gate guarantee always describes the registered
+    * query (a drifted copy would silently keep measuring the old
+    * construction). Returns (est, exact): est has one row per
+    * event-type pair with the inclusion–exclusion estimate and the
+    * nd_sum error-envelope term; exact has the pair's true overlap. */
+  private[graft] def overlapLegs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val tu = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val sk = tu.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("nd"))
+    val est = sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk")) -
+          hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
+          .as("est_overlap"),
+        (col("a.nd") + col("b.nd")).as("nd_sum"))
+    val du = tu.distinct()
+    val exact = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("exact_overlap"))
+    (est, exact)
+  }
 
   private def asDouble(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
 

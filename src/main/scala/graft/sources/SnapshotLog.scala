@@ -294,11 +294,15 @@ object SnapshotLog {
     stats.foreach { case (p, (mn, mx)) =>
       require(mn <= mx, s"inverted stats range [$mn, $mx] for $p") }
     // sketch blobs are base64 (delimiter-free by construction) — a
-    // raw blob with a tab/newline would corrupt the line format, so
-    // reject anything that is not clean base64
+    // raw blob with a tab/newline would corrupt the line format, and
+    // a non-base64 blob would poison every READER at decode time, so
+    // reject at the source. ASCII class check, not isLetterOrDigit:
+    // the Unicode-aware predicate admits 'é'-class chars that base64
+    // decode then throws on.
     ndv.foreach { case (p, b64) =>
-      require(b64.nonEmpty && b64.forall(c => c.isLetterOrDigit ||
-        c == '+' || c == '/' || c == '='),
+      require(b64.nonEmpty && b64.forall(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '/' || c == '='),
         s"ndv blob for $p is not base64") }
     fsOf(s).mkdirs(new org.apache.hadoop.fs.Path(logDir(table)))
     var attempt = math.max(currentVersion(s, table),
@@ -426,8 +430,11 @@ object SnapshotLog {
       s"MOR delete against unseeded $table"))
     val dir = s"$table/data/deletes/${java.util.UUID.randomUUID}"
     keys.select(col(key)).distinct().coalesce(1).write.parquet(dir)
+    // data files are untouched, so stats AND ndv blobs carry verbatim
+    // (post-delete the blob NDV is an upper bound until compaction —
+    // advisory metadata, like stats under MOR)
     commit(s, table, "mor-delete", m.files, Some(cur),
-      m.stats, m.deletes ++ dataFiles(s, dir))
+      m.stats, m.deletes ++ dataFiles(s, dir), m.ndv)
   }
 
   /** Read snapshot `v` with its equality deletes applied: one
@@ -459,6 +466,10 @@ object SnapshotLog {
     val dir = s"$table/data/compact-v$cur"
     readMor(s, table, cur, key)
       .repartition(math.max(1, m.files.size)).write.parquet(dir)
+    // carried stats/ndv would describe the REWRITTEN-AWAY files —
+    // deliberately dropped (the compaction column may differ from the
+    // sketched one, so recomputing here could sketch the wrong key;
+    // the next stats-aware writer re-attaches them)
     commit(s, table, "mor-compact", dataFiles(s, dir), Some(cur))
   }
 
@@ -959,11 +970,14 @@ object SnapshotLog {
   }
 
   /** i25 fixture: v1 = base load (8 range files) with per-file NDV
-    * sketch blobs committed alongside; v2 appends a %131 re-priced
-    * shard whose sketch is computed for the NEW file ONLY — the base
-    * files' blobs are CARRIED from v1's manifest verbatim (sketched
-    * once at write time, never re-scanned: the whole point).
-    * Idempotent via the log like the other fixtures. */
+    * sketch blobs committed alongside; v2 appends the %97 re-keyed
+    * [[poisonShard]] — whose rows keep their ORIGINAL custkeys, the
+    * property the i25 oracle depends on (v2's exact distinct-custkey
+    * set equals the base table's) — with a sketch computed for the
+    * NEW file ONLY; the base files' blobs are CARRIED from v1's
+    * manifest verbatim (sketched once at write time, never
+    * re-scanned: the whole point). Idempotent via the log like the
+    * other fixtures. */
   def ndvOrdersTable(s: SparkSession, d: String): String = synchronized {
     val table = stamped(s, d) + "_ndv"
     if (currentVersion(s, table) == 0L) {

@@ -303,8 +303,14 @@ object CdcStream {
         case None => SnapshotLog.fileStats(s,
           (untouched ++ newFiles).map(_._1), key)
       }
+      // ndv blobs follow the same carry rule as stats: untouched
+      // files keep theirs, rewritten files' blobs are dropped (they
+      // describe dead files; no recompute here — the sketched column
+      // may differ from the CDC key). Coverage-sensitive consumers
+      // check blobs-per-file like i25's gate does.
+      val carriedNdv = m.ndv.filter { case (f, _) => untouchedSet(f) }
       val v = SnapshotLog.commit(s, table, opName(batchId),
-        untouched ++ newFiles, Some(cur), newStats)
+        untouched ++ newFiles, Some(cur), newStats, ndv = carriedNdv)
       // record the applied batchId IMMEDIATELY after the commit (the
       // idempotence guard)
       writeTxn(s, table, batchId, v)
@@ -344,8 +350,10 @@ object CdcStream {
     val dir = s"$table/data/deletes/${opName(batchId)}"
     keys.select(col(key)).where(col(key).isNotNull).distinct()
       .coalesce(1).write.mode("overwrite").parquet(dir)
+    // data files untouched → stats AND ndv blobs carry verbatim
     val v = SnapshotLog.commit(s, table, opName(batchId), m.files,
-      Some(cur), m.stats, m.deletes ++ SnapshotLog.dataFiles(s, dir))
+      Some(cur), m.stats, m.deletes ++ SnapshotLog.dataFiles(s, dir),
+      m.ndv)
     writeTxn(s, table, batchId, v)
     v
   }

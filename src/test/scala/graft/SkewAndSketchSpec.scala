@@ -66,28 +66,14 @@ class SkewAndSketchSpec extends AnyFunSuite {
     // a zero-error draw proves nothing about the envelope. The 10k-row
     // fixture exercises dense estimation on all three sketch terms.
     val big = "/root/testdata/sf0.01"
-    val tu = Tables.events(s, big).select(col("event_type"), col("user_id"))
-    val sk = tu.groupBy("event_type")
-      .agg(hll_sketch_agg(col("user_id")).as("sk"),
-        countDistinct(col("user_id")).as("nd"))
-    val est = sk.as("a").join(sk.as("b"),
-        col("a.event_type") < col("b.event_type"))
-      .select(col("a.event_type").as("type_a"),
-        col("b.event_type").as("type_b"),
-        (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk")) -
-          hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
-          .as("est_overlap"),
-        (col("a.nd") + col("b.nd")).as("nd_sum"))
-      .collect()
+    // the SAME construction the registered query runs (shared helper,
+    // not a copy — a drifted copy would measure the wrong pipeline)
+    val (estDf, exactDf) = Sketches.overlapLegs(s, big)
+    val est = estDf.collect()
     assert(est.length === 10) // C(5,2) event-type pairs
-    val du = tu.distinct()
-    val exact = du.select(col("event_type").as("type_a"), col("user_id"))
-      .join(du.select(col("event_type").as("type_b"), col("user_id")),
-        Seq("user_id"))
-      .filter(col("type_a") < col("type_b"))
-      .groupBy("type_a", "type_b").agg(count(lit(1)).as("x"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = exactDf.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("exact_overlap")).toMap
     est.foreach { r =>
       val key = (r.getString(0), r.getString(1))
       // hll_sketch_estimate returns LONG — the integer arithmetic keeps
