@@ -1284,7 +1284,7 @@ object Corpus {
           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM t)
-      SELECT source, (cum - n_tokens) // 512 AS seq_id,
+      SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
         COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       FROM c GROUP BY 1, 2 ORDER BY source, seq_id""",

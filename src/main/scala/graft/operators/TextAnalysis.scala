@@ -556,9 +556,14 @@ object TextAnalysis {
       val zipfPts = Tables.documents(s, d)
         .select(explode(toksCol).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
+        // Top-256 FIRST via a distributed TakeOrderedAndProject (the
+        // c06 shape) — each partition keeps its local 256, the driver
+        // merges; the rank window then sees exactly 256 rows instead
+        // of sorting the whole unigram vocabulary (O(10^8-10^9) types
+        // on a noisy crawl) through one empty-partition window.
+        .orderBy(col("cnt").desc, col("term")).limit(256)
         .withColumn("rnk", row_number().over(
-          Window.orderBy(col("cnt").desc, col("term")))) // vocab-sized
-        .filter(col("rnk") <= 256) // fixed probe cap (the c15 rule)
+          Window.orderBy(col("cnt").desc, col("term")))) // 256 rows max
         .select(round(log(col("rnk").cast(DoubleType)), 6).as("x"),
           round(log(col("cnt").cast(DoubleType)), 6).as("y"))
       // ---- Heaps leg: trigram types vs tokens at 32 doc-id buckets

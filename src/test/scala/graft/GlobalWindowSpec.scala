@@ -26,7 +26,7 @@ class GlobalWindowSpec extends AnyFunSuite {
     "a07_histogram_quantiles" ->
       "window over the merged 64-bin histogram vector — constant-sized sketch state, never rows",
     "c06_vocab_coverage" ->
-      "cumulative coverage over the DISTINCT-term aggregate — vocabulary-sized (Heaps'-law bounded), not token-stream-sized",
+      "cumulative coverage over the top-100 TakeOrderedAndProject result — a CONSTANT 100 rows reach the window (the vocab-sized aggregate is cut by limit(100) first)",
     "c13_domain_mixture" ->
       "weight table over the per-source aggregate — |sources| rows (~20), the broadcast side downstream",
     "c19_curriculum_order" ->
@@ -40,7 +40,7 @@ class GlobalWindowSpec extends AnyFunSuite {
     "t11_quality_classifier" ->
       "AUC rank over the held-out eval slice only — documented eval-sample-bounded; the training scan stays distributed",
     "t16_zipf_heaps" ->
-      "rank over the vocab-bounded term aggregate + OLS ordered sums over ≤256 capped regression points + 32-bucket cumsums — all Heaps'-bounded or constant-sized, never rows")
+      "rank over the top-256 TakeOrderedAndProject result (CONSTANT 256 rows — the vocab aggregate is cut by limit(256) before any window) + OLS ordered sums over ≤256 regression points + 32-bucket cumsums")
 
   test("only whitelisted queries plan an empty-partition Window") {
     val s = TestSpark.spark
