@@ -379,6 +379,69 @@ object Upsert {
         SnapshotLog.readManifest(s, table, vC).get.deletes.isEmpty
       cdcRollup(SnapshotLog.readAt(s, table, vC))
         .withColumn("stream_ok", lit(if (ok) 1L else 0L))
+    }),
+
+    // u10: MERGE-ON-READ equality UPDATES — the Hudi-MOR log-file
+    // path, and the write-amplification complement u08 gave deletes:
+    // an update-heavy CDC feed commits each batch as a SMALL file of
+    // full replacement rows (O(batch rows), one manifest, ZERO
+    // data-file rewrites) where u04's copy-on-write apply rewrites
+    // every touched file per batch. Readers overlay updates
+    // latest-wins per key at scan time, ordered by the manifest-
+    // carried SEQUENCE (the Iceberg sequence-number contract): here
+    // update(%11) → delete(%33) → update(%44 + fresh inserts)
+    // exercises all three interleavings — a later delete RETRACTS an
+    // update (%33 keys), a later update RE-INSERTS a deleted key
+    // (%132 keys), and update-over-update takes the newest (%44
+    // keys); upsert semantics admit brand-new keys (%199 +40M).
+    // Compaction folds the whole overlay in; mor_upd_ok pins the
+    // lifecycle (2 update files + 1 delete file before, none after,
+    // compacted read ≡ MOR read both ways). At 100 TB: a 1000-row
+    // update batch against a 100k-file table is one 1000-row file +
+    // one manifest — the read tax is a broadcast probe, paid until
+    // the maintenance-cadence compaction.
+    "u10_mor_update" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val table = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
+        "graft_u10_table").toString
+      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+      val orders = Tables.orders(s, d)
+      def reshape(df: DataFrame, st: String, dp: Double, pri: String) =
+        df.select(col("o_orderkey"), col("o_custkey"),
+          lit(st).as("o_orderstatus"),
+          (col("o_totalprice") + lit(dp)).as("o_totalprice"),
+          col("o_orderdate"), lit(pri).as("o_orderpriority"))
+      // seq 2: update every %11 key
+      SnapshotLog.updateMor(s, table,
+        reshape(orders.filter(col("o_orderkey") % 11 === 0),
+          "U1", 100.0, "1-MOR-UPD"), "o_orderkey")
+      // seq 3: delete every %33 key — retracts a third of the updates
+      SnapshotLog.deleteMor(s, table,
+        orders.filter(col("o_orderkey") % 33 === 0).select("o_orderkey"),
+        "o_orderkey")
+      // seq 4: update every %44 key (re-inserting the deleted %132
+      // keys) + brand-new %199 rows at +40M (the upsert half)
+      val u2 = reshape(orders.filter(col("o_orderkey") % 44 === 0),
+        "U2", 200.0, "2-MOR-UPD")
+      val ins = orders.filter(col("o_orderkey") % 199 === 0)
+        .select((col("o_orderkey") + lit(40000000L)).as("o_orderkey"),
+          col("o_custkey"), lit("N2").as("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"),
+          lit("9-NEW-MOR").as("o_orderpriority"))
+      SnapshotLog.updateMor(s, table, u2.unionByName(ins), "o_orderkey")
+      val vMor = SnapshotLog.currentVersion(s, table)
+      val m = SnapshotLog.readManifest(s, table, vMor).get
+      val mor = SnapshotLog.readMor(s, table, vMor, "o_orderkey")
+      val vC = SnapshotLog.compactMor(s, table, "o_orderkey")
+      val post = SnapshotLog.readManifest(s, table, vC).get
+      val compacted = SnapshotLog.readAt(s, table, vC)
+      val ok = m.updates.size == 2 && m.deletes.size == 1 &&
+        m.seqs.values.forall(_ >= 1) &&
+        post.updates.isEmpty && post.deletes.isEmpty &&
+        compacted.exceptAll(mor).limit(1).count() == 0 &&
+        mor.exceptAll(compacted).limit(1).count() == 0
+      cdcRollup(mor).withColumn("mor_upd_ok", lit(if (ok) 1L else 0L))
     })
   )
 
@@ -620,6 +683,30 @@ object Upsert {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         CAST(1 AS BIGINT) AS stream_ok
       FROM orders WHERE o_orderkey % 21 <> 0
-      GROUP BY 1, 2 ORDER BY 1, 2"""
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // u10: the three-way interleave replayed by sequence: any mutated
+    // key (%11 ∪ %44) loses its base row; the newest mutation wins —
+    // U2 for %44 (re-inserting the %132 deletions), gone for %33\%44,
+    // U1 for the rest of %11; %199 +40M rows are fresh upserts;
+    // mor_upd_ok replays as the pinned lifecycle constant
+    "u10_mor_update" -> """
+      WITH final AS (
+        SELECT o_orderstatus, o_totalprice, o_orderpriority FROM orders
+        WHERE o_orderkey % 11 <> 0 AND o_orderkey % 44 <> 0
+        UNION ALL
+        SELECT 'U2', o_totalprice + 200.0, '2-MOR-UPD'
+        FROM orders WHERE o_orderkey % 44 = 0
+        UNION ALL
+        SELECT 'U1', o_totalprice + 100.0, '1-MOR-UPD'
+        FROM orders WHERE o_orderkey % 11 = 0
+          AND o_orderkey % 33 <> 0 AND o_orderkey % 44 <> 0
+        UNION ALL
+        SELECT 'N2', o_totalprice, '9-NEW-MOR'
+        FROM orders WHERE o_orderkey % 199 = 0)
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(1 AS BIGINT) AS mor_upd_ok
+      FROM final GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

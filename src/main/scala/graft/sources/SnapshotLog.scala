@@ -58,19 +58,35 @@ object SnapshotLog {
     * equality-delete files (`d:` lines): small parquet files holding
     * deleted key values that readers anti-join at scan time, so a
     * delete commit is O(deleted keys), never a data-file rewrite
-    * (Iceberg v2 MOR). `ndv` carries optional per-file HLL sketch
-    * blobs (base64, `n:` lines) of one key column — the Iceberg
-    * Puffin / Theta-sketch pattern: a table-level distinct-count
-    * estimate is then a union-merge of the blobs already in the
-    * manifest, NO data scan (see [[fileNdv]] / i25). All three are
-    * optional line types older manifests simply lack and
-    * prefix-filtering parsers ignore — the format stays forward- and
-    * backward-compatible. */
+    * (Iceberg v2 MOR). `updates` carries merge-on-read equality-UPDATE
+    * files (`u:` lines, the Hudi MOR log-file shape): small parquet
+    * files of FULL replacement rows that readers overlay latest-wins
+    * at scan time, so an update commit is O(updated rows), never a
+    * data-file rewrite. `seqs` gives each mutation file (delete or
+    * update) its commit SEQUENCE — the Iceberg data-sequence-number
+    * idea, minimally: per key the highest-seq mutation wins, so a
+    * delete after an update retracts it and an update after a delete
+    * re-inserts, without any reader-side guessing (legacy lines
+    * without a seq field parse as seq 0; data rows are implicitly
+    * seq 0, masked by ANY mutation on their key). `ndv` carries
+    * optional per-file HLL sketch blobs (base64, `n:` lines) of one
+    * key column — the Iceberg Puffin / Theta-sketch pattern: a
+    * table-level distinct-count estimate is then a union-merge of the
+    * blobs already in the manifest, NO data scan (see [[fileNdv]] /
+    * i25). `schema` persists the TABLE schema (Spark StructType JSON,
+    * `schema:` line) at commit time — the Delta pattern: rewrites
+    * project to it, so schema evolution survives writers that never
+    * pass a mergeSchema flag. All are optional line types older
+    * manifests simply lack and prefix-filtering parsers ignore — the
+    * format stays forward- and backward-compatible. */
   case class Manifest(version: Long, parent: Long, op: String,
       files: Seq[(String, Long)],
       stats: Map[String, (Long, Long)] = Map.empty,
       deletes: Seq[(String, Long)] = Nil,
-      ndv: Map[String, String] = Map.empty)
+      ndv: Map[String, String] = Map.empty,
+      updates: Seq[(String, Long)] = Nil,
+      seqs: Map[String, Long] = Map.empty,
+      schema: Option[String] = None)
 
   /** Thrown in expected-parent mode when another writer committed
     * first — the caller re-reads table state and re-plans (the
@@ -213,6 +229,19 @@ object SnapshotLog {
       op  <- field("op")
     } yield {
       val committed = lines.takeWhile(_ != "end")
+      // mutation lines (d:/u:) optionally carry a trailing seq field;
+      // legacy d: lines without one parse as seq 0
+      def mutLines(prefix: String): (Seq[(String, Long)], Map[String, Long]) = {
+        val parsed = committed.filter(_.startsWith(prefix)).map { l =>
+          val parts = l.drop(2).split("\t", 3)
+          (parts(0), parts(1).toLong,
+            if (parts.length >= 3) parts(2).toLong else 0L)
+        }
+        (parsed.map(p => (p._1, p._2)),
+          parsed.filter(_._3 != 0L).map(p => p._1 -> p._3).toMap)
+      }
+      val (dels, dSeqs) = mutLines("d:")
+      val (upds, uSeqs) = mutLines("u:")
       Manifest(ver, par, op,
         committed.filter(_.startsWith("f:")).map { l =>
           val Array(path, len) = l.drop(2).split("\t", 2)
@@ -222,20 +251,26 @@ object SnapshotLog {
           val Array(path, mn, mx) = l.drop(2).split("\t", 3)
           path -> (mn.toLong, mx.toLong)
         }.toMap,
-        committed.filter(_.startsWith("d:")).map { l =>
-          val Array(path, len) = l.drop(2).split("\t", 2)
-          (path, len.toLong)
-        },
+        dels,
         committed.filter(_.startsWith("n:")).map { l =>
           val Array(path, b64) = l.drop(2).split("\t", 2)
           path -> b64
-        }.toMap)
+        }.toMap,
+        upds,
+        dSeqs ++ uSeqs,
+        field("schema"))
     }
   }
 
-  private def render(m: Manifest): String =
+  private def render(m: Manifest): String = {
+    def mutLine(prefix: String)(p: String, l: Long): String =
+      m.seqs.get(p) match {
+        case Some(q) => s"$prefix$p\t$l\t$q"
+        case None => s"$prefix$p\t$l"
+      }
     (Seq(s"graft-snapshot:1", s"version:${m.version}", s"parent:${m.parent}",
       s"op:${m.op}") ++
+      m.schema.map(js => s"schema:$js").toSeq ++
       m.files.map { case (p, l) => s"f:$p\t$l" } ++
       // stats only for files this manifest names (sorted: render is
       // deterministic so identical commits are byte-identical)
@@ -243,7 +278,10 @@ object SnapshotLog {
         m.stats.get(p).map { case (mn, mx) => s"s:$p\t$mn\t$mx" } } ++
       m.files.flatMap { case (p, _) =>
         m.ndv.get(p).map(b64 => s"n:$p\t$b64") } ++
-      m.deletes.map { case (p, l) => s"d:$p\t$l" } :+ "end").mkString("\n")
+      m.deletes.map { case (p, l) => mutLine("d:")(p, l) } ++
+      m.updates.map { case (p, l) => mutLine("u:")(p, l) } :+ "end")
+      .mkString("\n")
+  }
 
   /** Atomically create `path` with `content`, failing if it already
     * exists. `file:` scheme goes through java.nio CREATE_NEW — true
@@ -279,15 +317,27 @@ object SnapshotLog {
       expectedParent: Option[Long] = None,
       stats: Map[String, (Long, Long)] = Map.empty,
       deletes: Seq[(String, Long)] = Nil,
-      ndv: Map[String, String] = Map.empty): Long = {
+      ndv: Map[String, String] = Map.empty,
+      updates: Seq[(String, Long)] = Nil,
+      seqs: Map[String, Long] = Map.empty,
+      schema: Option[String] = None): Long = {
     // the manifest format is line/tab-delimited: an op or path
     // carrying those characters would write a manifest that parses
     // into the WRONG file list — reject loudly instead
     require(!op.exists(c => c == '\n' || c == '\r' || c == '\t'),
       s"op must be single-line, got: ${op.take(80)}")
-    (files ++ deletes).foreach { case (p, _) =>
+    (files ++ deletes ++ updates).foreach { case (p, _) =>
       require(!p.exists(c => c == '\n' || c == '\r' || c == '\t'),
         s"file path contains manifest delimiters: ${p.take(120)}") }
+    // a non-positive seq would tie with the implicit data-row seq 0
+    // and make the latest-wins collapse ambiguous — reject it here
+    seqs.foreach { case (p, q) =>
+      require(q >= 1, s"mutation seq must be >= 1, got $q for $p") }
+    // StructType.json is compact single-line JSON; anything else would
+    // corrupt the line format
+    schema.foreach(js =>
+      require(!js.exists(c => c == '\n' || c == '\r' || c == '\t'),
+        "schema JSON must be single-line (StructType.json)"))
     // an inverted range would silently prune a file that DOES contain
     // matching keys — the one failure mode advisory stats must not
     // have; reject it loudly at the source instead of trusting readers
@@ -313,7 +363,8 @@ object SnapshotLog {
         if (cur != p) throw new SnapshotConflict(
           s"table $table moved to v$cur while writer derived from v$p")
       }
-      val m = Manifest(attempt, attempt - 1, op, files, stats, deletes, ndv)
+      val m = Manifest(attempt, attempt - 1, op, files, stats, deletes, ndv,
+        updates, seqs, schema)
       try {
         publishAtomic(s, vPath(table, attempt), render(m))
         writeCkptHint(s, table, attempt) // advisory; loss = no shortcut
@@ -409,12 +460,29 @@ object SnapshotLog {
       lo: Long, hi: Long): DataFrame = {
     val m = readManifest(s, table, v).getOrElse(throw new IllegalArgumentException(
       s"no committed snapshot v$v in $table"))
+    // update files carry full rows whose key column this signature
+    // does not name — a pruned read cannot overlay them; fail loudly
+    // instead of silently returning pre-update values (compact first,
+    // or read through readMor)
+    require(m.updates.isEmpty,
+      s"readAtPruned on $table v$v: snapshot carries MOR update files — " +
+        "use readMor (or compactMor first); a pruned read cannot overlay them")
     val kept = m.files.map(_._1).filter { p =>
       m.stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } }
     lastPrunePlanned = kept.size
     lastPruneSkipped = m.files.size - kept.size
-    if (kept.isEmpty) readAt(s, table, v).limit(0)
-    else s.read.parquet(kept: _*)
+    val base =
+      if (kept.isEmpty) readAt(s, table, v).limit(0)
+      else s.read.parquet(kept: _*)
+    // MOR deletes apply here exactly as in readMor — a pruned read of
+    // a delete-carrying table must not resurrect deleted rows (the
+    // delete file is single-column by construction, which names the
+    // equality key without the caller passing it)
+    if (m.deletes.isEmpty) base
+    else {
+      val dk = s.read.parquet(m.deletes.map(_._1): _*).distinct()
+      base.join(broadcast(dk), dk.columns.toSeq, "left_anti")
+    }
   }
 
   /** Commit a MERGE-ON-READ equality delete: `keys` (one column named
@@ -422,7 +490,10 @@ object SnapshotLog {
     * carries the SAME data files plus the delete file — O(deleted
     * keys) work and one atomic commit, never a data-file rewrite.
     * Deletes accumulate across versions until [[compactMor]] folds
-    * them in; [[readMor]] applies them at scan time. */
+    * them in; [[readMor]] applies them at scan time. The delete file
+    * gets the next commit's SEQUENCE, so it beats any earlier update
+    * file on the same key (and loses to a later one) — the Iceberg
+    * sequence-number contract. */
   def deleteMor(s: SparkSession, table: String, keys: DataFrame,
       key: String): Long = {
     val cur = currentVersion(s, table)
@@ -430,47 +501,150 @@ object SnapshotLog {
       s"MOR delete against unseeded $table"))
     val dir = s"$table/data/deletes/${java.util.UUID.randomUUID}"
     keys.select(col(key)).distinct().coalesce(1).write.parquet(dir)
+    val df = dataFiles(s, dir)
     // data files are untouched, so stats AND ndv blobs carry verbatim
     // (post-delete the blob NDV is an upper bound until compaction —
-    // advisory metadata, like stats under MOR)
+    // advisory metadata, like stats under MOR); updates, seqs and the
+    // persisted schema carry too (the i25/r11 carry-forward lesson)
     commit(s, table, "mor-delete", m.files, Some(cur),
-      m.stats, m.deletes ++ dataFiles(s, dir), m.ndv)
+      m.stats, m.deletes ++ df, m.ndv,
+      updates = m.updates, seqs = m.seqs ++ df.map(_._1 -> (cur + 1)),
+      schema = m.schema)
   }
 
-  /** Read snapshot `v` with its equality deletes applied: one
-    * left-anti join of the data scan against the (small, broadcast)
-    * union of delete files. Reader cost is the scan + one broadcast
-    * probe per row — the Iceberg v2 read path. */
+  /** Commit a MERGE-ON-READ equality UPDATE (u10, the Hudi MOR
+    * log-file shape): `rows` are FULL replacement rows (one per key —
+    * collapse the batch first if it can carry duplicates) written as a
+    * small update file the new snapshot carries as a `u:` line with
+    * the next commit's sequence. O(batch rows) + one manifest, ZERO
+    * data-file rewrites — where the copy-on-write apply (u04) rewrites
+    * every touched file per batch, an update-heavy CDC feed commits
+    * here and pays the rewrite ONCE at [[compactMor]] time. Readers
+    * ([[readMor]]) overlay updates latest-wins per key at scan time:
+    * an update row masks the key's data row; a LATER delete retracts
+    * the update; a later update to a deleted key re-inserts it —
+    * all decided by the per-file sequence, never by guesswork.
+    * Semantics are upsert: a key absent from the data files is an
+    * insert. */
+  def updateMor(s: SparkSession, table: String, rows: DataFrame,
+      key: String): Long = updateMorAs(s, table, rows, key, "mor-update")
+
+  /** [[updateMor]] with a caller-chosen op string — the streaming
+    * layer stamps its (appId, batchId) marker here so a replayed
+    * batch is detectable in the crash window. */
+  def updateMorAs(s: SparkSession, table: String, rows: DataFrame,
+      key: String, op: String): Long = {
+    val cur = currentVersion(s, table)
+    val m = readManifest(s, table, cur).getOrElse(throw new IllegalStateException(
+      s"MOR update against unseeded $table"))
+    val dir = s"$table/data/updates/${java.util.UUID.randomUUID}"
+    rows.where(col(key).isNotNull).coalesce(1).write.parquet(dir)
+    val uf = dataFiles(s, dir)
+    // data files untouched: stats/ndv carry (advisory under MOR —
+    // updated rows may drift outside a file's recorded range only if
+    // the update REKEYS, which equality updates by definition do not)
+    commit(s, table, op, m.files, Some(cur),
+      m.stats, m.deletes, m.ndv,
+      updates = m.updates ++ uf, seqs = m.seqs ++ uf.map(_._1 -> (cur + 1)),
+      schema = m.schema)
+  }
+
+  /** The snapshot's data files as one scan, projected to the
+    * PERSISTED table schema when the manifest carries one (mergeSchema
+    * union + null-fill for columns a file predates) — the Delta
+    * read-through-log-schema contract; footer-schema read otherwise. */
+  private def dataScan(s: SparkSession, m: Manifest): DataFrame = {
+    val raw = s.read.option("mergeSchema", m.schema.isDefined.toString)
+      .parquet(m.files.map(_._1): _*)
+    m.schema match {
+      case Some(js) =>
+        val st = DataType.fromJson(js).asInstanceOf[StructType]
+        raw.select(st.fields.toSeq.map(f =>
+          if (raw.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      case None => raw
+    }
+  }
+
+  /** Mutation files (d:/u: entries) as one DataFrame with their
+    * manifest-carried sequence attached as `__seq`. Per-file reads
+    * unioned — plan size is bounded by the mutation-file count, which
+    * compaction (and the CDC apply's fold) keeps small by
+    * construction. */
+  private def mutationScan(s: SparkSession, m: Manifest,
+      entries: Seq[(String, Long)]): Option[DataFrame] =
+    if (entries.isEmpty) None
+    else Some(entries.map { case (p, _) =>
+      s.read.parquet(p).withColumn("__seq", lit(m.seqs.getOrElse(p, 0L)))
+    }.reduce(_.unionByName(_, allowMissingColumns = true)))
+
+  /** Overlay a snapshot's MOR mutations (equality deletes + equality
+    * updates) on its data scan: per key the HIGHEST-sequence mutation
+    * wins (update → its replacement row is live; delete → the key is
+    * gone), and ANY mutation on a key masks its data row (data rows
+    * are implicitly sequence 0). All mutation state is small by
+    * construction — every join below broadcasts it; the data scan is
+    * never shuffled. */
+  private def applyMutations(s: SparkSession, m: Manifest, key: String,
+      data: DataFrame): DataFrame = {
+    val del = mutationScan(s, m, m.deletes)
+    val upd = mutationScan(s, m, m.updates)
+    (del, upd) match {
+      case (None, None) => data
+      case (Some(dk), None) => // pure-delete fast path (u08/u09 shape)
+        data.join(broadcast(dk.select(key).distinct()), Seq(key), "left_anti")
+      case _ =>
+        val muts = del.map(_.select(col(key), col("__seq"),
+            lit(0).as("__upd"))).toSeq ++
+          upd.map(_.select(col(key), col("__seq"), lit(1).as("__upd"))).toSeq
+        val all = muts.reduce(_.unionByName(_))
+        // winner per key: max (seq, kind) — seqs are unique per commit,
+        // so the kind tiebreak only disambiguates legacy seq-0 files
+        val win = all.groupBy(key)
+          .agg(max(struct(col("__seq"), col("__upd"))).as("w"))
+          .select(col(key), col("w.__seq").as("__seq"),
+            col("w.__upd").as("__upd"))
+        val liveUpd = upd.get.join(
+          broadcast(win.filter(col("__upd") === 1).select(key, "__seq")),
+          Seq(key, "__seq"), "left_semi").drop("__seq")
+        data.join(broadcast(win.select(key)), Seq(key), "left_anti")
+          .unionByName(liveUpd, allowMissingColumns = true)
+    }
+  }
+
+  /** Read snapshot `v` with its equality deletes AND updates applied:
+    * the data scan anti-joins the (small, broadcast) mutation key set,
+    * then latest-wins update rows union in. Reader cost is the scan +
+    * one broadcast probe per row — the Iceberg v2 / Hudi MOR read
+    * path. */
   def readMor(s: SparkSession, table: String, v: Long,
       key: String): DataFrame = {
     val m = readManifest(s, table, v).getOrElse(throw new IllegalArgumentException(
       s"no committed snapshot v$v in $table"))
-    val data = s.read.parquet(m.files.map(_._1): _*)
-    if (m.deletes.isEmpty) data
-    else data.join(
-      broadcast(s.read.parquet(m.deletes.map(_._1): _*).distinct()),
-      Seq(key), "left_anti")
+    applyMutations(s, m, key, dataScan(s, m))
   }
 
-  /** Fold accumulated equality deletes into the data files: rewrite
-    * the surviving rows, commit a snapshot with NO delete files. The
-    * Iceberg `rewrite_data_files` maintenance step — readers before
-    * and after see the identical row set ([[readMor]] ≡ plain
-    * [[readAt]] post-compaction); delete-file anti-join cost is paid
-    * once here instead of on every subsequent read. */
+  /** Fold accumulated equality deletes and updates into the data
+    * files: rewrite the surviving rows, commit a snapshot with NO
+    * mutation files. The Iceberg `rewrite_data_files` maintenance step
+    * — readers before and after see the identical row set ([[readMor]]
+    * ≡ plain [[readAt]] post-compaction); the mutation-overlay cost is
+    * paid once here instead of on every subsequent read. */
   def compactMor(s: SparkSession, table: String, key: String): Long = {
     val cur = currentVersion(s, table)
     val m = readManifest(s, table, cur).getOrElse(throw new IllegalStateException(
       s"MOR compaction against unseeded $table"))
-    if (m.deletes.isEmpty) return cur
+    if (m.deletes.isEmpty && m.updates.isEmpty) return cur
     val dir = s"$table/data/compact-v$cur"
     readMor(s, table, cur, key)
       .repartition(math.max(1, m.files.size)).write.parquet(dir)
     // carried stats/ndv would describe the REWRITTEN-AWAY files —
     // deliberately dropped (the compaction column may differ from the
     // sketched one, so recomputing here could sketch the wrong key;
-    // the next stats-aware writer re-attaches them)
-    commit(s, table, "mor-compact", dataFiles(s, dir), Some(cur))
+    // the next stats-aware writer re-attaches them). The persisted
+    // schema is TABLE-level, not file-level — it carries.
+    commit(s, table, "mor-compact", dataFiles(s, dir), Some(cur),
+      schema = m.schema)
   }
 
   // -----------------------------------------------------------------
@@ -505,7 +679,14 @@ object SnapshotLog {
       val lines = text.split("\n").filter(_.nonEmpty)
       require(lines.length == 2 && lines(1) == "end", "torn publish pointer")
       lines(0).toLong
-    }.getOrElse(0L)
+    }.getOrElse(
+      // missing means "nothing published" (0 above); UNREADABLE must
+      // fail CLOSED — mapping a torn pointer to 0 would let expire()
+      // delete the published snapshot's files out from under consumers
+      // and let publish()'s monotonic guard accept a backwards move
+      throw new java.io.IOException(
+        s"unreadable/torn _published pointer for $table — failing closed " +
+          "(restore it or delete it explicitly before expire/publish)"))
   }
 
   /** Atomically advance the publish pointer to committed version `v`
@@ -565,7 +746,7 @@ object SnapshotLog {
       cutoff = cur - keepLast + 1 // retain [cutoff, cur]
       retained = (cutoff to cur)
         .flatMap(v => readManifest(s, table, v))
-        .flatMap(m => (m.files ++ m.deletes).map(_._1)).toSet
+        .flatMap(m => (m.files ++ m.deletes ++ m.updates).map(_._1)).toSet
       val recheck = currentVersion(s, table)
       if (recheck == cur) stable = true else cur = recheck
     }
@@ -575,11 +756,12 @@ object SnapshotLog {
     val pub = publishedVersion(s, table)
     if (pub >= 1 && pub < cutoff)
       retained ++= readManifest(s, table, pub).toSeq
-        .flatMap(m => (m.files ++ m.deletes).map(_._1))
+        .flatMap(m => (m.files ++ m.deletes ++ m.updates).map(_._1))
     val expired = (1L until cutoff)
       .filter(v => v != pub)
       .flatMap(v => readManifest(s, table, v).map(v -> _))
-    val doomed = expired.flatMap(e => (e._2.files ++ e._2.deletes).map(_._1))
+    val doomed = expired.flatMap(e =>
+      (e._2.files ++ e._2.deletes ++ e._2.updates).map(_._1))
       .distinct.filterNot(retained)
     // data first, manifests second: a crash between the two leaves
     // expired manifests pointing at deleted files — readManifest still
@@ -614,7 +796,7 @@ object SnapshotLog {
     val fs = fsOf(s)
     val referenced = (1L to currentVersion(s, table))
       .flatMap(v => readManifest(s, table, v))
-      .flatMap(m => (m.files ++ m.deletes).map(_._1)).toSet
+      .flatMap(m => (m.files ++ m.deletes ++ m.updates).map(_._1)).toSet
     val dataRoot = new org.apache.hadoop.fs.Path(s"$table/data")
     if (!fs.exists(dataRoot)) return Nil
     val it = fs.listFiles(dataRoot, true)

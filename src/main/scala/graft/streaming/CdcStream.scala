@@ -53,7 +53,11 @@ object CdcStream {
     val stats =
       if (key == null) Map.empty[String, (Long, Long)]
       else SnapshotLog.fileStats(s, files.map(_._1), key)
-    SnapshotLog.commit(s, table, "base-load", files, Some(0L), stats)
+    // persist the table schema in the manifest (the Delta pattern):
+    // every later rewrite projects to it, so an evolveSchema widen
+    // sticks even when a later batch never passes the flag
+    SnapshotLog.commit(s, table, "base-load", files, Some(0L), stats,
+      schema = Some(shaped.schema.json))
   }
 
   // -----------------------------------------------------------------
@@ -101,34 +105,46 @@ object CdcStream {
     * rather than hold an unbounded key set on the driver. */
   private val MaxPruneKeys = 100000L
 
-  private def opName(batchId: Long) = s"cdc-batch-$batchId"
+  private def opName(appId: String, batchId: Long) = s"$appId-batch-$batchId"
 
   // -----------------------------------------------------------------
-  // Transaction sidecar — the Delta `txn` (appId, version) pattern.
-  // `$table/_txn/last` records the highest APPLIED batchId and the
-  // snapshot version that commit landed as, replaced atomically
-  // (temp + rename, `end` sentinel) after every successful apply.
-  // Structured Streaming batchIds are monotonic per checkpoint, so
-  // "already applied" is ONE sidecar read: batchId <= lastApplied.
-  // The round-10 probe instead re-parsed EVERY manifest (1..current)
-  // per micro-batch — O(table history) metadata reads that a
-  // long-lived CDC table (10^5 commits) pays on every batch, and
-  // which silently broke once expire() deleted an old cdc-batch-N
-  // manifest. The sidecar lives OUTSIDE `_log`, so expire never
-  // touches it; the only manifests ever probed are the handful newer
-  // than the sidecar's version (the crash-window heal below), which
-  // are exactly the ones expire retains.
+  // Transaction sidecar — the Delta `txn` (appId, version) pattern,
+  // INCLUDING the appId half: `$table/_txn/<appId>` records the
+  // highest batchId APPLIED BY THAT STREAM and the snapshot version
+  // its commit landed as, replaced atomically (temp + rename, `end`
+  // sentinel) after every successful apply. Structured Streaming
+  // batchIds are monotonic PER CHECKPOINT, so "already applied" is
+  // ONE sidecar read: batchId <= lastApplied — but only per stream:
+  // an upsert stream and a delete stream on the same table each start
+  // their checkpoints at batchId 0, and a shared sidecar would make
+  // each skip the other's batchIds as already-applied (exactly why
+  // Delta keys txn on (appId, version)). The appId is folded into the
+  // commit op string too, so the crash-window manifest probe below
+  // distinguishes streams the same way. The round-10 probe instead
+  // re-parsed EVERY manifest (1..current) per micro-batch — O(table
+  // history) metadata reads that a long-lived CDC table (10^5
+  // commits) pays on every batch, and which silently broke once
+  // expire() deleted an old cdc-batch-N manifest. Sidecars live
+  // OUTSIDE `_log`, so expire never touches them; the only manifests
+  // ever probed are the handful newer than the sidecar's version (the
+  // crash-window heal below), which are exactly the ones expire
+  // retains.
   // -----------------------------------------------------------------
 
   /** Manifest reads spent by the last idempotence probe — exposed for
     * the O(1) spec (observability, not state). */
   @volatile private[graft] var lastIdempotenceManifestReads: Int = -1
 
-  private def txnPath(table: String) =
-    new org.apache.hadoop.fs.Path(s"$table/_txn/last")
+  private def txnPath(table: String, appId: String) = {
+    require(appId.nonEmpty && appId.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"appId must be a simple token (path + op-string safe): $appId")
+    new org.apache.hadoop.fs.Path(s"$table/_txn/$appId")
+  }
 
-  private def readTxn(s: SparkSession, table: String): Option[(Long, Long)] = {
-    val fs = fsOf(s); val p = txnPath(table)
+  private def readTxn(s: SparkSession, table: String,
+      appId: String): Option[(Long, Long)] = {
+    val fs = fsOf(s); val p = txnPath(table, appId)
     if (!fs.exists(p)) return None
     scala.util.Try {
       val in = fs.open(p)
@@ -141,28 +157,29 @@ object CdcStream {
     }.toOption
   }
 
-  private def writeTxn(s: SparkSession, table: String, batchId: Long,
-      v: Long): Unit = {
+  private def writeTxn(s: SparkSession, table: String, appId: String,
+      batchId: Long, v: Long): Unit = {
     val fs = fsOf(s)
-    val dst = txnPath(table)
+    val dst = txnPath(table, appId)
     fs.mkdirs(dst.getParent)
     val tmp = new org.apache.hadoop.fs.Path(
-      dst.getParent, s".last.tmp-${java.util.UUID.randomUUID}")
+      dst.getParent, s".$appId.tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(s"$batchId\t$v\nend".getBytes("UTF-8")) finally out.close()
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
   }
 
-  /** Already applied? O(1) in steady state: one sidecar read. The
-    * crash window (commit landed, sidecar write lost) is healed by
-    * probing ONLY the manifests newer than the sidecar's version —
-    * normally zero of them, a handful if compactors committed in
-    * between. A missing/torn sidecar degrades to the full-history
-    * probe (legacy tables, first batch), never to a wrong answer. */
-  private def alreadyApplied(s: SparkSession, table: String,
+  /** Already applied BY THIS STREAM? O(1) in steady state: one
+    * sidecar read. The crash window (commit landed, sidecar write
+    * lost) is healed by probing ONLY the manifests newer than the
+    * sidecar's version — normally zero of them, a handful if
+    * compactors committed in between. A missing/torn sidecar degrades
+    * to the full-history probe (legacy tables, first batch), never to
+    * a wrong answer. */
+  private def alreadyApplied(s: SparkSession, table: String, appId: String,
       batchId: Long): Boolean = {
-    readTxn(s, table) match {
+    readTxn(s, table, appId) match {
       case Some((lastId, lastVer)) =>
         if (batchId <= lastId) { lastIdempotenceManifestReads = 0; true }
         else {
@@ -170,18 +187,64 @@ object CdcStream {
           val probed = (lastVer + 1) to cur
           lastIdempotenceManifestReads = probed.size
           val hit = probed.find(v => SnapshotLog.readManifest(s, table, v)
-            .exists(_.op == opName(batchId)))
-          hit.foreach(v => writeTxn(s, table, batchId, v)) // heal
+            .exists(_.op == opName(appId, batchId)))
+          hit.foreach(v => writeTxn(s, table, appId, batchId, v)) // heal
           hit.isDefined
         }
       case None =>
         val cur = SnapshotLog.currentVersion(s, table)
         lastIdempotenceManifestReads = cur.toInt
         val hit = (1L to cur).find(v => SnapshotLog.readManifest(s, table, v)
-          .exists(_.op == opName(batchId)))
-        hit.foreach(v => writeTxn(s, table, batchId, v)) // heal
+          .exists(_.op == opName(appId, batchId)))
+        hit.foreach(v => writeTxn(s, table, appId, batchId, v)) // heal
         hit.isDefined
     }
+  }
+
+  /** The mutation files among `entries` that contain one of the
+    * batch's keys, carried forward MINUS those keys: the batch is the
+    * newest authority on every key it names, so a pending delete or
+    * update for a batch key must not outlive this commit (a carried
+    * delete would mask the batch's fresh insert; a carried update
+    * would override it). Files WITHOUT batch keys carry verbatim
+    * (zero IO); hit files are rewritten in ONE job partitioned by
+    * their manifest sequence, which each remainder KEEPS — relative
+    * order against every other pending mutation is what makes the
+    * latest-wins collapse correct, so a carry must never re-sequence.
+    * Cost: one key-column scan of the (small) mutation state + one
+    * tiny write — O(mutation state), never O(table). */
+  private def carryMutations(s: SparkSession, table: String,
+      m: SnapshotLog.Manifest, entries: Seq[(String, Long)],
+      key: String, batchKeys: DataFrame,
+      outDir: String): (Seq[(String, Long)], Map[String, Long]) = {
+    if (entries.isEmpty) return (Nil, Map.empty)
+    val hits = s.read.option("mergeSchema", "true")
+      .parquet(entries.map(_._1): _*)
+      .select(col(key), col("_metadata.file_path").as("__f"))
+      .join(broadcast(batchKeys), Seq(key), "left_semi")
+      .select("__f").distinct().collect() // bounded by mutation-file count
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+      .toSet
+    val kept = entries.filterNot(e => hits(e._1))
+    val keptSeqs = kept.flatMap { case (p, _) => m.seqs.get(p).map(p -> _) }
+    if (hits.isEmpty) return (kept, keptSeqs.toMap)
+    val hitEntries = entries.filter(e => hits(e._1))
+    hitEntries.map { case (p, _) =>
+      s.read.parquet(p).withColumn("__seq", lit(m.seqs.getOrElse(p, 0L)))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .join(broadcast(batchKeys), Seq(key), "left_anti")
+      .write.mode("overwrite").partitionBy("__seq").parquet(outDir)
+    val fs = fsOf(s)
+    val rewritten = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__seq="))
+      .toSeq.flatMap { st =>
+        val seq = st.getPath.getName.drop("__seq=".length).toLong
+        SnapshotLog.dataFiles(s, st.getPath.toUri.getPath)
+          .map { case (p, l) => (p, l, seq) }
+      }
+    (kept ++ rewritten.map(r => (r._1, r._2)),
+      keptSeqs.toMap ++ rewritten.filter(_._3 >= 1)
+        .map(r => r._1 -> r._3).toMap)
   }
 
   /** Apply one CDC micro-batch to the snapshot table. Idempotent on
@@ -201,20 +264,47 @@ object CdcStream {
     * the i17 read path. Default false preserves the strict contract:
     * unknown batch columns are dropped, the target schema is law. */
   def applyBatch(s: SparkSession, table: String, batch: DataFrame,
-      batchId: Long, key: String, evolveSchema: Boolean = false): Long = {
-    if (alreadyApplied(s, table, batchId)) return -1L
+      batchId: Long, key: String, evolveSchema: Boolean = false,
+      appId: String = "cdc"): Long = {
+    if (alreadyApplied(s, table, appId, batchId)) return -1L
     val latest = Upsert.latestOps(batch, key).cache()
     try {
       if (latest.isEmpty) return -1L
       val cur = SnapshotLog.currentVersion(s, table)
       val m = SnapshotLog.readManifest(s, table, cur).getOrElse(
         throw new IllegalStateException(s"CDC apply against unseeded $table"))
-      val target = SnapshotLog.readAt(s, table, cur, mergeSchema = evolveSchema)
+      // the manifest-persisted schema (when present) is the
+      // authoritative column set — an evolveSchema widen recorded by
+      // an earlier batch survives every later batch that never passes
+      // the flag (the Delta persist-schema-in-log contract); legacy
+      // tables without one fall back to the read schema
+      val persisted: Option[org.apache.spark.sql.types.StructType] =
+        m.schema.map(js => org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val target = SnapshotLog.readAt(s, table, cur,
+        mergeSchema = evolveSchema || persisted.isDefined)
+      val baseCols: Array[String] =
+        persisted.map(_.fieldNames).getOrElse(target.columns)
       val newCols =
         if (!evolveSchema) Array.empty[String]
         else batch.columns.filterNot(c => c == "op" || c == "ts")
-          .filterNot(target.columns.contains)
-      val cols = target.columns ++ newCols
+          .filterNot(baseCols.contains)
+      val cols = baseCols ++ newCols
+      // column type: persisted schema first, then the current read,
+      // then the batch (the only source for a brand-new column)
+      def typeOf(c: String): org.apache.spark.sql.types.DataType =
+        persisted.filter(_.fieldNames.contains(c)).map(_(c).dataType)
+          .orElse(if (target.columns.contains(c))
+            Some(target.schema(c).dataType) else None)
+          .getOrElse(batch.schema(c).dataType)
+      // project any frame to the table's column set, null-filling
+      // columns the frame predates (survivor rows from old files, or
+      // a strict-mode batch on an evolved table — full-row CDC
+      // semantics: a column the batch doesn't carry is null)
+      def projectTo(df: DataFrame): DataFrame =
+        df.select(cols.toSeq.map(c =>
+          if (df.columns.contains(c)) col(c)
+          else lit(null).cast(typeOf(c)).as(c)): _*)
 
       // files containing an affected key. With manifest-carried stats
       // the batch's (small, sorted) key set probes each file's
@@ -264,27 +354,42 @@ object CdcStream {
           .toSet
       val (touchedFiles, untouched) = m.files.partition(f => touched(f._1))
 
+      // pending MOR mutation keys (equality deletes + updates): their
+      // data rows are dead by definition (any mutation masks the
+      // key's data row; live state is the winning mutation), so the
+      // rewrite drops them — a free mini-compaction, and the
+      // resurrection guard: a rewritten file must never re-expose a
+      // MOR-deleted survivor row
+      val mutationKeys: Option[DataFrame] = {
+        val parts =
+          (if (m.deletes.isEmpty) Nil
+           else Seq(s.read.parquet(m.deletes.map(_._1): _*)
+             .select(col(key)))) ++
+          (if (m.updates.isEmpty) Nil
+           else Seq(s.read.option("mergeSchema", "true")
+             .parquet(m.updates.map(_._1): _*).select(col(key))))
+        if (parts.isEmpty) None else Some(parts.reduce(_.unionByName(_)).distinct())
+      }
+
       // rewrite only the touched files: survivors (anti-join the
-      // broadcast key set) + applied non-delete ops
+      // broadcast batch-key set, then the broadcast mutation-key set)
+      // + applied non-delete ops
       val touchedScan =
         if (touchedFiles.isEmpty) target.limit(0)
-        else s.read.option("mergeSchema", evolveSchema.toString)
+        else s.read.option("mergeSchema",
+            (evolveSchema || persisted.isDefined).toString)
           .parquet(touchedFiles.map(_._1): _*)
-      // survivor rows null-fill columns their files predate (types
-      // taken from the batch — the schema source of the widening)
-      val survivorCols = cols.map(c =>
-        if (touchedScan.columns.contains(c)) col(c)
-        else lit(null).cast(batch.schema(c).dataType).as(c))
-      val rewritten = touchedScan
+      val survivorBase = touchedScan
         .join(broadcast(latest.select(key)), Seq(key), "left_anti")
-        .select(survivorCols: _*)
-        .unionByName(latest.filter(col("op") =!= "D")
-          .select(cols.map(col): _*))
+      val survivors = mutationKeys.fold(survivorBase)(mk =>
+        survivorBase.join(broadcast(mk), Seq(key), "left_anti"))
+      val rewritten = projectTo(survivors)
+        .unionByName(projectTo(latest.filter(col("op") =!= "D")))
       // output parallelism ∝ files being replaced: a batch that
       // touches k files writes ~k files back (collapsing to 1 would
       // funnel a multi-GB rewrite through one task at scale; growing
       // the count would fragment the layout — compaction's job)
-      val dir = s"$table/data/${opName(batchId)}"
+      val dir = s"$table/data/${opName(appId, batchId)}"
       rewritten.repartition(math.max(1, touchedFiles.size))
         .write.mode("overwrite").parquet(dir)
       val newFiles = SnapshotLog.dataFiles(s, dir)
@@ -309,23 +414,40 @@ object CdcStream {
       // may differ from the CDC key). Coverage-sensitive consumers
       // check blobs-per-file like i25's gate does.
       val carriedNdv = m.ndv.filter { case (f, _) => untouchedSet(f) }
-      val v = SnapshotLog.commit(s, table, opName(batchId),
-        untouched ++ newFiles, Some(cur), newStats, ndv = carriedNdv)
+      // pending MOR mutation files carry forward MINUS the batch's
+      // keys (the batch supersedes them), sequences preserved — a
+      // dropped delete file would resurrect MOR-deleted rows still
+      // physically present in untouched data files; a carried delete
+      // for a batch key would mask the batch's fresh insert
+      val batchKeyDf = latest.select(key)
+      val (carriedDel, delSeqs) = carryMutations(s, table, m, m.deletes,
+        key, batchKeyDf, s"$table/data/deletes/${opName(appId, batchId)}-carry")
+      val (carriedUpd, updSeqs) = carryMutations(s, table, m, m.updates,
+        key, batchKeyDf, s"$table/data/updates/${opName(appId, batchId)}-carry")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        cols.toSeq.map(c => org.apache.spark.sql.types.StructField(
+          c, typeOf(c), nullable = true)))
+      val v = SnapshotLog.commit(s, table, opName(appId, batchId),
+        untouched ++ newFiles, Some(cur), newStats,
+        deletes = carriedDel, ndv = carriedNdv, updates = carriedUpd,
+        seqs = delSeqs ++ updSeqs, schema = Some(outSchema.json))
       // record the applied batchId IMMEDIATELY after the commit (the
       // idempotence guard)
-      writeTxn(s, table, batchId, v)
+      writeTxn(s, table, appId, batchId, v)
       v
     } finally latest.unpersist()
   }
 
   /** Wire a CDC ops stream into the apply loop: one snapshot commit
-    * per micro-batch. Caller owns start()/awaitTermination. */
+    * per micro-batch. Caller owns start()/awaitTermination. `appId`
+    * must be unique per (table, checkpoint) pair — two streams
+    * sharing one appId would skip each other's batchIds. */
   def applyStream(s: SparkSession, table: String, ops: DataFrame,
-      key: String, checkpoint: String) =
+      key: String, checkpoint: String, appId: String = "cdc") =
     ops.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(s, table, batch, id, key); ()
+        applyBatch(s, table, batch, id, key, appId = appId); ()
       }
 
   /** Streaming MERGE-ON-READ delete: one equality-delete commit per
@@ -340,31 +462,61 @@ object CdcStream {
     * delete file, no second version. Returns the committed version or
     * -1 when already applied. */
   def deleteBatch(s: SparkSession, table: String, keys: DataFrame,
-      batchId: Long, key: String): Long = {
-    if (alreadyApplied(s, table, batchId)) return -1L
+      batchId: Long, key: String, appId: String = "cdc-del"): Long = {
+    if (alreadyApplied(s, table, appId, batchId)) return -1L
     val cur = SnapshotLog.currentVersion(s, table)
     val m = SnapshotLog.readManifest(s, table, cur).getOrElse(
       throw new IllegalStateException(s"MOR delete against unseeded $table"))
     // deterministic per-batch dir: a crash after the write but before
     // the commit leaves an orphan the retry simply overwrites
-    val dir = s"$table/data/deletes/${opName(batchId)}"
+    val dir = s"$table/data/deletes/${opName(appId, batchId)}"
     keys.select(col(key)).where(col(key).isNotNull).distinct()
       .coalesce(1).write.mode("overwrite").parquet(dir)
-    // data files untouched → stats AND ndv blobs carry verbatim
-    val v = SnapshotLog.commit(s, table, opName(batchId), m.files,
-      Some(cur), m.stats, m.deletes ++ SnapshotLog.dataFiles(s, dir),
-      m.ndv)
-    writeTxn(s, table, batchId, v)
+    val df = SnapshotLog.dataFiles(s, dir)
+    // data files untouched → stats, ndv blobs, pending updates and the
+    // persisted schema all carry verbatim; the new delete file gets
+    // the committing version as its sequence so it beats any earlier
+    // update on the same key
+    val v = SnapshotLog.commit(s, table, opName(appId, batchId), m.files,
+      Some(cur), m.stats, m.deletes ++ df, m.ndv,
+      updates = m.updates, seqs = m.seqs ++ df.map(_._1 -> (cur + 1)),
+      schema = m.schema)
+    writeTxn(s, table, appId, batchId, v)
     v
   }
 
   /** Wire a key-retraction stream into [[deleteBatch]]: one O(keys)
-    * delete commit per micro-batch. Caller owns start()/await. */
+    * delete commit per micro-batch. Caller owns start()/await. The
+    * default `appId` differs from [[applyStream]]'s, so an upsert
+    * stream and a delete stream on ONE table (each checkpoint's
+    * batchIds starting at 0) never skip each other's batches. */
   def deleteStream(s: SparkSession, table: String, keys: DataFrame,
-      key: String, checkpoint: String) =
+      key: String, checkpoint: String, appId: String = "cdc-del") =
     keys.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        deleteBatch(s, table, batch, id, key); ()
+        deleteBatch(s, table, batch, id, key, appId); ()
+      }
+
+  /** Wire a full-row update stream into [[SnapshotLog.updateMor]]:
+    * one O(batch rows) update-file commit per micro-batch, ZERO
+    * data-file rewrites — the update-heavy CDC shape (u10). Guarded by
+    * the same per-appId txn sidecar as the other streams. Returns the
+    * committed version or -1 when already applied. */
+  def updateBatch(s: SparkSession, table: String, rows: DataFrame,
+      batchId: Long, key: String, appId: String = "cdc-upd"): Long = {
+    if (alreadyApplied(s, table, appId, batchId)) return -1L
+    val v = SnapshotLog.updateMorAs(s, table, rows, key,
+      opName(appId, batchId))
+    writeTxn(s, table, appId, batchId, v)
+    v
+  }
+
+  def updateStream(s: SparkSession, table: String, rows: DataFrame,
+      key: String, checkpoint: String, appId: String = "cdc-upd") =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        updateBatch(s, table, batch, id, key, appId); ()
       }
 }

@@ -512,7 +512,7 @@ class StreamingSpec extends AnyFunSuite {
     // batch 1's commit landed but the process died before writeTxn)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
-    val txn = new org.apache.hadoop.fs.Path(s"$table/_txn/last")
+    val txn = new org.apache.hadoop.fs.Path(s"$table/_txn/cdc")
     fs.delete(txn, false)
     val out = fs.create(txn, true)
     try out.write("0\t2\nend".getBytes("UTF-8")) finally out.close()
