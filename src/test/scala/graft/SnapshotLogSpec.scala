@@ -457,11 +457,94 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.readManifest(s, table, 2L).isDefined, "published v2 expired")
     assert(SnapshotLog.readPublished(s, table).count() ===
       Tables.orders(s, d).filter(col("o_orderkey") % 7 === 1).count())
-    // torn pointer fails closed (0 = nothing published), never garbage
+    // torn pointer fails CLOSED by THROWING — mapping it to 0 would
+    // let expire() unprotect the published snapshot and let publish's
+    // monotonic guard accept a backwards move; only a MISSING pointer
+    // means "nothing published"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val ptr = new org.apache.hadoop.fs.Path(s"$table/_log/_published")
     val out = fs.create(ptr, true)
     try out.write("2".getBytes("UTF-8")) finally out.close() // no sentinel
+    intercept[java.io.IOException] { SnapshotLog.publishedVersion(s, table) }
+    intercept[java.io.IOException] { SnapshotLog.expire(s, table, 1) }
+    fs.delete(ptr, false)
     assert(SnapshotLog.publishedVersion(s, table) === 0L)
+  }
+
+  test("MOR updates: sequenced latest-wins overlay — delete retracts an " +
+      "earlier update, update re-inserts a deleted key, manifest round-trips") {
+    val table = freshTable()
+    seed(table, 0)
+    val base = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+    // seq 2: update %3 keys
+    val u1 = base.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderpriority", lit("U1"))
+    val v2 = SnapshotLog.updateMor(s, table, u1, "o_orderkey")
+    val m2 = SnapshotLog.readManifest(s, table, v2).get
+    assert(m2.files === SnapshotLog.readManifest(s, table, 1L).get.files,
+      "update commit rewrote data files")
+    assert(m2.updates.size === 1 && m2.seqs.values.forall(_ === 2L))
+    assert(SnapshotLog.readMor(s, table, v2, "o_orderkey")
+      .filter(col("o_orderpriority") === "U1").count() === u1.count())
+    // seq 3: delete %6 keys — retracts half the updates
+    val v3 = SnapshotLog.deleteMor(s, table,
+      base.filter(col("o_orderkey") % 6 === 0).select("o_orderkey"),
+      "o_orderkey")
+    val mor3 = SnapshotLog.readMor(s, table, v3, "o_orderkey")
+    assert(mor3.filter(col("o_orderkey") % 6 === 0).count() === 0L,
+      "a later delete failed to retract an earlier update")
+    assert(mor3.filter(col("o_orderpriority") === "U1").count() ===
+      base.filter(col("o_orderkey") % 3 === 0
+        && col("o_orderkey") % 6 =!= 0).count())
+    // seq 4: update %12 keys — re-inserts a quarter of the deletions
+    val u2 = base.filter(col("o_orderkey") % 12 === 0)
+      .withColumn("o_orderpriority", lit("U2"))
+    val v4 = SnapshotLog.updateMor(s, table, u2, "o_orderkey")
+    val mor4 = SnapshotLog.readMor(s, table, v4, "o_orderkey")
+    assert(mor4.filter(col("o_orderpriority") === "U2").count() === u2.count(),
+      "a later update failed to re-insert a deleted key")
+    // snapshot isolation: v3's read is untouched by v4's update
+    assert(SnapshotLog.readMor(s, table, v3, "o_orderkey")
+      .filter(col("o_orderkey") % 6 === 0).count() === 0L)
+    // compaction folds the whole overlay; readAt ≡ readMor
+    val vC = SnapshotLog.compactMor(s, table, "o_orderkey")
+    val post = SnapshotLog.readManifest(s, table, vC).get
+    assert(post.updates.isEmpty && post.deletes.isEmpty && post.seqs.isEmpty)
+    assert(SnapshotLog.readAt(s, table, vC).exceptAll(mor4).isEmpty)
+    assert(mor4.exceptAll(SnapshotLog.readAt(s, table, vC)).isEmpty)
+  }
+
+  test("readAtPruned applies MOR deletes and refuses update-carrying " +
+      "snapshots; schema line round-trips through commit") {
+    val table = freshTable()
+    val dir = s"$table/data/base"
+    val base = Tables.orders(s, d)
+    base.repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    val files = SnapshotLog.dataFiles(s, dir)
+    SnapshotLog.commit(s, table, "base", files, Some(0L),
+      stats = SnapshotLog.fileStats(s, files.map(_._1), "o_orderkey"),
+      schema = Some(base.schema.json))
+    assert(SnapshotLog.readManifest(s, table, 1L).get.schema
+      === Some(base.schema.json), "schema line lost in round-trip")
+    val v2 = SnapshotLog.deleteMor(s, table,
+      base.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+      "o_orderkey")
+    // the pruned read both prunes AND masks deleted rows
+    val pruned = SnapshotLog.readAtPruned(s, table, v2, "o_orderkey", 1L, 500L)
+    assert(SnapshotLog.lastPruneSkipped >= 1, "stats pruning stopped biting")
+    assert(pruned.filter(col("o_orderkey") % 5 === 0).count() === 0L,
+      "pruned read resurrected MOR-deleted rows")
+    assert(pruned.filter(col("o_orderkey").between(1L, 500L)).count() ===
+      base.filter(col("o_orderkey").between(1L, 500L)
+        && col("o_orderkey") % 5 =!= 0).count())
+    // update files cannot be overlaid by a pruned read — fail loudly
+    SnapshotLog.updateMor(s, table,
+      base.filter(col("o_orderkey") % 50 === 0)
+        .withColumn("o_orderpriority", lit("UX")), "o_orderkey")
+    intercept[IllegalArgumentException] {
+      SnapshotLog.readAtPruned(s, table,
+        SnapshotLog.currentVersion(s, table), "o_orderkey", 1L, 500L)
+    }
   }
 }

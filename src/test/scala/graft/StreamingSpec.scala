@@ -591,4 +591,135 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("o_orderpriority") === "N-UPD").count() === 2L)
     assert(got.filter(col("o_orderkey").isNull).count() === 1L)
   }
+
+  test("interleaved delete + upsert streams on one table: per-appId txn " +
+      "namespacing, no resurrection, batch supersedes pending deletes") {
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val table = java.nio.file.Files.createTempDirectory("graft_cdc_ilv").toString
+    CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+    val orders = Tables.orders(s, d)
+    val doomed = orders.filter(col("o_orderkey") % 21 === 0)
+      .select("o_orderkey")
+    // delete stream's batch 0 (appId cdc-del)
+    assert(CdcStream.deleteBatch(s, table, doomed, 0L, "o_orderkey") === 2L)
+    // upsert stream's batch 0 (appId cdc) — MUST apply despite the
+    // same batchId: each stream's checkpoint numbers from 0 (the
+    // Delta (appId, version) contract)
+    val b0 = orders.filter(col("o_orderkey") % 13 === 1)
+      .withColumn("o_orderpriority", lit("1-ILV"))
+      .withColumn("op", lit("U")).withColumn("ts", lit(1))
+    val v = CdcStream.applyBatch(s, table, b0, 0L, "o_orderkey")
+    assert(v === 3L, "shared txn state made the upsert skip the delete's batchId")
+    val m = SnapshotLog.readManifest(s, table, v).get
+    // the pending delete survived the upsert commit (carried, not
+    // dropped) and the upsert's freshly-written files contain no
+    // MOR-deleted rows (resurrection guard)
+    assert(m.deletes.nonEmpty, "applyBatch dropped the pending delete files")
+    val preFiles = SnapshotLog.readManifest(s, table, 2L).get.files.map(_._1).toSet
+    val newFiles = m.files.map(_._1).filterNot(preFiles)
+    assert(newFiles.nonEmpty)
+    // the new files may carry %21 keys the BATCH itself upserted
+    // (batch supersedes the pending delete — latest-wins), but never
+    // a deleted key the batch did not touch
+    assert(s.read.parquet(newFiles: _*)
+      .filter(col("o_orderkey") % 21 === 0
+        && col("o_orderkey") % 13 =!= 1).count() === 0L,
+      "rewritten files resurrected MOR-deleted rows")
+    // the merged read: deletions hold except where the batch
+    // re-upserted the key; every batch row is live
+    val mor = SnapshotLog.readMor(s, table, v, "o_orderkey")
+    assert(mor.filter(col("o_orderkey") % 21 === 0
+      && col("o_orderkey") % 13 =!= 1).count() === 0L)
+    assert(mor.filter(col("o_orderkey") % 21 === 0).count() ===
+      orders.filter(col("o_orderkey") % 21 === 0
+        && col("o_orderkey") % 13 === 1).count())
+    assert(mor.filter(col("o_orderpriority") === "1-ILV").count() ===
+      orders.filter(col("o_orderkey") % 13 === 1).count())
+    // upsert batch 1 re-INSERTS a deleted key: the batch is the
+    // newest authority — the carried delete must not mask it
+    val back = orders.filter(col("o_orderkey") % 21 === 0
+        && col("o_orderkey") % 13 =!= 1)
+      .orderBy("o_orderkey").limit(5)
+      .withColumn("o_orderpriority", lit("2-BACK"))
+      .withColumn("op", lit("I")).withColumn("ts", lit(2))
+    val v2 = CdcStream.applyBatch(s, table, back, 1L, "o_orderkey")
+    val mor2 = SnapshotLog.readMor(s, table, v2, "o_orderkey")
+    assert(mor2.filter(col("o_orderpriority") === "2-BACK").count() === 5L,
+      "a carried delete masked the batch's fresh insert")
+    assert(mor2.filter(col("o_orderkey") % 21 === 0).count() === 5L +
+      orders.filter(col("o_orderkey") % 21 === 0
+        && col("o_orderkey") % 13 === 1).count())
+    // both streams stay independently idempotent
+    assert(CdcStream.deleteBatch(s, table, doomed, 0L, "o_orderkey") === -1L)
+    assert(CdcStream.applyBatch(s, table, back, 1L, "o_orderkey") === -1L)
+  }
+
+  test("persisted schema: an evolveSchema widen survives later strict " +
+      "batches and a later evolve batch lacking the column") {
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val table = java.nio.file.Files.createTempDirectory("graft_cdc_sch").toString
+    CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+    val orders = Tables.orders(s, d)
+    // batch 0 widens: %23 keys gain o_channel
+    val b0 = orders.filter(col("o_orderkey") % 23 === 0)
+      .withColumn("o_channel", lit("WEB"))
+      .withColumn("op", lit("U")).withColumn("ts", lit(1))
+    CdcStream.applyBatch(s, table, b0, 0L, "o_orderkey", evolveSchema = true)
+    val mWide = SnapshotLog.readManifest(s, table,
+      SnapshotLog.currentVersion(s, table)).get
+    assert(mWide.schema.exists(_.contains("o_channel")),
+      "evolved schema not persisted in the manifest")
+    // batch 1 is STRICT (no flag, no o_channel) and touches %17 keys —
+    // overlapping files' survivor rows must keep their channel values
+    val b1 = orders.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("o_orderpriority", lit("3-STRICT"))
+      .withColumn("op", lit("U")).withColumn("ts", lit(2))
+    val v1 = CdcStream.applyBatch(s, table, b1, 1L, "o_orderkey")
+    val got = SnapshotLog.readAt(s, table, v1, mergeSchema = true)
+    assert(got.columns.contains("o_channel"))
+    // %23 keys keep WEB unless batch 1 replaced them (%391 = 17·23 →
+    // full-row semantics: the strict batch doesn't carry the column)
+    val expected = orders.filter(col("o_orderkey") % 23 === 0
+      && col("o_orderkey") % 17 =!= 0).count()
+    assert(got.filter(col("o_channel") === "WEB").count() === expected,
+      "survivor rows lost evolved-column values under a strict rewrite")
+    // a LATER evolve batch lacking the column must not throw (it used
+    // to die in batch.schema(c))
+    val b2 = orders.filter(col("o_orderkey") % 19 === 0)
+      .withColumn("o_orderpriority", lit("4-EVOLVE-NOCOL"))
+      .withColumn("op", lit("U")).withColumn("ts", lit(3))
+    val v2 = CdcStream.applyBatch(s, table, b2, 2L, "o_orderkey",
+      evolveSchema = true)
+    assert(v2 > v1)
+    assert(SnapshotLog.readAt(s, table, v2, mergeSchema = true)
+      .filter(col("o_channel") === "WEB").count() ===
+      orders.filter(col("o_orderkey") % 23 === 0 && col("o_orderkey") % 17 =!= 0
+        && col("o_orderkey") % 19 =!= 0).count())
+  }
+
+  test("updateBatch: per-batch O(rows) commits, replay is a txn-guarded " +
+      "no-op, distinct appIds keep streams independent") {
+    import graft.sources.SnapshotLog
+    import graft.streaming.CdcStream
+    val table = java.nio.file.Files.createTempDirectory("graft_cdc_upd").toString
+    CdcStream.seedTarget(s, table, Tables.orders(s, d), "o_orderkey")
+    val baseFiles = SnapshotLog.readManifest(s, table, 1L).get.files
+    val rows = Tables.orders(s, d).filter(col("o_orderkey") % 29 === 0)
+      .withColumn("o_orderpriority", lit("5-UPD-STREAM"))
+    assert(CdcStream.updateBatch(s, table, rows, 0L, "o_orderkey") === 2L)
+    // zero rewrites: data files carried verbatim; one update file
+    val m = SnapshotLog.readManifest(s, table, 2L).get
+    assert(m.files === baseFiles)
+    assert(m.updates.size === 1)
+    // replay: no-op; same batchId under the DELETE stream still works
+    assert(CdcStream.updateBatch(s, table, rows, 0L, "o_orderkey") === -1L)
+    assert(CdcStream.deleteBatch(s, table,
+      rows.select("o_orderkey").limit(3), 0L, "o_orderkey") === 3L)
+    val mor = SnapshotLog.readMor(s, table, 3L, "o_orderkey")
+    // the later delete (seq 3) retracts 3 of the seq-2 update rows
+    assert(mor.filter(col("o_orderpriority") === "5-UPD-STREAM").count() ===
+      rows.count() - 3)
+  }
 }
