@@ -105,7 +105,11 @@ object Bench {
     // 64.7 s in dedup_b vs 6.9 s solo (9.4×) — it runs IVF-cell
     // assignment plus within-cell pair scoring, the s12-class heavy
     // plan pair
-    "t15_repetition_signals", "d13_semantic_dedup")
+    "t15_repetition_signals", "d13_semantic_dedup",
+    // round-12: s17 is a queries("...")-composite at birth (re-runs
+    // exact s01 PLUS the whole s16 incremental pipeline — the
+    // s04/s05 recall-gate class, enforced by BenchSoloistSpec)
+    "s17_incremental_recall")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name

@@ -137,6 +137,36 @@ class PlanQualitySpec extends AnyFunSuite {
       s"registered d12 lost the persisted index:\n$full")
   }
 
+  test("s16: the base-corpus side reads only the persisted IVF index, " +
+      "never base embeddings; no Lloyd training in the serving plan") {
+    // The incremental contract (FAISS add-with-frozen-codebook): a new
+    // shard is assigned to the persisted centroids and served against
+    // the persisted cell table — base embeddings are never re-read and
+    // no k-means runs. Build the plan over a hand-made shard + query
+    // whose lineage is independent of the embeddings table — the only
+    // parquet scans left must be the index's cents/cells tables.
+    import org.apache.spark.sql.functions._
+    val idx = graft.operators.Similarity.ivfIndexDir(s, d)
+    val dims = TestSpark.spark.read.parquet(s"$idx/cents")
+      .select(org.apache.spark.sql.functions.size(col("cv")))
+      .head().getInt(0)
+    def fake(id: Long) = s.range(1).select(
+      (col("id") + 9000000L + id).as("vec_id"),
+      array((0 until dims).map(i => lit((i % 7 + id).toDouble)): _*).as("v"))
+    val p = graft.operators.Similarity
+      .incrementalIvfTopK(s, fake(0), idx, fake(1))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("embeddings.parquet"),
+      s"s16 rescans base embeddings — the incremental contract is broken:\n$p")
+    assert(p.contains("graft_ivf_idx_"),
+      s"s16 does not read the persisted index:\n$p")
+    // and the operator itself, as registered, also keeps its base side
+    // on the index: its only embeddings scans are shard/query-side
+    val full = plan("s16_ann_incremental")
+    assert(full.contains("graft_ivf_idx_"),
+      s"registered s16 lost the persisted index:\n$full")
+  }
+
   test("s11 filtered search pre-filters via a broadcast HASH join on label") {
     // the label constraint must plan as an equality hash join against
     // the broadcast query set — pre-filter semantics with no
@@ -247,6 +277,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // vectors)) — the s01 class; c17 attaches the 1-row corpus mean
       // via explicit broadcast crossJoin — the c06 class
       "s14_radius_search", "c17_source_prior",
+      // s16 assigns the shard and the queries to the FROZEN centroids
+      // via crossJoin(broadcast(16 centroid rows)) — the s03/d13
+      // class; s17 is the s04-class recall row on top of it
+      "s16_ann_incremental", "s17_incremental_recall",
       // q54 joins three 1-row step counts on a literal key — the a05
       // two-1-row-aggregates class
       "q54_event_funnel",
