@@ -276,15 +276,27 @@ object Bench {
     val atCenti = assemble(qs)
     // the spread-carrying FILE variant has no capture window to fit;
     // only the stdout twin degrades — centi → deci → whole seconds —
-    // until it fits the ~2000-char tail. The last tier is nearly
-    // value-free for sub-second queries, but the stdout twin's real
-    // contract is ids + total + failed surviving the capture whole;
-    // per-query precision always lives in BENCH_FULL/BENCH_COMPACT.
+    // until it fits the ~2000-char tail, and past the point where even
+    // whole seconds overflow (~240 ids, the r11 ceiling) it becomes a
+    // count+total+failed DIGEST: the per-query map is elided to the
+    // 10 slowest (the plan-regression signal) plus a pointer at the
+    // full record, which always lives in BENCH_FULL/BENCH_COMPACT.
     if (withSpread || atCenti.length <= 2000) atCenti
     else {
       val atDeci = assemble(renderQs(s1))
       if (atDeci.length <= 2000) atDeci
-      else assemble(renderQs(v => String.valueOf(math.round(v))))
+      else {
+        val atWhole = assemble(renderQs(v => String.valueOf(math.round(v))))
+        if (atWhole.length <= 2000) atWhole
+        else {
+          val top = entries.sortBy(-_._2).take(10)
+            .map { case (k, v) => s""""$k":${trim(s2(v))}""" }
+            .mkString("{", ",", "}")
+          s"""{"metric":"total","value":${s2(total)},"unit":"sec","n":${
+            entries.size},"queries_elided":${entries.size
+            },"top10":$top,"failed":$failed,"sf":$sf,"full":"$fullPath"}"""
+        }
+      }
     }
   }
 

@@ -55,6 +55,38 @@ class BenchCompactSpec extends AnyFunSuite {
     }
   }
 
+  test("past the whole-second ceiling the stdout twin becomes a digest " +
+      "(count+total+failed+top10) and still fits 2000 chars at 250 ids") {
+    // the per-id envelope supports ~240 ids even at whole seconds; the
+    // r11 verdict flagged that the surface hits that next — past the
+    // ceiling the per-query map is ELIDED to the 10 slowest (the
+    // plan-regression signal) and the full record stays in
+    // BENCH_FULL/BENCH_COMPACT, which never degrade
+    val names = (1 to 250).map(i => f"z$i%03d_synthetic_growth_padding")
+    val full = names.zipWithIndex
+      .map { case (n, i) => s""""$n":${1.0 + i * 0.037}""" }
+      .mkString(
+        """{"metric":"total","value":999.0,"unit":"sec","queries":{""",
+        ",",
+        """},"failed":["z007_synthetic_growth_padding"],"sf":"/root/testdata/sf0.1"}""")
+    val c = Bench.compact(full, "/root/repo/BENCH_FULL.json")
+    assert(c.length <= 2000, s"digest line is ${c.length} chars")
+    assert(c.contains(""""n":250"""), c)
+    assert(c.contains(""""queries_elided":250"""), c)
+    assert(c.contains(""""failed":["z007_synthetic_growth_padding"]"""), c)
+    assert(c.contains(""""full":"/root/repo/BENCH_FULL.json""""), c)
+    // the 10 slowest survive as the top10 map — here the highest
+    // indices carry the largest synthetic values
+    assert(c.contains(""""top10":{"z250":"""), c)
+    assert(c.contains(""""z241":"""), c)
+    assert(!c.contains(""""z001":"""), c)
+    // the FILE variant never degrades: same 250-id line with spread
+    // stays a full per-query map
+    val withSp = Bench.compact(full, "/root/repo/BENCH_FULL.json",
+      withSpread = true)
+    assert(withSp.contains(""""z001":"""), "file variant lost per-query map")
+  }
+
   test("compact file variant carries per-query draw spread; stdout variant stays slim") {
     // the BENCH_COMPACT.json FILE records each query's [min,max] draw
     // spread (noise vs plan-regression separation without the log
