@@ -108,8 +108,10 @@ object Bench {
     "t15_repetition_signals", "d13_semantic_dedup",
     // round-12: s17 is a queries("...")-composite at birth (re-runs
     // exact s01 PLUS the whole s16 incremental pipeline — the
-    // s04/s05 recall-gate class, enforced by BenchSoloistSpec)
-    "s17_incremental_recall")
+    // s04/s05 recall-gate class, enforced by BenchSoloistSpec); d18
+    // is a whole-corpus gram-explode + md5-per-shingle pipeline — the
+    // d04/d10/t15 explode class, seated at birth per the r10 rule
+    "s17_incremental_recall", "d18_minhash_oracle")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name

@@ -665,6 +665,70 @@ object Dedup {
         .withColumn("novelty", round(col("novel_grams").cast(DoubleType) /
           col("n_grams").cast(DoubleType), 6))
         .orderBy("doc_id")
+    }),
+
+    // d18: VALUE-LEVEL ORACLE PARITY for the MinHash+LSH pipeline —
+    // the same shingle → 32-minhash → 8-band → bucket-join → overlap
+    // pipeline as d02 (same shapes, same Carter–Wegman h1 + i·h2
+    // family, same band/row geometry), re-keyed on a hash both
+    // engines compute bit-identically: h1/h2 are the two 8-hex-char
+    // halves of md5(gram) parsed digit-by-digit (instr over
+    // '0123456789abcdef' — identical semantics in Spark and DuckDB),
+    // so DuckDB replays the ENTIRE pipeline value-for-value and the
+    // driver hash-compares every (pair, estimate) row. This converts
+    // the un-oracle-able d02 internals (xxhash64 is Spark-only) into
+    // hash-exact evidence — d06's injected-twin recall gate checks
+    // BEHAVIOR, this checks the VALUES. d02 itself stays on xxhash64
+    // (one int op per shingle vs md5's digest + 16 string parses —
+    // the production key; this twin pays the md5 tax once, as a gate).
+    "d18_minhash_oracle" -> ((s, d) => {
+      val toks = split(lower(col("text")), "\\s+")
+      val nTriples = greatest(size(toks) - 2, lit(0))
+      def hexLong(from: Int): Column = (0 until 8).map { j =>
+        expr(s"(instr('0123456789abcdef', substring(md, ${from + j}, 1)) - 1)" +
+          s" * ${1L << (4 * j)}L")
+      }.reduce(_ + _)
+      val hs = Tables.documents(s, d)
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(toks, lit(1), nTriples),
+          slice(toks, lit(2), nTriples),
+          slice(toks, lit(3), nTriples))).as("p"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", col("p.0"), col("p.1"), col("p.2"))).as("md"))
+        .select(col("doc_id"), hexLong(1).as("h1"), hexLong(9).as("h2"))
+      val mins = (0 until NumHashes).map(i =>
+        min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+      val sigs = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+        .truncatedLazy // banding + two scoring joins read it
+      val r = NumHashes / Bands
+      // band key as the ':'-joined 4-value string — portable across
+      // engines, unlike d02's xxhash64 band compaction
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until Bands).map { b =>
+          concat_ws(":", (0 until r).map(i =>
+            col("sig")(b * r + i).cast(StringType)): _*)
+        }: _*)).as(Seq("band_idx", "band_key")))
+      val pairs = banded
+        .select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
+        .hint("shuffle_hash")
+        .join(banded.select(col("band_idx"), col("band_key"),
+          col("doc_id").as("doc_b")), Seq("band_idx", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      pairs
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+          .hint("shuffle_hash"), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+          .hint("shuffle_hash"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round((0 until NumHashes).map(i =>
+            when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+            .reduce(_ + _).cast(DoubleType) / NumHashes, 6)
+            .as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -980,6 +1044,63 @@ object Dedup {
         ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
           AS DOUBLE) / COUNT(*), 6) AS novelty
       FROM g JOIN f USING (gram)
-      GROUP BY g.doc_id ORDER BY g.doc_id"""
+      GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    // d18: the FULL MinHash+LSH pipeline replayed value-for-value —
+    // shingle md5s parsed digit-by-digit (instr over the hex alphabet,
+    // identical semantics both engines), 32 Carter–Wegman families,
+    // 8 string-keyed bands, bucket self-join, per-pair overlap. Every
+    // minhash VALUE must agree for the candidate sets and estimates
+    // to hash-match.
+    "d18_minhash_oracle" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+          md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS md
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+              FROM toks WHERE len(ts) >= 3)),
+      hs AS (
+        SELECT doc_id,
+          (instr('0123456789abcdef', substring(md, 1, 1)) - 1)
+          + (instr('0123456789abcdef', substring(md, 2, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substring(md, 3, 1)) - 1) * 256
+          + (instr('0123456789abcdef', substring(md, 4, 1)) - 1) * 4096
+          + (instr('0123456789abcdef', substring(md, 5, 1)) - 1) * 65536
+          + (instr('0123456789abcdef', substring(md, 6, 1)) - 1) * 1048576
+          + (instr('0123456789abcdef', substring(md, 7, 1)) - 1) * 16777216
+          + (instr('0123456789abcdef', substring(md, 8, 1)) - 1) * 268435456
+            AS h1,
+          (instr('0123456789abcdef', substring(md, 9, 1)) - 1)
+          + (instr('0123456789abcdef', substring(md, 10, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substring(md, 11, 1)) - 1) * 256
+          + (instr('0123456789abcdef', substring(md, 12, 1)) - 1) * 4096
+          + (instr('0123456789abcdef', substring(md, 13, 1)) - 1) * 65536
+          + (instr('0123456789abcdef', substring(md, 14, 1)) - 1) * 1048576
+          + (instr('0123456789abcdef', substring(md, 15, 1)) - 1) * 16777216
+          + (instr('0123456789abcdef', substring(md, 16, 1)) - 1) * 268435456
+            AS h2
+        FROM grams),
+      fam AS (SELECT unnest(range(0, 32)) AS i),
+      sig AS (
+        SELECT doc_id, i, MIN(h1 + i * h2) AS m
+        FROM hs CROSS JOIN fam GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id, i // 4 AS band_idx,
+          string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS band_key
+        FROM sig GROUP BY doc_id, i // 4),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+        ROUND(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0, 6)
+          AS est_jaccard
+      FROM cands
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
+      GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
   )
 }
