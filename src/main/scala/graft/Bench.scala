@@ -110,8 +110,9 @@ object Bench {
     // exact s01 PLUS the whole s16 incremental pipeline — the
     // s04/s05 recall-gate class, enforced by BenchSoloistSpec); d18
     // is a whole-corpus gram-explode + md5-per-shingle pipeline — the
-    // d04/d10/t15 explode class, seated at birth per the r10 rule
-    "s17_incremental_recall", "d18_minhash_oracle")
+    // d04/d10/t15 explode class, seated at birth per the r10 rule;
+    // d19 is the same class (token explode + md5 + 64-bit-vote agg)
+    "s17_incremental_recall", "d18_minhash_oracle", "d19_simhash_oracle")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name

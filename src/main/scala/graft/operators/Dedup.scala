@@ -729,6 +729,72 @@ object Dedup {
             .reduce(_ + _).cast(DoubleType) / NumHashes, 6)
             .as("est_jaccard"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // d19: VALUE-LEVEL ORACLE PARITY for the SimHash pipeline — the
+    // d18 move applied to d03: the same distinct-token → per-bit vote
+    // → majority fingerprint → 16-bit-chunk pigeonhole → hamming ≤ 3
+    // pipeline, re-keyed on the md5-hex token hash both engines parse
+    // identically. The 64-bit fingerprint lives as TWO 32-bit halves
+    // (fp1/fp2 from the two md5 hex halves) because DuckDB BIGINT
+    // arithmetic errors on the << 63 pack; hamming is the sum of the
+    // halves' bit_counts — identical to the packed form. Spark keeps
+    // d03's Janino-safe packed vote aggregate (16 slot columns, not
+    // 64 — the vote VALUES are identical either way); the oracle
+    // replays the votes as 64 plain SUMs. d03 itself stays on
+    // xxhash64; d07's injected-twin gate checks behavior, this checks
+    // the values.
+    "d19_simhash_oracle" -> ((s, d) => {
+      def hexLong(from: Int): Column = (0 until 8).map { j =>
+        expr(s"(instr('0123456789abcdef', substring(md, ${from + j}, 1)) - 1)" +
+          s" * ${1L << (4 * j)}L")
+      }.reduce(_ + _)
+      val hs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("t"))
+        .select(col("doc_id"), md5(col("t")).as("md"))
+        .select(col("doc_id"), hexLong(1).as("g1"), hexLong(9).as("g2"))
+        .repartition(col("doc_id")) // d03's vote-compute spread
+      // packed per-bit vote counters, 16-bit slots, 4 bits per column
+      // (the d03 Janino-width fix); bits 0..31 come from g1, 32..63
+      // from g2
+      def bitOf(i: Int): Column =
+        if (i < 32) shiftright(col("g1"), i).bitwiseAND(lit(1L))
+        else shiftright(col("g2"), i - 32).bitwiseAND(lit(1L))
+      val bitCnt = (0 until 16).map { j =>
+        sum((0 until 4).map(k =>
+          shiftleft(bitOf(j * 4 + k), k * 16)).reduce(_ + _)).as(s"c$j")
+      }
+      val aggCols = count(lit(1)).as("n") +: bitCnt
+      val agged = hs.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      def fpHalf(lo: Int): Column = (lo until lo + 32).map { i =>
+        val ones = shiftrightunsigned(col(s"c${i / 4}"), (i % 4) * 16)
+          .bitwiseAND(lit(0xFFFFL))
+        when(ones * 2 > col("n"), lit(1L << (i - lo))).otherwise(0L)
+      }.reduce(_ + _)
+      val docsFp = agged
+        .select(col("doc_id"), fpHalf(0).as("fp1"), fpHalf(32).as("fp2"))
+        .truncatedLazy // chunking + pair scoring both read it
+      val chunked = docsFp.select(col("doc_id"), col("fp1"), col("fp2"),
+        posexplode(array(
+          col("fp1").bitwiseAND(lit(0xFFFFL)),
+          shiftrightunsigned(col("fp1"), 16).bitwiseAND(lit(0xFFFFL)),
+          col("fp2").bitwiseAND(lit(0xFFFFL)),
+          shiftrightunsigned(col("fp2"), 16).bitwiseAND(lit(0xFFFFL))))
+          .as(Seq("chunk_idx", "chunk")))
+      val a = chunked.select(col("chunk_idx"), col("chunk"),
+        col("doc_id").as("doc_a"), col("fp1").as("fp1_a"), col("fp2").as("fp2_a"))
+      val b = chunked.select(col("chunk_idx"), col("chunk"),
+        col("doc_id").as("doc_b"), col("fp1").as("fp1_b"), col("fp2").as("fp2_b"))
+      a.hint("shuffle_hash").join(b, Seq("chunk_idx", "chunk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (bit_count(col("fp1_a").bitwiseXOR(col("fp1_b"))) +
+            bit_count(col("fp2_a").bitwiseXOR(col("fp2_b"))))
+            .cast(LongType).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -1101,6 +1167,52 @@ object Dedup {
       FROM cands
       JOIN sig sa ON sa.doc_id = doc_a
       JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
-      GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+      GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""",
+
+    // d19: the SimHash pipeline replayed value-for-value — md5 token
+    // hashes (the d18 hex parse), 64 per-bit vote SUMs (plain columns
+    // here; Spark packs them 4-per-long for Janino, same values),
+    // majority fingerprints as two 32-bit halves, 16-bit-chunk
+    // pigeonhole, hamming ≤ 3. Generated SQL: the 64 vote sums and
+    // the two fingerprint folds are mechanical expansions.
+    "d19_simhash_oracle" -> {
+      def hexSql(from: Int) = (0 until 8).map(j =>
+        s"(instr('0123456789abcdef', substring(md, ${from + j}, 1)) - 1)" +
+          s" * ${1L << (4 * j)}").mkString(" + ")
+      val votes = (0 until 64).map { i =>
+        val src = if (i < 32) "g1" else "g2"
+        s"SUM(($src // ${1L << (i % 32)}) % 2) AS b$i"
+      }.mkString(", ")
+      def fpSql(lo: Int) = (lo until lo + 32).map(i =>
+        s"(CASE WHEN 2*b$i > n THEN ${1L << (i - lo)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, t FROM (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(text), '\\s+')) AS t
+          FROM documents)),
+      hs AS (
+        SELECT doc_id, md5(t) AS md FROM toks),
+      gs AS (
+        SELECT doc_id, ${hexSql(1)} AS g1, ${hexSql(9)} AS g2 FROM hs),
+      votes AS (
+        SELECT doc_id, COUNT(*) AS n, $votes FROM gs GROUP BY doc_id),
+      fp AS (
+        SELECT doc_id, ${fpSql(0)} AS fp1, ${fpSql(32)} AS fp2 FROM votes),
+      chunks AS (
+        SELECT doc_id, fp1, fp2, 0 AS chunk_idx, fp1 % 65536 AS chunk FROM fp
+        UNION ALL SELECT doc_id, fp1, fp2, 1, fp1 // 65536 FROM fp
+        UNION ALL SELECT doc_id, fp1, fp2, 2, fp2 % 65536 FROM fp
+        UNION ALL SELECT doc_id, fp1, fp2, 3, fp2 // 65536 FROM fp)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.fp1, b.fp1)) + bit_count(xor(a.fp2, b.fp2))
+          AS BIGINT) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp1, b.fp1)) + bit_count(xor(a.fp2, b.fp2)) <= 3
+      ORDER BY doc_a, doc_b"""
+    }
   )
 }
