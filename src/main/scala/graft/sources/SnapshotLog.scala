@@ -716,6 +716,74 @@ object SnapshotLog {
     readAt(s, table, v)
   }
 
+  // -----------------------------------------------------------------
+  // Named refs: TAGS (Iceberg `tag` / audit-pin pattern) — a tag is an
+  // immutable name → version pointer under `_log/_tag-<name>`, created
+  // atomically (CREATE_NEW, the commit discipline) and never moved: a
+  // re-tag to the same version is an idempotent no-op, to a different
+  // version a loud error (moving a name is what WAP's publish pointer
+  // is for). Tagged snapshots survive [[expire]] like the published
+  // one — the whole point: pin "the Q3 training corpus" by name and
+  // retention can never pull its files. At 100 TB a tag costs one
+  // ~10-byte atomic create; readers resolve it with one GET.
+  // -----------------------------------------------------------------
+
+  private def tagPath(table: String, name: String) = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name must be a simple token: $name")
+    new org.apache.hadoop.fs.Path(s"${logDir(table)}/_tag-$name")
+  }
+
+  /** Tag committed version `v` as `name` (immutable; idempotent for
+    * the same version). */
+  def tagSnapshot(s: SparkSession, table: String, name: String, v: Long): Unit = {
+    require(readManifest(s, table, v).isDefined,
+      s"cannot tag uncommitted v$v of $table")
+    try publishAtomic(s, tagPath(table, name), s"$v\nend")
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        val cur = tagVersion(s, table, name)
+        require(cur == v,
+          s"tag $name already points at v$cur of $table — tags are immutable")
+    }
+  }
+
+  /** Resolve a tag. Missing OR torn both throw — a tag is an
+    * authoritative ref (the fail-closed `_published` discipline): a
+    * reader silently falling back past a torn tag would read the
+    * wrong snapshot. */
+  def tagVersion(s: SparkSession, table: String, name: String): Long = {
+    val fs = fsOf(s); val p = tagPath(table, name)
+    require(fs.exists(p), s"no tag $name in $table")
+    scala.util.Try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n").filter(_.nonEmpty)
+      require(lines.length == 2 && lines(1) == "end", "torn tag")
+      lines(0).toLong
+    }.getOrElse(throw new java.io.IOException(
+      s"unreadable/torn tag $name for $table — failing closed"))
+  }
+
+  /** Read the snapshot a tag names. */
+  def readTagged(s: SparkSession, table: String, name: String): DataFrame =
+    readAt(s, table, tagVersion(s, table, name))
+
+  /** All tags of a table (name → version) — one `_log` listing. */
+  def tags(s: SparkSession, table: String): Map[String, Long] = {
+    val fs = fsOf(s)
+    val dir = new org.apache.hadoop.fs.Path(logDir(table))
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_tag-"))
+      .map(n => n.drop(5) -> tagVersion(s, table, n.drop(5)))
+      .toMap
+  }
+
   /** Expire all snapshots except the newest `keepLast`: delete their
     * manifests, then delete every data file referenced ONLY by expired
     * manifests (reference-count against the retained set — a file
@@ -757,8 +825,15 @@ object SnapshotLog {
     if (pub >= 1 && pub < cutoff)
       retained ++= readManifest(s, table, pub).toSeq
         .flatMap(m => (m.files ++ m.deletes ++ m.updates).map(_._1))
+    // tagged snapshots are retention-pinned by name (the Iceberg tag
+    // contract): their manifests stay readable and their files stay
+    // protected no matter how far they trail the cutoff
+    val tagged = tags(s, table).values.toSet
+    for (tv <- tagged if tv >= 1 && tv < cutoff)
+      retained ++= readManifest(s, table, tv).toSeq
+        .flatMap(m => (m.files ++ m.deletes ++ m.updates).map(_._1))
     val expired = (1L until cutoff)
-      .filter(v => v != pub)
+      .filter(v => v != pub && !tagged(v))
       .flatMap(v => readManifest(s, table, v).map(v -> _))
     val doomed = expired.flatMap(e =>
       (e._2.files ++ e._2.deletes ++ e._2.updates).map(_._1))
@@ -1485,6 +1560,29 @@ object SnapshotLog {
           sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType)
             .as("revenue"))
         .orderBy("o_year")
+    }),
+
+    // i26: SNAPSHOT TAGS — the Iceberg tag / audit-pin workflow: pin
+    // "the blessed corpus" by NAME, read through the name forever,
+    // and retention can never reclaim it. On the i13 fixture v1 is
+    // tagged `baseline` (idempotent — re-running re-tags the same
+    // version as a no-op); the rollup reads THROUGH the tag, so a
+    // resolve that drifted to the poison-appended v2 moves every
+    // checksum. tag_ok pins the ref semantics: resolves to 1 while
+    // the table head is 2, a re-tag to a different version is
+    // REFUSED (tags are immutable), and the listing shows exactly
+    // the one tag. Expire-survival is pinned in SnapshotLogSpec on a
+    // private table (this fixture is shared).
+    "i26_snapshot_tag" -> ((s, d) => {
+      val table = snapshottedOrders(s, d)
+      tagSnapshot(s, table, "baseline", 1L)
+      val retagRefused = scala.util.Try(
+        tagSnapshot(s, table, "baseline", 2L)).isFailure
+      val ok = tagVersion(s, table, "baseline") == 1L && retagRefused &&
+        tags(s, table) == Map("baseline" -> 1L) &&
+        currentVersion(s, table) == 2L
+      statusRollup(readTagged(s, table, "baseline"))
+        .withColumn("tag_ok", lit(if (ok) 1L else 0L))
     })
   )
 
@@ -1639,6 +1737,15 @@ object SnapshotLog {
       SELECT o_orderstatus, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
         CAST(1 AS BIGINT) AS restored_ok
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // i26: reading through the `baseline` tag ≡ the untouched base
+    // table (v1, before the poison append); tag_ok replays as the
+    // pinned ref-semantics constant
+    "i26_snapshot_tag" -> """
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(1 AS BIGINT) AS tag_ok
       FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -514,6 +514,34 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(mor4.exceptAll(SnapshotLog.readAt(s, table, vC)).isEmpty)
   }
 
+  test("tags: immutable named refs survive expiration; torn tags fail closed") {
+    val table = freshTable()
+    seed(table, 0); seed(table, 1); seed(table, 2) // v1..v3 (full-replace each)
+    SnapshotLog.tagSnapshot(s, table, "q3-corpus", 1L)
+    // idempotent for the same version; immutable across versions
+    SnapshotLog.tagSnapshot(s, table, "q3-corpus", 1L)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.tagSnapshot(s, table, "q3-corpus", 2L)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.tagSnapshot(s, table, "future", 9L) // uncommitted
+    }
+    assert(SnapshotLog.tags(s, table) === Map("q3-corpus" -> 1L))
+    // expire to the head: tagged v1 keeps its manifest AND files;
+    // untagged v2 goes
+    SnapshotLog.expire(s, table, keepLast = 1)
+    assert(SnapshotLog.readManifest(s, table, 1L).isDefined, "tagged v1 expired")
+    assert(SnapshotLog.readManifest(s, table, 2L).isEmpty, "untagged v2 kept")
+    assert(SnapshotLog.readTagged(s, table, "q3-corpus").count() ===
+      Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0).count())
+    // a torn tag file throws on resolve (never silently reads garbage)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$table/_log/_tag-torn")
+    val out = fs.create(torn, true)
+    try out.write("1".getBytes("UTF-8")) finally out.close() // no sentinel
+    intercept[java.io.IOException] { SnapshotLog.tagVersion(s, table, "torn") }
+  }
+
   test("readAtPruned applies MOR deletes and refuses update-carrying " +
       "snapshots; schema line round-trips through commit") {
     val table = freshTable()
