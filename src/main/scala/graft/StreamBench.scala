@@ -176,9 +176,52 @@ object StreamBench {
       s""""stb_cdc_apply":{"rows":$rows,"batches":${lats.size},"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
     }
 
+    // ---- streaming MOR updates (the u10 path): the same chunked-feed
+    // shape as stb_cdc_apply, but each micro-batch commits O(batch
+    // rows) — one update file + one manifest, ZERO data-file rewrites.
+    // The per-trigger latency contrast with stb_cdc_apply IS the
+    // result: the CoW apply pays touched-file rewrites per trigger,
+    // the MOR path defers them to compaction.
+    val morResult = {
+      import graft.streaming.CdcStream
+      val kChunks = math.min(chunks, 10)
+      val updIn = new java.io.File(root, "mor_input"); updIn.mkdirs()
+      val updRows = Tables.orders(spark, sfDir)
+        .filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderpriority", lit("S-MOR"))
+      for (i <- 0 until kChunks) {
+        val d = new java.io.File(root, s"mor$i")
+        updRows.filter(pmod(col("o_orderkey"), lit(kChunks)) === i)
+          .coalesce(1).write.parquet(d.getPath)
+        val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(updIn, f"upd-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(3000000L + i * 1000L)
+      }
+      val table = s"$stage/mor_table"
+      CdcStream.seedTarget(spark, table, Tables.orders(spark, sfDir))
+      val stream = spark.readStream.schema(updRows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(updIn.getPath)
+      val q = CdcStream.updateStream(spark, table, stream,
+        "o_orderkey", s"$stage/ck/stb_mor_update").start()
+      q.processAllAvailable()
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      q.stop()
+      require(progress.size == kChunks,
+        s"stb_mor_update: expected $kChunks data batches, saw ${progress.size}")
+      val lats = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
+      val rows = progress.map(_.numInputRows).sum
+      val med = lats(lats.size / 2); val mx = lats.last
+      val rps = if (lats.sum > 0) rows / (lats.sum / 1000.0) else 0.0
+      System.err.println(f"[streambench] stb_mor_update    rows=$rows%7d " +
+        f"batches=${lats.size}%3d med=${med}%5d ms max=${mx}%5d ms " +
+        f"rows/s=$rps%9.0f")
+      s""""stb_mor_update":{"rows":$rows,"batches":${lats.size},"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
+    }
+
     val qs = (results.map { case (n, (rows, nb, med, mx, rps)) =>
       s""""$n":{"rows":$rows,"batches":$nb,"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
-    } :+ cdcResult).mkString("{", ",", "}")
+    } :+ cdcResult :+ morResult).mkString("{", ",", "}")
     println(s"""{"metric":"stream","chunks":$chunks,"total_rows":$totalRows,"ops":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

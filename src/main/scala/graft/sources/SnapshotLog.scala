@@ -86,7 +86,8 @@ object SnapshotLog {
       ndv: Map[String, String] = Map.empty,
       updates: Seq[(String, Long)] = Nil,
       seqs: Map[String, Long] = Map.empty,
-      schema: Option[String] = None)
+      schema: Option[String] = None,
+      ts: Long = 0L) // commit-time epoch millis (`ts:` line; 0 = legacy)
 
   /** Thrown in expected-parent mode when another writer committed
     * first — the caller re-reads table state and re-plans (the
@@ -258,7 +259,8 @@ object SnapshotLog {
         }.toMap,
         upds,
         dSeqs ++ uSeqs,
-        field("schema"))
+        field("schema"),
+        field("ts").map(_.toLong).getOrElse(0L))
     }
   }
 
@@ -270,6 +272,7 @@ object SnapshotLog {
       }
     (Seq(s"graft-snapshot:1", s"version:${m.version}", s"parent:${m.parent}",
       s"op:${m.op}") ++
+      (if (m.ts > 0L) Seq(s"ts:${m.ts}") else Nil) ++
       m.schema.map(js => s"schema:$js").toSeq ++
       m.files.map { case (p, l) => s"f:$p\t$l" } ++
       // stats only for files this manifest names (sorted: render is
@@ -320,7 +323,8 @@ object SnapshotLog {
       ndv: Map[String, String] = Map.empty,
       updates: Seq[(String, Long)] = Nil,
       seqs: Map[String, Long] = Map.empty,
-      schema: Option[String] = None): Long = {
+      schema: Option[String] = None,
+      tsMillis: Option[Long] = None): Long = {
     // the manifest format is line/tab-delimited: an op or path
     // carrying those characters would write a manifest that parses
     // into the WRONG file list — reject loudly instead
@@ -364,7 +368,8 @@ object SnapshotLog {
           s"table $table moved to v$cur while writer derived from v$p")
       }
       val m = Manifest(attempt, attempt - 1, op, files, stats, deletes, ndv,
-        updates, seqs, schema)
+        updates, seqs, schema,
+        tsMillis.getOrElse(System.currentTimeMillis()))
       try {
         publishAtomic(s, vPath(table, attempt), render(m))
         writeCkptHint(s, table, attempt) // advisory; loss = no shortcut
@@ -772,6 +777,32 @@ object SnapshotLog {
   def readTagged(s: SparkSession, table: String, name: String): DataFrame =
     readAt(s, table, tagVersion(s, table, name))
 
+  /** TIMESTAMP time travel (Delta `TIMESTAMP AS OF` / Iceberg
+    * snapshot-at-timestamp): the latest version whose commit time is
+    * ≤ `tsMillis`. Commit times ride the manifest (`ts:` line, stamped
+    * at commit; fixtures may pass explicit times for determinism).
+    * Resolution scans the manifest headers — O(history) metadata
+    * reads, bounded by expire like every other log walk; a production
+    * log would binary-search, but ts monotonicity is only advisory
+    * here (clock skew across writers), so the linear max-over-≤ is the
+    * honest version. Throws when `tsMillis` predates the first commit
+    * (the Delta contract — silently resolving to the oldest snapshot
+    * would misattribute pre-history reads). Legacy manifests without
+    * a ts line (ts 0) are treated as "always before" and never win
+    * over a stamped one. */
+  def versionAsOf(s: SparkSession, table: String, tsMillis: Long): Long = {
+    val cur = currentVersion(s, table)
+    val candidates = (1L to cur)
+      .flatMap(v => readManifest(s, table, v))
+      .filter(_.ts <= tsMillis)
+    require(candidates.nonEmpty,
+      s"no snapshot of $table at or before ts=$tsMillis (first commit is later)")
+    candidates.maxBy(m => (m.ts, m.version)).version
+  }
+
+  def readAsOf(s: SparkSession, table: String, tsMillis: Long): DataFrame =
+    readAt(s, table, versionAsOf(s, table, tsMillis))
+
   /** All tags of a table (name → version) — one `_log` listing. */
   def tags(s: SparkSession, table: String): Map[String, Long] = {
     val fs = fsOf(s)
@@ -993,6 +1024,32 @@ object SnapshotLog {
       catch { case _: SnapshotConflict => () }
     }
     expire(s, table, keepLast = 1) // no-op when already expired
+    table
+  }
+
+  /** i27 fixture: the i13 two-snapshot shape with EXPLICIT commit
+    * timestamps (v1 at t=1,000,000 ms, v2 at t=2,000,000 ms) so
+    * timestamp-based resolution is fully deterministic — the same
+    * move every Delta test suite makes. Idempotent via the log. */
+  def timestampedOrders(s: SparkSession, d: String): String = synchronized {
+    val table = stamped(s, d) + "_tts"
+    if (currentVersion(s, table) == 0L) {
+      val base = s"$table/data/base"
+      Tables.orders(s, d).repartition(4)
+        .write.mode("overwrite").parquet(base)
+      try commit(s, table, "base-load", dataFiles(s, base), Some(0L),
+        tsMillis = Some(1000000L))
+      catch { case _: SnapshotConflict => () }
+    }
+    if (currentVersion(s, table) == 1L) {
+      val shard = s"$table/data/shard1"
+      poisonShard(s, d).repartition(1)
+        .write.mode("overwrite").parquet(shard)
+      val v1 = readManifest(s, table, 1L).get
+      try commit(s, table, "append-shard",
+        v1.files ++ dataFiles(s, shard), Some(1L), tsMillis = Some(2000000L))
+      catch { case _: SnapshotConflict => () }
+    }
     table
   }
 
@@ -1583,6 +1640,24 @@ object SnapshotLog {
         currentVersion(s, table) == 2L
       statusRollup(readTagged(s, table, "baseline"))
         .withColumn("tag_ok", lit(if (ok) 1L else 0L))
+    }),
+
+    // i27: TIMESTAMP TIME TRAVEL (Delta `TIMESTAMP AS OF`) — resolve
+    // "the table as of 1,500,000 ms" against manifest-carried commit
+    // times: between v1 (t=1,000,000) and v2 (t=2,000,000) the read
+    // must land on v1 (the rollup ≡ the base table — a resolve that
+    // drifted to v2 moves every checksum). asof_ok pins the
+    // resolution semantics: mid-window → v1, exactly-at and far-after
+    // → v2, before-history REFUSED (never silently the oldest).
+    "i27_time_travel_ts" -> ((s, d) => {
+      val table = timestampedOrders(s, d)
+      val preHistoryRefused = scala.util.Try(
+        versionAsOf(s, table, 999999L)).isFailure
+      val ok = versionAsOf(s, table, 1500000L) == 1L &&
+        versionAsOf(s, table, 2000000L) == 2L &&
+        versionAsOf(s, table, 9999999999L) == 2L && preHistoryRefused
+      statusRollup(readAsOf(s, table, 1500000L))
+        .withColumn("asof_ok", lit(if (ok) 1L else 0L))
     })
   )
 
@@ -1746,6 +1821,14 @@ object SnapshotLog {
       SELECT o_orderstatus, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
         CAST(1 AS BIGINT) AS tag_ok
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // i27: the mid-window timestamp resolves to v1 ≡ the untouched
+    // base table; asof_ok replays as the pinned resolution constant
+    "i27_time_travel_ts" -> """
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(1 AS BIGINT) AS asof_ok
       FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }
