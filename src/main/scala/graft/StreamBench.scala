@@ -191,7 +191,10 @@ object StreamBench {
         .withColumn("o_orderpriority", lit("S-MOR"))
       for (i <- 0 until kChunks) {
         val d = new java.io.File(root, s"mor$i")
-        updRows.filter(pmod(col("o_orderkey"), lit(kChunks)) === i)
+        // chunk on key/5: the %5 filter pins o_orderkey % 10 to {0,5},
+        // so chunking on the raw key would leave 8 of 10 chunks empty
+        updRows.filter(pmod((col("o_orderkey") / lit(5)).cast("long"),
+            lit(kChunks)) === i)
           .coalesce(1).write.parquet(d.getPath)
         val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
         val dest = new java.io.File(updIn, f"upd-$i%02d.parquet")
