@@ -112,7 +112,14 @@ object Bench {
     // is a whole-corpus gram-explode + md5-per-shingle pipeline — the
     // d04/d10/t15 explode class, seated at birth per the r10 rule;
     // d19 is the same class (token explode + md5 + 64-bit-vote agg)
-    "s17_incremental_recall", "d18_minhash_oracle", "d19_simhash_oracle")
+    "s17_incremental_recall", "d18_minhash_oracle", "d19_simhash_oracle",
+    // round-12 closing sweep (188-query gen-sf1): s12 drew 67.6 s
+    // in-family vs 10.0 s fresh-JVM solo best-of-3 (6.8×) — the
+    // IVF-assignment + within-cell kNN plan pair that already made
+    // d13 a soloist; d12 drew 38.2 s in dedup_b vs 1.49 s solo (26×)
+    // — it shingles+signs a shard AND reads the persisted index, the
+    // composite shape every sweep victim shares
+    "s12_knn_graph", "d12_incremental_dedup")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name
