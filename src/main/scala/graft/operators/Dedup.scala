@@ -322,6 +322,18 @@ object Dedup {
         when(col("n_found") >= col("n_twins") * minRecall, 1L).otherwise(0L)
           .as("recall_ok"))
 
+  /** Long from the 8 md5 hex chars of column `md` starting at `from`
+    * (1-based) — little-endian digit weights via instr over the hex
+    * alphabet, which has IDENTICAL semantics in Spark and DuckDB. The
+    * one Spark-side definition of the d18/d19 oracle-parity hash
+    * convention; the SQL oracles expand the same formula textually,
+    * so a change here must touch those expansions too (the parity
+    * gates go red if they diverge, by construction). */
+  private def md5HexLong(from: Int): Column = (0 until 8).map { j =>
+    expr(s"(instr('0123456789abcdef', substring(md, ${from + j}, 1)) - 1)" +
+      s" * ${1L << (4 * j)}L")
+  }.reduce(_ + _)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on content digest; keeper = min doc_id.
@@ -684,10 +696,6 @@ object Dedup {
     "d18_minhash_oracle" -> ((s, d) => {
       val toks = split(lower(col("text")), "\\s+")
       val nTriples = greatest(size(toks) - 2, lit(0))
-      def hexLong(from: Int): Column = (0 until 8).map { j =>
-        expr(s"(instr('0123456789abcdef', substring(md, ${from + j}, 1)) - 1)" +
-          s" * ${1L << (4 * j)}L")
-      }.reduce(_ + _)
       val hs = Tables.documents(s, d)
         .filter(size(toks) >= 3)
         .select(col("doc_id"), explode(arrays_zip(
@@ -696,7 +704,7 @@ object Dedup {
           slice(toks, lit(3), nTriples))).as("p"))
         .select(col("doc_id"),
           md5(concat_ws(" ", col("p.0"), col("p.1"), col("p.2"))).as("md"))
-        .select(col("doc_id"), hexLong(1).as("h1"), hexLong(9).as("h2"))
+        .select(col("doc_id"), md5HexLong(1).as("h1"), md5HexLong(9).as("h2"))
       val mins = (0 until NumHashes).map(i =>
         min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
       val sigs = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -745,15 +753,11 @@ object Dedup {
     // xxhash64; d07's injected-twin gate checks behavior, this checks
     // the values.
     "d19_simhash_oracle" -> ((s, d) => {
-      def hexLong(from: Int): Column = (0 until 8).map { j =>
-        expr(s"(instr('0123456789abcdef', substring(md, ${from + j}, 1)) - 1)" +
-          s" * ${1L << (4 * j)}L")
-      }.reduce(_ + _)
       val hs = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(split(lower(col("text")), "\\s+"))).as("t"))
         .select(col("doc_id"), md5(col("t")).as("md"))
-        .select(col("doc_id"), hexLong(1).as("g1"), hexLong(9).as("g2"))
+        .select(col("doc_id"), md5HexLong(1).as("g1"), md5HexLong(9).as("g2"))
         .repartition(col("doc_id")) // d03's vote-compute spread
       // packed per-bit vote counters, 16-bit slots, 4 bits per column
       // (the d03 Janino-width fix); bits 0..31 come from g1, 32..63

@@ -255,8 +255,6 @@ object Similarity {
         .select(col("cid"), expr("transform(dm, e -> e.m)").as("cv"))
         .truncatedLazy
     }
-    // ONE full-corpus scoring pass, materialized slim (crk ≤ nProbe
-    // only): every consumer leg reads this instead of re-running the
     cents
   }
 

@@ -465,13 +465,6 @@ object SnapshotLog {
       lo: Long, hi: Long): DataFrame = {
     val m = readManifest(s, table, v).getOrElse(throw new IllegalArgumentException(
       s"no committed snapshot v$v in $table"))
-    // update files carry full rows whose key column this signature
-    // does not name — a pruned read cannot overlay them; fail loudly
-    // instead of silently returning pre-update values (compact first,
-    // or read through readMor)
-    require(m.updates.isEmpty,
-      s"readAtPruned on $table v$v: snapshot carries MOR update files — " +
-        "use readMor (or compactMor first); a pruned read cannot overlay them")
     val kept = m.files.map(_._1).filter { p =>
       m.stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } }
     lastPrunePlanned = kept.size
@@ -479,10 +472,24 @@ object SnapshotLog {
     val base =
       if (kept.isEmpty) readAt(s, table, v).limit(0)
       else s.read.parquet(kept: _*)
-    // MOR deletes apply here exactly as in readMor — a pruned read of
-    // a delete-carrying table must not resurrect deleted rows (the
-    // delete file is single-column by construction, which names the
-    // equality key without the caller passing it)
+    overlayDeletes(s, m, base)
+  }
+
+  /** MOR-delete overlay for CONSUMER read paths that resolve a
+    * version by something other than an explicit readMor call (pruned
+    * reads, tags, timestamps, the publish pointer): deleted rows must
+    * not resurrect, and update files — whose key column these
+    * signatures do not name — are REFUSED loudly rather than silently
+    * served stale (readMor/compactMor are the update-aware paths).
+    * The delete file is single-column by construction, which names
+    * the equality key without the caller passing it. Plain [[readAt]]
+    * deliberately stays the RAW file-list read (the MOR contract —
+    * compaction-equivalence checks depend on it). */
+  private def overlayDeletes(s: SparkSession, m: Manifest,
+      base: DataFrame): DataFrame = {
+    require(m.updates.isEmpty,
+      s"snapshot v${m.version} carries MOR update files — read it through " +
+        "readMor (or compactMor first); this path cannot overlay them")
     if (m.deletes.isEmpty) base
     else {
       val dk = s.read.parquet(m.deletes.map(_._1): _*).distinct()
@@ -518,8 +525,9 @@ object SnapshotLog {
   }
 
   /** Commit a MERGE-ON-READ equality UPDATE (u10, the Hudi MOR
-    * log-file shape): `rows` are FULL replacement rows (one per key —
-    * collapse the batch first if it can carry duplicates) written as a
+    * log-file shape): `rows` are FULL replacement rows (duplicate
+    * keys within the batch are collapsed deterministically — see
+    * [[updateMorAs]]) written as a
     * small update file the new snapshot carries as a `u:` line with
     * the next commit's sequence. O(batch rows) + one manifest, ZERO
     * data-file rewrites — where the copy-on-write apply (u04) rewrites
@@ -543,7 +551,20 @@ object SnapshotLog {
     val m = readManifest(s, table, cur).getOrElse(throw new IllegalStateException(
       s"MOR update against unseeded $table"))
     val dir = s"$table/data/updates/${java.util.UUID.randomUUID}"
-    rows.where(col(key).isNotNull).coalesce(1).write.parquet(dir)
+    // PER-KEY COLLAPSE before the write: duplicate keys within one
+    // batch would BOTH win the latest-wins overlay (same sequence)
+    // and both survive to readers, and compaction would bake the
+    // duplicate in forever. Two rows per key in one batch is the
+    // normal CDC case (applyBatch collapses via latestOps); feeds
+    // with a real intra-batch order should collapse upstream — here
+    // the MAXIMAL row (max over the struct of non-key columns, a
+    // deterministic total order) wins, so replays stay idempotent.
+    val others = rows.columns.filterNot(_ == key)
+    rows.where(col(key).isNotNull)
+      .groupBy(col(key))
+      .agg(max(struct(others.map(col).toSeq: _*)).as("__r"))
+      .select(col(key) +: others.toSeq.map(c => col(s"__r.$c").as(c)): _*)
+      .coalesce(1).write.parquet(dir)
     val uf = dataFiles(s, dir)
     // data files untouched: stats/ndv carry (advisory under MOR —
     // updated rows may drift outside a file's recorded range only if
@@ -714,11 +735,16 @@ object SnapshotLog {
   }
 
   /** The consumer read path: the latest PUBLISHED snapshot, never a
-    * staged-but-unaudited one. */
+    * staged-but-unaudited one. MOR deletes are overlaid and
+    * update-carrying snapshots refused (audit + publish a compacted
+    * snapshot, or read through [[readMor]]) — consumers must never
+    * see retracted rows. */
   def readPublished(s: SparkSession, table: String): DataFrame = {
     val v = publishedVersion(s, table)
     require(v >= 1, s"nothing published in $table")
-    readAt(s, table, v)
+    overlayDeletes(s, readManifest(s, table, v).getOrElse(
+      throw new IllegalStateException(
+        s"published v$v of $table is missing/torn")), readAt(s, table, v))
   }
 
   // -----------------------------------------------------------------
@@ -773,9 +799,15 @@ object SnapshotLog {
       s"unreadable/torn tag $name for $table — failing closed"))
   }
 
-  /** Read the snapshot a tag names. */
-  def readTagged(s: SparkSession, table: String, name: String): DataFrame =
-    readAt(s, table, tagVersion(s, table, name))
+  /** Read the snapshot a tag names — a CONSUMER path: MOR deletes are
+    * overlaid and update-carrying snapshots refused (resolve the tag
+    * and call [[readMor]] for those). */
+  def readTagged(s: SparkSession, table: String, name: String): DataFrame = {
+    val v = tagVersion(s, table, name)
+    val m = readManifest(s, table, v).getOrElse(throw new IllegalStateException(
+      s"tag $name of $table names missing/torn v$v"))
+    overlayDeletes(s, m, readAt(s, table, v))
+  }
 
   /** TIMESTAMP time travel (Delta `TIMESTAMP AS OF` / Iceberg
     * snapshot-at-timestamp): the latest version whose commit time is
@@ -800,8 +832,12 @@ object SnapshotLog {
     candidates.maxBy(m => (m.ts, m.version)).version
   }
 
-  def readAsOf(s: SparkSession, table: String, tsMillis: Long): DataFrame =
-    readAt(s, table, versionAsOf(s, table, tsMillis))
+  /** Read as of a timestamp — a CONSUMER path like [[readTagged]]:
+    * MOR deletes overlaid, update-carrying snapshots refused. */
+  def readAsOf(s: SparkSession, table: String, tsMillis: Long): DataFrame = {
+    val v = versionAsOf(s, table, tsMillis)
+    overlayDeletes(s, readManifest(s, table, v).get, readAt(s, table, v))
+  }
 
   /** All tags of a table (name → version) — one `_log` listing. */
   def tags(s: SparkSession, table: String): Map[String, Long] = {

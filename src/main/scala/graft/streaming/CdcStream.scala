@@ -212,7 +212,12 @@ object CdcStream {
     * order against every other pending mutation is what makes the
     * latest-wins collapse correct, so a carry must never re-sequence.
     * Cost: one key-column scan of the (small) mutation state + one
-    * tiny write — O(mutation state), never O(table). */
+    * tiny write — O(mutation state), never O(table). A batch on a
+    * mutation-carrying table pays up to four small scans of that
+    * state per trigger (mutationKeys + two hits-scans + the hit-file
+    * rewrite) — accepted: the state is compaction-bounded and each
+    * scan is a few small files; folding them into one keyed scan
+    * would complicate the carry's per-file sequence preservation. */
   private def carryMutations(s: SparkSession, table: String,
       m: SnapshotLog.Manifest, entries: Seq[(String, Long)],
       key: String, batchKeys: DataFrame,
@@ -281,8 +286,14 @@ object CdcStream {
       val persisted: Option[org.apache.spark.sql.types.StructType] =
         m.schema.map(js => org.apache.spark.sql.types.DataType.fromJson(js)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-      val target = SnapshotLog.readAt(s, table, cur,
-        mergeSchema = evolveSchema || persisted.isDefined)
+      // ALWAYS a mergeSchema read: on a legacy schema-less table that
+      // was evolved by an older build, a single-footer read samples
+      // an arbitrary file — a pre-evolution footer would narrow
+      // `cols`, and this apply then PERSISTS that narrow schema as
+      // authoritative, projecting the evolved column away forever.
+      // The footer-union is the only safe source when no schema line
+      // exists; cost is bounded by the manifest's file count.
+      val target = SnapshotLog.readAt(s, table, cur, mergeSchema = true)
       val baseCols: Array[String] =
         persisted.map(_.fieldNames).getOrElse(target.columns)
       val newCols =
@@ -374,10 +385,9 @@ object CdcStream {
       // rewrite only the touched files: survivors (anti-join the
       // broadcast batch-key set, then the broadcast mutation-key set)
       // + applied non-delete ops
-      val touchedScan =
+      val touchedScan = // mergeSchema always — same rationale as target
         if (touchedFiles.isEmpty) target.limit(0)
-        else s.read.option("mergeSchema",
-            (evolveSchema || persisted.isDefined).toString)
+        else s.read.option("mergeSchema", "true")
           .parquet(touchedFiles.map(_._1): _*)
       val survivorBase = touchedScan
         .join(broadcast(latest.select(key)), Seq(key), "left_anti")
@@ -461,6 +471,16 @@ object CdcStream {
     * replayed past the checkpoint commits nothing — no duplicate
     * delete file, no second version. Returns the committed version or
     * -1 when already applied. */
+  /** MIGRATION NOTE: tables written before the per-stream appId
+    * namespacing committed delete batches as op `cdc-batch-N` with
+    * the shared `_txn/last` sidecar; this build's default probe
+    * (`cdc-del-batch-N`, `_txn/cdc-del`) will NOT recognize those as
+    * already-applied across the upgrade — a crash-window replay on
+    * such a table re-commits the delete (idempotence loss, not
+    * correctness loss for pure deletes). Re-seed legacy tables or
+    * pass `appId = "cdc"` to keep the old namespace; deliberately NOT
+    * auto-probed, because the legacy namespace is exactly the
+    * cross-stream ambiguity the appId exists to remove. */
   def deleteBatch(s: SparkSession, table: String, keys: DataFrame,
       batchId: Long, key: String, appId: String = "cdc-del"): Long = {
     if (alreadyApplied(s, table, appId, batchId)) return -1L

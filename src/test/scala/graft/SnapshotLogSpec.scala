@@ -506,12 +506,44 @@ class SnapshotLogSpec extends AnyFunSuite {
     // snapshot isolation: v3's read is untouched by v4's update
     assert(SnapshotLog.readMor(s, table, v3, "o_orderkey")
       .filter(col("o_orderkey") % 6 === 0).count() === 0L)
+    // a batch carrying DUPLICATE keys is collapsed deterministically
+    // before the write (both rows would otherwise win the overlay and
+    // compaction would bake the duplicate in)
+    val dup = base.filter(col("o_orderkey") % 24 === 0)
+      .withColumn("o_orderpriority", lit("A-DUP"))
+      .unionByName(base.filter(col("o_orderkey") % 24 === 0)
+        .withColumn("o_orderpriority", lit("Z-DUP")))
+    val vD = SnapshotLog.updateMor(s, table, dup, "o_orderkey")
+    val morD = SnapshotLog.readMor(s, table, vD, "o_orderkey")
+    assert(morD.groupBy("o_orderkey").count().filter(col("count") > 1)
+      .limit(1).count() === 0L, "duplicate-key batch produced duplicate rows")
+    // the maximal row wins (Z-DUP > A-DUP in the struct order)
+    assert(morD.filter(col("o_orderpriority") === "Z-DUP").count() ===
+      base.filter(col("o_orderkey") % 24 === 0).count())
+    assert(morD.filter(col("o_orderpriority") === "A-DUP").count() === 0L)
+    // named-ref / timestamp CONSUMER reads refuse update-carrying
+    // snapshots instead of silently serving pre-update values
+    SnapshotLog.tagSnapshot(s, table, "mid", vD)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.readTagged(s, table, "mid")
+    }
     // compaction folds the whole overlay; readAt ≡ readMor
+    val morFull = SnapshotLog.readMor(s, table,
+      SnapshotLog.currentVersion(s, table), "o_orderkey")
     val vC = SnapshotLog.compactMor(s, table, "o_orderkey")
     val post = SnapshotLog.readManifest(s, table, vC).get
     assert(post.updates.isEmpty && post.deletes.isEmpty && post.seqs.isEmpty)
-    assert(SnapshotLog.readAt(s, table, vC).exceptAll(mor4).isEmpty)
-    assert(mor4.exceptAll(SnapshotLog.readAt(s, table, vC)).isEmpty)
+    assert(SnapshotLog.readAt(s, table, vC).exceptAll(morFull).isEmpty)
+    assert(morFull.exceptAll(SnapshotLog.readAt(s, table, vC)).isEmpty)
+    // a delete-only snapshot IS consumer-readable through a tag, with
+    // the deletes overlaid (no resurrection through named refs)
+    val vDel = SnapshotLog.deleteMor(s, table,
+      base.filter(col("o_orderkey") % 10 === 0).select("o_orderkey"),
+      "o_orderkey")
+    SnapshotLog.tagSnapshot(s, table, "post-del", vDel)
+    assert(SnapshotLog.readTagged(s, table, "post-del")
+      .filter(col("o_orderkey") % 10 === 0).count() === 0L,
+      "a tagged read resurrected MOR-deleted rows")
   }
 
   test("tags: immutable named refs survive expiration; torn tags fail closed") {
