@@ -1678,6 +1678,35 @@ object SnapshotLog {
         .withColumn("tag_ok", lit(if (ok) 1L else 0L))
     }),
 
+    // i28: ORPHAN-FILE CLEANUP (Iceberg `remove_orphan_files`) — the
+    // maintenance half of optimistic concurrency: a LOSING writer's
+    // data files are garbage no manifest names, invisible to readers
+    // but paying storage forever until reclaimed. A fresh snapshot
+    // table gets a planted loser write (one parquet shard under
+    // data/ that no commit references); the listing finds exactly it,
+    // removal deletes exactly it, and the table read is bit-identical
+    // before and after (the rollup ≡ the base oracle — reclamation
+    // that touched a LIVE file would split every checksum).
+    // orphan_ok pins the counts: 1 found, the same 1 removed, 0 left.
+    // At 100 TB this is the difference between object storage growing
+    // monotonically under writer races and a bounded table footprint.
+    "i28_orphan_cleanup" -> ((s, d) => {
+      val table = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
+        "graft_i28_table").toString
+      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d))
+      // the loser writer: data landed, commit never did
+      Tables.orders(s, d).filter(col("o_orderkey") % 97 === 0)
+        .repartition(1).write.mode("overwrite").parquet(s"$table/data/loser")
+      val before = orphanFiles(s, table)
+      val removed = removeOrphans(s, table)
+      val after = orphanFiles(s, table)
+      val ok = before.size == 1 && removed == before && after.isEmpty &&
+        before.head.contains("/data/loser/")
+      statusRollup(readAt(s, table, currentVersion(s, table)))
+        .withColumn("orphan_ok", lit(if (ok) 1L else 0L))
+    }),
+
     // i27: TIMESTAMP TIME TRAVEL (Delta `TIMESTAMP AS OF`) — resolve
     // "the table as of 1,500,000 ms" against manifest-carried commit
     // times: between v1 (t=1,000,000) and v2 (t=2,000,000) the read
@@ -1865,6 +1894,14 @@ object SnapshotLog {
       SELECT o_orderstatus, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
         CAST(1 AS BIGINT) AS asof_ok
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // i28: the live read is bit-identical before/after reclamation ≡
+    // the base table; orphan_ok replays as the pinned count constants
+    "i28_orphan_cleanup" -> """
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(1 AS BIGINT) AS orphan_ok
       FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }
