@@ -300,11 +300,13 @@ object Bench {
         if (atWhole.length <= 2000) atWhole
         else {
           val top = entries.sortBy(-_._2).take(10)
+          val topJson = top
             .map { case (k, v) => s""""$k":${trim(s2(v))}""" }
             .mkString("{", ",", "}")
+          // elided = what top10 does NOT carry (n stays the total)
           s"""{"metric":"total","value":${s2(total)},"unit":"sec","n":${
-            entries.size},"queries_elided":${entries.size
-            },"top10":$top,"failed":$failed,"sf":$sf,"full":"$fullPath"}"""
+            entries.size},"queries_elided":${entries.size - top.size
+            },"top10":$topJson,"failed":$failed,"sf":$sf,"full":"$fullPath"}"""
         }
       }
     }

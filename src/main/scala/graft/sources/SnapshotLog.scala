@@ -538,31 +538,46 @@ object SnapshotLog {
     * the update; a later update to a deleted key re-inserts it —
     * all decided by the per-file sequence, never by guesswork.
     * Semantics are upsert: a key absent from the data files is an
-    * insert. */
+    * insert.
+    *
+    * `orderBy`: feeds with a genuine intra-batch order (a CDC ts /
+    * LSN column) pass it here and the collapse keeps the LATEST row
+    * per key — max over (orderBy columns, then the remaining non-key
+    * columns as a deterministic tiebreak). Without it the collapse is
+    * value-maximal over the whole non-key struct: deterministic and
+    * replay-idempotent, but NOT recency-based. */
   def updateMor(s: SparkSession, table: String, rows: DataFrame,
-      key: String): Long = updateMorAs(s, table, rows, key, "mor-update")
+      key: String, orderBy: Seq[String] = Nil): Long =
+    updateMorAs(s, table, rows, key, "mor-update", orderBy)
 
   /** [[updateMor]] with a caller-chosen op string — the streaming
     * layer stamps its (appId, batchId) marker here so a replayed
     * batch is detectable in the crash window. */
   def updateMorAs(s: SparkSession, table: String, rows: DataFrame,
-      key: String, op: String): Long = {
+      key: String, op: String, orderBy: Seq[String] = Nil): Long = {
     val cur = currentVersion(s, table)
     val m = readManifest(s, table, cur).getOrElse(throw new IllegalStateException(
       s"MOR update against unseeded $table"))
+    val bad = orderBy.filter(c => c == key || !rows.columns.contains(c))
+    require(bad.isEmpty,
+      s"orderBy columns must be non-key columns of the batch: $bad")
     val dir = s"$table/data/updates/${java.util.UUID.randomUUID}"
     // PER-KEY COLLAPSE before the write: duplicate keys within one
     // batch would BOTH win the latest-wins overlay (same sequence)
     // and both survive to readers, and compaction would bake the
     // duplicate in forever. Two rows per key in one batch is the
-    // normal CDC case (applyBatch collapses via latestOps); feeds
-    // with a real intra-batch order should collapse upstream — here
-    // the MAXIMAL row (max over the struct of non-key columns, a
-    // deterministic total order) wins, so replays stay idempotent.
+    // normal CDC case (applyBatch collapses via latestOps). The
+    // struct comparison is field-ORDER-sensitive, so the caller's
+    // orderBy columns lead: max over the struct is then "latest by
+    // the feed's own order, remaining columns as the deterministic
+    // tiebreak" — and with no orderBy it degrades to the
+    // value-maximal total order, so replays stay idempotent either
+    // way.
     val others = rows.columns.filterNot(_ == key)
+    val cmpCols = orderBy ++ others.filterNot(orderBy.contains)
     rows.where(col(key).isNotNull)
       .groupBy(col(key))
-      .agg(max(struct(others.map(col).toSeq: _*)).as("__r"))
+      .agg(max(struct(cmpCols.map(col).toSeq: _*)).as("__r"))
       .select(col(key) +: others.toSeq.map(c => col(s"__r.$c").as(c)): _*)
       .coalesce(1).write.parquet(dir)
     val uf = dataFiles(s, dir)
@@ -924,18 +939,33 @@ object SnapshotLog {
     (expired.map(_._1), doomed)
   }
 
+  /** Grace window for orphan cleanup: files younger than this are
+    * never treated as orphans. Every writer (seedTarget / applyBatch /
+    * deleteMor / updateMor) lands its data files BEFORE the manifest
+    * commit, so an in-flight writer's files are indistinguishable from
+    * a losing writer's garbage by reference-set alone — only age
+    * separates them. Iceberg's `remove_orphan_files` defaults to an
+    * older-than cutoff (3 days) for exactly this race; same default
+    * here. */
+  val defaultOrphanGraceMs: Long = 3L * 24 * 3600 * 1000
+
   /** Data files on disk that NO valid manifest references — the
     * leftovers of losing concurrent writers (their commit lost the
     * race; their files are garbage, not table state). The Iceberg
     * `remove_orphan_files` listing half; deletion is the caller's
     * explicit second step so a dry run is the default.
     *
-    * Run only with no writer in flight: an uncommitted writer's data
-    * files are indistinguishable from orphans (its manifest doesn't
-    * exist yet) — production systems add an age threshold for exactly
-    * this race, which a local harness doesn't need. */
-  def orphanFiles(s: SparkSession, table: String): Seq[String] = {
+    * Files whose modification time is within `olderThanMillis` of now
+    * are skipped: they may belong to a writer whose commit has not
+    * landed yet (deleting them would make that commit reference
+    * vanished files and break every read of the new snapshot). Pass
+    * `olderThanMillis = 0` ONLY when writers are provably quiesced
+    * (the test-harness mode); leave the default otherwise and never
+    * run concurrently with a compaction/expire of the same table. */
+  def orphanFiles(s: SparkSession, table: String,
+                  olderThanMillis: Long = defaultOrphanGraceMs): Seq[String] = {
     val fs = fsOf(s)
+    val cutoff = System.currentTimeMillis() - olderThanMillis
     val referenced = (1L to currentVersion(s, table))
       .flatMap(v => readManifest(s, table, v))
       .flatMap(m => (m.files ++ m.deletes ++ m.updates).map(_._1)).toSet
@@ -947,15 +977,17 @@ object SnapshotLog {
       val st = it.next()
       val p = st.getPath
       if (st.isFile && p.getName.startsWith("part-") &&
+          st.getModificationTime <= cutoff &&
           !referenced(p.toUri.getPath))
         found += p.toUri.getPath
     }
     found.toList.sorted
   }
 
-  def removeOrphans(s: SparkSession, table: String): Seq[String] = {
+  def removeOrphans(s: SparkSession, table: String,
+                    olderThanMillis: Long = defaultOrphanGraceMs): Seq[String] = {
     val fs = fsOf(s)
-    val orphans = orphanFiles(s, table)
+    val orphans = orphanFiles(s, table, olderThanMillis)
     orphans.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
     orphans
   }
@@ -1687,9 +1719,14 @@ object SnapshotLog {
     // removal deletes exactly it, and the table read is bit-identical
     // before and after (the rollup ≡ the base oracle — reclamation
     // that touched a LIVE file would split every checksum).
-    // orphan_ok pins the counts: 1 found, the same 1 removed, 0 left.
-    // At 100 TB this is the difference between object storage growing
-    // monotonically under writer races and a bounded table footprint.
+    // orphan_ok pins the counts: 1 found, the same 1 removed, 0 left —
+    // AND that the default 3-day grace window sees the fresh loser as
+    // a possible in-flight writer and refuses to touch it (the
+    // listing under the default is empty; only the explicit
+    // quiesced-writers grace of 0 reclaims). At 100 TB this is the
+    // difference between object storage growing monotonically under
+    // writer races and a bounded table footprint — without the grace
+    // window ever deleting a live writer's pre-commit files.
     "i28_orphan_cleanup" -> ((s, d) => {
       val table = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
@@ -1698,11 +1735,14 @@ object SnapshotLog {
       // the loser writer: data landed, commit never did
       Tables.orders(s, d).filter(col("o_orderkey") % 97 === 0)
         .repartition(1).write.mode("overwrite").parquet(s"$table/data/loser")
-      val before = orphanFiles(s, table)
-      val removed = removeOrphans(s, table)
-      val after = orphanFiles(s, table)
-      val ok = before.size == 1 && removed == before && after.isEmpty &&
-        before.head.contains("/data/loser/")
+      // under the DEFAULT grace the just-written loser is protected
+      val gracedSkips = orphanFiles(s, table).isEmpty
+      // harness writers are quiesced: explicit grace 0 reclaims
+      val before = orphanFiles(s, table, olderThanMillis = 0L)
+      val removed = removeOrphans(s, table, olderThanMillis = 0L)
+      val after = orphanFiles(s, table, olderThanMillis = 0L)
+      val ok = gracedSkips && before.size == 1 && removed == before &&
+        after.isEmpty && before.head.contains("/data/loser/")
       statusRollup(readAt(s, table, currentVersion(s, table)))
         .withColumn("orphan_ok", lit(if (ok) 1L else 0L))
     }),

@@ -476,8 +476,14 @@ object CdcStream {
     * the shared `_txn/last` sidecar; this build's default probe
     * (`cdc-del-batch-N`, `_txn/cdc-del`) will NOT recognize those as
     * already-applied across the upgrade — a crash-window replay on
-    * such a table re-commits the delete (idempotence loss, not
-    * correctness loss for pure deletes). Re-seed legacy tables or
+    * such a table re-commits the delete. That replay is NOT benign if
+    * other writers ran in between: the re-committed delete file gets
+    * a fresh, HIGHER sequence (cur+1), so an update that re-inserted
+    * one of those keys between the original delete and the replay is
+    * now retracted by the stale delete — latest-wins inverts, a real
+    * correctness loss (only a table that saw no interleaved
+    * update/upsert on the replayed keys merely duplicates the
+    * commit). Across the upgrade, either re-seed legacy tables or
     * pass `appId = "cdc"` to keep the old namespace; deliberately NOT
     * auto-probed, because the legacy namespace is exactly the
     * cross-stream ambiguity the appId exists to remove. */
@@ -522,21 +528,31 @@ object CdcStream {
     * one O(batch rows) update-file commit per micro-batch, ZERO
     * data-file rewrites — the update-heavy CDC shape (u10). Guarded by
     * the same per-appId txn sidecar as the other streams. Returns the
-    * committed version or -1 when already applied. */
+    * committed version or -1 when already applied.
+    *
+    * Intra-batch duplicate keys: pass the feed's ordering column(s)
+    * as `orderBy` (a CDC ts / LSN) and the per-key collapse keeps the
+    * LATEST row; without it the collapse is value-maximal over the
+    * non-key struct — deterministic, but a feed with a real order
+    * that neither passes `orderBy` nor pre-collapses upstream
+    * silently keeps the lexicographically largest row, not the last
+    * one. */
   def updateBatch(s: SparkSession, table: String, rows: DataFrame,
-      batchId: Long, key: String, appId: String = "cdc-upd"): Long = {
+      batchId: Long, key: String, appId: String = "cdc-upd",
+      orderBy: Seq[String] = Nil): Long = {
     if (alreadyApplied(s, table, appId, batchId)) return -1L
     val v = SnapshotLog.updateMorAs(s, table, rows, key,
-      opName(appId, batchId))
+      opName(appId, batchId), orderBy)
     writeTxn(s, table, appId, batchId, v)
     v
   }
 
   def updateStream(s: SparkSession, table: String, rows: DataFrame,
-      key: String, checkpoint: String, appId: String = "cdc-upd") =
+      key: String, checkpoint: String, appId: String = "cdc-upd",
+      orderBy: Seq[String] = Nil) =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        updateBatch(s, table, batch, id, key, appId); ()
+        updateBatch(s, table, batch, id, key, appId, orderBy); ()
       }
 }

@@ -72,7 +72,9 @@ class BenchCompactSpec extends AnyFunSuite {
     val c = Bench.compact(full, "/root/repo/BENCH_FULL.json")
     assert(c.length <= 2000, s"digest line is ${c.length} chars")
     assert(c.contains(""""n":250"""), c)
-    assert(c.contains(""""queries_elided":250"""), c)
+    // elided counts only what top10 does NOT carry: 250 − 10 (the
+    // ADVICE self-consistency fix — n stays the total)
+    assert(c.contains(""""queries_elided":240"""), c)
     assert(c.contains(""""failed":["z007_synthetic_growth_padding"]"""), c)
     assert(c.contains(""""full":"/root/repo/BENCH_FULL.json""""), c)
     // the 10 slowest survive as the top10 map — here the highest

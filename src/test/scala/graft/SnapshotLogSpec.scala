@@ -187,15 +187,20 @@ class SnapshotLogSpec extends AnyFunSuite {
     val loser = s"$table/data/loser"
     Tables.orders(s, d).filter(col("o_orderkey") % 7 === 2)
       .repartition(1).write.mode("overwrite").parquet(loser)
-    val orphans = SnapshotLog.orphanFiles(s, table)
+    // the default 3-day grace treats the fresh loser as a possible
+    // in-flight writer: neither listed nor removed (the ADVICE race —
+    // every writer lands data files before its commit)
+    assert(SnapshotLog.orphanFiles(s, table).isEmpty)
+    assert(SnapshotLog.removeOrphans(s, table).isEmpty)
+    val orphans = SnapshotLog.orphanFiles(s, table, olderThanMillis = 0L)
     assert(orphans.nonEmpty)
     assert(orphans.forall(_.contains("/data/loser/")), orphans.toString)
     // committed files are never listed
     val committed = SnapshotLog.readManifest(s, table, 1L).get.files.map(_._1)
     assert(orphans.toSet.intersect(committed.toSet).isEmpty)
-    val removed = SnapshotLog.removeOrphans(s, table)
+    val removed = SnapshotLog.removeOrphans(s, table, olderThanMillis = 0L)
     assert(removed === orphans)
-    assert(SnapshotLog.orphanFiles(s, table).isEmpty)
+    assert(SnapshotLog.orphanFiles(s, table, olderThanMillis = 0L).isEmpty)
     // the table still reads
     assert(SnapshotLog.readAt(s, table, 1L).count() > 0)
   }
@@ -544,6 +549,41 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.readTagged(s, table, "post-del")
       .filter(col("o_orderkey") % 10 === 0).count() === 0L,
       "a tagged read resurrected MOR-deleted rows")
+  }
+
+  test("MOR update orderBy: an ordered feed's per-key collapse keeps the " +
+      "LATEST row, not the value-maximal one; bad orderBy columns refused") {
+    val table = freshTable()
+    seed(table, 0)
+    val base = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+    val keys = base.filter(col("o_orderkey") % 21 === 0)
+    // o_shippriority plays the feed's CDC-ts role (orderBy columns
+    // are table columns — an extra side-channel column would leak
+    // into every reader's schema through the update-file union). The
+    // LATEST row (o_shippriority=2) is deliberately the
+    // value-MINIMAL one ("A-LATEST" < "Z-STALE"): without orderBy
+    // the stale row wins the struct-max collapse (the ADVICE hazard)
+    val feed = keys.withColumn("o_orderpriority", lit("Z-STALE"))
+      .withColumn("o_shippriority", lit(1))
+      .unionByName(keys.withColumn("o_orderpriority", lit("A-LATEST"))
+        .withColumn("o_shippriority", lit(2)))
+    val v = SnapshotLog.updateMor(s, table, feed, "o_orderkey",
+      orderBy = Seq("o_shippriority"))
+    val mor = SnapshotLog.readMor(s, table, v, "o_orderkey")
+    val nKeys = keys.count()
+    assert(mor.filter(col("o_orderpriority") === "A-LATEST").count() === nKeys,
+      "orderBy collapse dropped the latest row")
+    assert(mor.filter(col("o_orderpriority") === "Z-STALE").count() === 0L,
+      "orderBy collapse kept the stale row over the latest")
+    // orderBy must name existing non-key columns
+    intercept[IllegalArgumentException] {
+      SnapshotLog.updateMor(s, table, feed, "o_orderkey",
+        orderBy = Seq("o_orderkey"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.updateMor(s, table, feed, "o_orderkey",
+        orderBy = Seq("no_such_column"))
+    }
   }
 
   test("tags: immutable named refs survive expiration; torn tags fail closed") {
