@@ -700,6 +700,61 @@ object Corpus {
         .orderBy("source")
     }),
 
+    // c23: DATASET CARD — the per-source "datasheet" rollup (Gebru et
+    // al. 2018; every released pretraining corpus ships one): doc
+    // count, token mass, vocabulary size, dominant language and its
+    // share, and the char-length distribution (min/median/max) — the
+    // numbers a consumer reads BEFORE training on a source. One
+    // relation, one row per source, everything integer or
+    // 6dp-rounded-ratio so the DuckDB replay is hash-exact.
+    // Shapes at 100 TB: the corpus is scanned ONCE into four
+    // per-source aggregates that all ride the same source-hash
+    // partitioning — (a) counts/token mass/char min-max as map-side
+    // partials, (b) the vocabulary leg aggregates (source, term)
+    // pairs, Heaps-bounded (sub-linear in tokens) like c06/c20,
+    // (c) the language leg is |sources × langs| rows, (d) the median
+    // comes from the c19 device — a cumulative count over the
+    // per-source CHAR-LENGTH HISTOGRAM (value-domain-bounded, never
+    // row-sized) picking the smallest length with cum·2 ≥ n, pure
+    // integer. The four aggregates join on source: |sources|-row
+    // relations, broadcast by AQE — nothing global, nothing
+    // row-proportional past the scan.
+    "c23_dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          split(lower(col("text")), "\\s+").as("terms"))
+        .withColumn("toks", size(col("terms")).cast(LongType))
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      val vocab = docs.select(col("source"), explode(col("terms")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("source").agg(countDistinct(col("term")).as("distinct_terms"))
+      val langTop = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+        .groupBy("source").agg(max(struct(col("cnt"), col("lang"))).as("t"))
+        .select(col("source"), col("t.lang").as("top_lang"),
+          col("t.cnt").as("top_lang_cnt"))
+      val wCum = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val p50 = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("source")))
+        .groupBy("source").agg(
+          min(when(col("cum") * 2 >= col("n"), col("n_chars"))).as("p50_chars"))
+      base.join(vocab, Seq("source")).join(langTop, Seq("source"))
+        .join(p50, Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          round(col("total_tokens").cast(DoubleType) / col("n_docs"), 6)
+            .as("avg_tokens"),
+          col("distinct_terms"), col("top_lang"),
+          round(col("top_lang_cnt").cast(DoubleType) / col("n_docs"), 6)
+            .as("top_lang_share"),
+          col("min_chars"), col("max_chars"), col("p50_chars"))
+        .orderBy("source")
+    }),
+
     // c22: EPOCH-BUDGET ACCOUNTING — the data-constrained scaling
     // feasibility check (Muennighoff et al. 2023, "Scaling
     // Data-Constrained Language Models"): given a total training
@@ -1341,6 +1396,54 @@ object Corpus {
         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
       FROM ev, cuts
       ORDER BY phase, shuffle_key, doc_id""",
+
+    // c23: full datasheet replay — token mass cast to BIGINT (DuckDB
+    // widens SUM to HUGEINT), dominant lang via the rk=1 window that
+    // mirrors Spark's max(struct(cnt, lang)) (cnt DESC, lang DESC),
+    // the median from the same histogram cume rule as c19
+    "c23_dataset_card" -> """
+      WITH t AS (
+        SELECT doc_id, source, lang, n_chars,
+          CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS toks
+        FROM documents),
+      base AS (
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(toks) AS BIGINT) AS total_tokens,
+          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM t GROUP BY source),
+      v AS (
+        SELECT source, COUNT(DISTINCT term) AS distinct_terms FROM (
+          SELECT source,
+            unnest(string_split_regex(lower(text), '\s+')) AS term
+          FROM documents) u
+        WHERE len(term) > 0 GROUP BY source),
+      lc AS (SELECT source, lang, COUNT(*) AS cnt FROM t GROUP BY source, lang),
+      lt AS (
+        SELECT source, lang AS top_lang, cnt AS top_lang_cnt FROM (
+          SELECT source, lang, cnt,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY cnt DESC, lang DESC) AS rk
+          FROM lc) r WHERE rk = 1),
+      h AS (SELECT source, n_chars, COUNT(*) AS cnt FROM t GROUP BY source, n_chars),
+      hh AS (
+        SELECT source, n_chars,
+          SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(cnt) OVER (PARTITION BY source) AS n
+        FROM h),
+      p AS (
+        SELECT source, MIN(CASE WHEN cum * 2 >= n THEN n_chars END) AS p50_chars
+        FROM hh GROUP BY source)
+      SELECT b.source, b.n_docs, b.total_tokens,
+        ROUND(CAST(b.total_tokens AS DOUBLE) / b.n_docs, 6) AS avg_tokens,
+        v.distinct_terms, lt.top_lang,
+        ROUND(CAST(lt.top_lang_cnt AS DOUBLE) / b.n_docs, 6) AS top_lang_share,
+        b.min_chars, b.max_chars, p.p50_chars
+      FROM base b
+      JOIN v ON v.source = b.source
+      JOIN lt ON lt.source = b.source
+      JOIN p ON p.source = b.source
+      ORDER BY b.source""",
 
     // c18: full replay — the skewed working set, the ordered pairwise
     // Σ n^α (window over the source-sorted aggregate, matching Spark's
