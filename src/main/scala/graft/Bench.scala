@@ -119,7 +119,11 @@ object Bench {
     // d13 a soloist; d12 drew 38.2 s in dedup_b vs 1.49 s solo (26×)
     // — it shingles+signs a shard AND reads the persisted index, the
     // composite shape every sweep victim shares
-    "s12_knn_graph", "d12_incremental_dedup")
+    "s12_knn_graph", "d12_incremental_dedup",
+    // round-13: s18 fuses the WHOLE c15 BM25 pipeline (unigram
+    // explode + postings) with an s01-class dense scan in one query —
+    // the d16 composite shape, seated at birth per the r10 rule
+    "s18_hybrid_rrf")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name

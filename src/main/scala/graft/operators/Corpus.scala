@@ -25,6 +25,54 @@ object Corpus {
   /** Tokens per packed training sequence (c02). */
   private val SeqLen = 4096
 
+  /** The BM25 candidate relation (q_id, doc_id, score) c15 ranks and
+    * s18's hybrid fusion consumes at depth 20 — factored so both ride
+    * ONE definition of corpus, probes and scoring. Score is the 6-dp
+    * ROUNDED per-(query, doc) sum, the rank key both engines compare
+    * identically. Plan shape (the c15 scaladoc's inverted-index
+    * stages): postings build → broadcast query vocab → candidates
+    * keyed on term → partial-aggregated score; the corpus is touched
+    * twice, everything query-sided is broadcast-bounded. */
+  private[operators] def bm25Candidates(s: SparkSession, d: String): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.filter(col("doc_id") % 101 =!= 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy("doc_id")))
+      .truncatedLazy // feeds df, stats and the candidate probe
+    val stats = tf.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+        avg(col("dl").cast(DoubleType)).as("avgdl"))
+    // FIXED query set (≤50 probes: %101 picks within the first 5050
+    // ids — the s01 convention). A query workload that grew with
+    // the corpus would square the candidate space on this tiny-
+    // vocabulary fixture (measured 16.6× at 10× rows when the cap
+    // was absent); retrieval QPS is a workload constant, not a
+    // corpus property.
+    val qterms = toks.filter(col("doc_id") % 101 === 0 &&
+        col("doc_id") < 5050)
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+    // df over query vocab only: the vocab-wide postings stats never
+    // leave their aggregation — slim (term, df) rows, broadcastable
+    // tf is unique per (doc, term), so df is a plain count — no
+    // distinct aggregation needed
+    val df = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats)) // 1-row corpus stats, c06 class
+      .withColumn("tscore",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast(DoubleType) / col("avgdl"))))
+      .groupBy("q_id", "doc_id").agg(round(sum(col("tscore")), 6).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // c01: repetition-based quality filter (the Gopher-style rules
@@ -415,44 +463,7 @@ object Corpus {
     // (identical across engines; raw doubles could flip a rank-5/6
     // cut on the last ulp), tie-broken on doc_id — a total order.
     "c15_bm25_topk" -> ((s, d) => {
-      val k1 = 1.2; val b = 0.75
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), "\\s+")).as("term"))
-        .filter(length(col("term")) > 0)
-      val tf = toks.filter(col("doc_id") % 101 =!= 0)
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .withColumn("dl",
-          sum(col("tf")).over(Window.partitionBy("doc_id")))
-        .truncatedLazy // feeds df, stats and the candidate probe
-      val stats = tf.groupBy("doc_id").agg(first(col("dl")).as("dl"))
-        .agg(count(lit(1)).cast(DoubleType).as("n_docs"),
-          avg(col("dl").cast(DoubleType)).as("avgdl"))
-      // FIXED query set (≤50 probes: %101 picks within the first 5050
-      // ids — the s01 convention). A query workload that grew with
-      // the corpus would square the candidate space on this tiny-
-      // vocabulary fixture (measured 16.6× at 10× rows when the cap
-      // was absent); retrieval QPS is a workload constant, not a
-      // corpus property.
-      val qterms = toks.filter(col("doc_id") % 101 === 0 &&
-          col("doc_id") < 5050)
-        .select(col("doc_id").as("q_id"), col("term")).distinct()
-      // df over query vocab only: the vocab-wide postings stats never
-      // leave their aggregation — slim (term, df) rows, broadcastable
-      // tf is unique per (doc, term), so df is a plain count — no
-      // distinct aggregation needed
-      val df = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
-        .groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
-      val cand = tf
-        .join(broadcast(qterms), Seq("term"))
-        .join(broadcast(df), Seq("term"))
-        .crossJoin(broadcast(stats)) // 1-row corpus stats, c06 class
-        .withColumn("tscore",
-          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            (col("tf") * lit(k1 + 1.0)) /
-            (col("tf") + lit(k1) * (lit(1.0 - b) +
-              lit(b) * col("dl").cast(DoubleType) / col("avgdl"))))
-        .groupBy("q_id", "doc_id").agg(round(sum(col("tscore")), 6).as("score"))
+      val cand = bm25Candidates(s, d)
       cand.groupBy("q_id")
         .agg(graft.functions.TopKRows.topk(
           struct((-col("score")).as("ns"), col("doc_id").as("doc_id"),

@@ -827,7 +827,60 @@ object Similarity {
     // cost recall vs the rebuilt index.
     "s17_incremental_recall" -> ((s, d) =>
       recallVsExact(queries("s01_cosine_topk")(s, d),
-        queries("s16_ann_incremental")(s, d), minHits = 25))
+        queries("s16_ann_incremental")(s, d), minHits = 25)),
+
+    // s18: HYBRID RETRIEVAL — reciprocal-rank fusion (Cormack et al.
+    // 2009, the default fusion in every production RAG stack) of the
+    // LEXICAL leg (c15's BM25, shared candidate relation at depth 20)
+    // and the DENSE leg (s01's exact cosine at depth 20) over the
+    // same %101 probe set: rrf = Σ_leg 1/(60 + rank_leg), a doc
+    // absent from a leg contributes nothing. Determinism contract:
+    // each leg's rank is an INTEGER produced by the engine-identical
+    // tie-break ((rounded-score desc, doc_id) for BM25 — c15's rule;
+    // (raw cos desc, doc_id) for cosine — s01's rule), so the fused
+    // score is a sum of two identical rationals in both engines; the
+    // final rank compares that raw double with doc_id tie-break.
+    // Scale shape: both legs end in bounded-heap top-20s (≤20 rows
+    // per query per map task cross the shuffle), the fusion is a
+    // |probes × ≤40|-row full-outer join, and the final top-5 is the
+    // same heap — after the two corpus passes (postings, vector
+    // scan), NOTHING is corpus-sized. Fuses c15+s01-class work in
+    // one query → Bench.Soloists at birth (the d16 composite rule).
+    "s18_hybrid_rrf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 5050)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val cosRanks = emb.filter(col("vec_id") % 101 =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .groupBy("q_id")
+        .agg(graft.functions.TopKRows.topk(
+          struct((-col("cos")).as("ns"), col("vec_id").as("id")), 20).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), col("e.id").as("doc_id"),
+          (col("pos") + 1).as("rk_cos"))
+      val bmRanks = Corpus.bm25Candidates(s, d)
+        .groupBy("q_id")
+        .agg(graft.functions.TopKRows.topk(
+          struct((-col("score")).as("ns"), col("doc_id").as("id")), 20).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), col("e.id").as("doc_id"),
+          (col("pos") + 1).as("rk_bm"))
+      val fused = bmRanks
+        .join(cosRanks, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rk_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rk_cos")), lit(0.0)))
+      fused.groupBy("q_id")
+        .agg(graft.functions.TopKRows.topk(
+          struct((-col("rrf")).as("ns"), col("doc_id").as("id"),
+            col("rrf").as("r")), 5).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), (col("pos") + 1).as("rk"),
+          col("e.id").as("doc_id"), round(col("e.r"), 6).as("rrf"))
+        .orderBy("q_id", "rk")
+    })
   )
 
   /** The 25% deterministic hash sample every trainer here uses (IVF
@@ -999,6 +1052,78 @@ object Similarity {
       SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS n_exact_pairs,
         CAST(1 AS BIGINT) AS recall_ok
       FROM ranked WHERE rk <= 5""",
+
+    // s18: full hybrid replay — the c15 BM25 CTE chain at depth 20,
+    // the s01 cosine chain at depth 20 over the %101 probes, RRF
+    // fusion on the leg-rank integers, final rank on the raw fused
+    // double (identical rationals in both engines) with doc_id ties
+    "s18_hybrid_rrf" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      tt AS (SELECT doc_id, term FROM tok WHERE len(term) > 0),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tt WHERE doc_id % 101 <> 0 GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      q AS (
+        SELECT DISTINCT doc_id AS q_id, term FROM tt
+        WHERE doc_id % 101 = 0 AND doc_id < 5050),
+      df AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+      cand AS (
+        SELECT q.q_id, c.doc_id,
+          ROUND(SUM(
+            ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+            (c.tf * 2.2) /
+            (c.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
+          ), 6) AS score
+        FROM tf c
+        JOIN q ON q.term = c.term
+        JOIN df f ON f.term = c.term
+        JOIN dl l ON l.doc_id = c.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.q_id, c.doc_id),
+      bm AS (
+        SELECT q_id, doc_id, rk_bm FROM (
+          SELECT q_id, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY score DESC, doc_id) AS rk_bm
+          FROM cand) r WHERE rk_bm <= 20),
+      e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      cs AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
+          list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+          (SQRT(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+           SQRT(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS cos
+        FROM e a JOIN e b
+          ON a.vec_id % 101 = 0 AND a.vec_id < 5050 AND b.vec_id % 101 <> 0),
+      co AS (
+        SELECT q_id, doc_id, rk_cos FROM (
+          SELECT q_id, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, doc_id) AS rk_cos
+          FROM cs) r WHERE rk_cos <= 20),
+      fused AS (
+        SELECT COALESCE(bm.q_id, co.q_id) AS q_id,
+               COALESCE(bm.doc_id, co.doc_id) AS doc_id,
+               COALESCE(1.0 / (60 + bm.rk_bm), 0)
+                 + COALESCE(1.0 / (60 + co.rk_cos), 0) AS rrf
+        FROM bm FULL OUTER JOIN co
+          ON bm.q_id = co.q_id AND bm.doc_id = co.doc_id),
+      ranked AS (
+        SELECT q_id, doc_id, rrf,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY rrf DESC, doc_id) AS rk
+        FROM fused)
+      SELECT q_id, CAST(rk AS INT) AS rk, doc_id, ROUND(rrf, 6) AS rrf
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
 
     "s05_ivf_recall" -> """
       WITH e AS (
