@@ -880,6 +880,56 @@ object Similarity {
         .select(col("q_id"), (col("pos") + 1).as("rk"),
           col("e.id").as("doc_id"), round(col("e.r"), 6).as("rrf"))
         .orderBy("q_id", "rk")
+    }),
+
+    // s19: VALUE-LEVEL SIGN-LSH ORACLE TWIN (the d18/d19 convention,
+    // extended to the vector side): s02's banding is un-oracle-able
+    // because its hyperplanes are xxhash64 floats whose projections
+    // are order-sensitive double sums. The twin replays the SAME
+    // banding semantics with every piece engine-exact: vectors
+    // quantize to int8 by s06's proven rule, hyperplane weights are
+    // ±1 from an md5 hex digit (plane p, dim i ← md5('s19:p:i'),
+    // digit < 8 → +1 — DuckDB's md5 is bit-identical), projections
+    // are INTEGER sums (order-free where float sums are not), and
+    // the 4×4-bit band keys aggregate into bucket occupancies. The
+    // output IS the LSH index's bucket histogram — the structure s04
+    // can only gate on recall, here pinned value-by-value. Production
+    // queries stay on the faster xxhash64 geometry (s02); this twin
+    // exists to prove the banding algebra. Scale: fixed 16-plane
+    // blowup on the exploded scan, ONE codegen'd hash aggregate per
+    // vector (the signed() shape), bucket rollup ≤ bands·2^bits = 64
+    // rows.
+    "s19_lsh_bucket_oracle" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val rows = e
+        .select(col("vec_id"),
+          greatest(array_max(col("v")), -array_min(col("v"))).as("max_abs"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          when(col("max_abs") === 0, 0L)
+            .otherwise(round(col("x") * 127.0 / col("max_abs"), 0).cast(LongType))
+            .as("q"))
+      val sign = (p: Int) => {
+        val hex1 = substring(
+          md5(concat(lit(s"s19:$p:"), col("dim").cast(StringType))), 1, 1)
+        when(hex1.isin((0 to 7).map(_.toString): _*), 1L).otherwise(-1L)
+      }
+      val projs = (0 until 16).map(p => sum(col("q") * sign(p)).as(s"proj$p"))
+      val bits = rows.groupBy("vec_id").agg(projs.head, projs.tail: _*)
+        .select(col("vec_id") +: (0 until 16).map(p =>
+          when(col(s"proj$p") >= 0, lit("1")).otherwise(lit("0"))
+            .as(s"bit$p")): _*)
+      bits.select(col("vec_id"),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b.toLong).as("band_idx"),
+              concat((0 until 4).map(i => col(s"bit${b * 4 + i}")): _*)
+                .as("band_key"))
+          }: _*)).as("band"))
+        .groupBy(col("band.band_idx").as("band_idx"),
+          col("band.band_key").as("band_key"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("band_idx", "band_key")
     })
   )
 
@@ -1124,6 +1174,44 @@ object Similarity {
         FROM fused)
       SELECT q_id, CAST(rk AS INT) AS rk, doc_id, ROUND(rrf, 6) AS rrf
       FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+
+    // s19: full banding replay — s06's int8 quantization, ±1 weights
+    // from the same md5 derivation, integer projections, 4×4-bit keys
+    "s19_lsh_bucket_oracle" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, v, GREATEST(list_max(v), -list_min(v)) AS max_abs
+        FROM e),
+      rows_ AS (
+        SELECT vec_id,
+          unnest(range(1, len(v) + 1)) - 1 AS dim,
+          unnest(list_transform(v, x -> CASE WHEN max_abs = 0 THEN 0
+            ELSE CAST(ROUND(x * 127.0 / max_abs, 0) AS BIGINT) END)) AS q
+        FROM s),
+      planes AS (
+        SELECT a.p, b.dim,
+          CASE WHEN instr('01234567', substring(md5(
+            concat('s19:', CAST(a.p AS VARCHAR), ':',
+                   CAST(b.dim AS VARCHAR))), 1, 1)) > 0
+          THEN 1 ELSE -1 END AS w
+        FROM (SELECT unnest(range(16)) AS p) a
+        CROSS JOIN (SELECT DISTINCT dim FROM rows_) b),
+      proj AS (
+        SELECT r.vec_id, pl.p, SUM(r.q * pl.w) AS pr
+        FROM rows_ r JOIN planes pl ON pl.dim = r.dim
+        GROUP BY r.vec_id, pl.p),
+      bits AS (
+        SELECT vec_id, p, CASE WHEN pr >= 0 THEN '1' ELSE '0' END AS b
+        FROM proj),
+      keys AS (
+        SELECT vec_id, p // 4 AS band_idx,
+          string_agg(b, '' ORDER BY p) AS band_key
+        FROM bits GROUP BY vec_id, p // 4)
+      SELECT band_idx, band_key, COUNT(*) AS n_vecs
+      FROM keys GROUP BY band_idx, band_key
+      ORDER BY band_idx, band_key""",
 
     "s05_ivf_recall" -> """
       WITH e AS (
