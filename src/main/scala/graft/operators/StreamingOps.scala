@@ -41,7 +41,35 @@ object StreamingOps {
     // state semantics under the DuckDB hash gate too.
     "st05_stateful_user_totals" -> ((s, d) =>
       EventStreams.userTotalsBatch(Tables.events(s, d))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // st06: per-window distinct-user SKETCH maintenance — the batch
+    // registration of EventStreams.windowUserSketch (streaming parity
+    // is pinned in StreamingSpec: the HLL merge is register-max,
+    // order-free, so stream and batch estimates are bit-identical).
+    // The oracle-checkable half is the exact per-window distinct and
+    // event count; the sketch's contribution is the per-window hll_ok
+    // flag (a04/a08 convention: |est − exact| within the rsd-2%
+    // envelope, +2 absolute for the small-window tail) — a constant-1
+    // column the DuckDB replay derives independently, so estimator
+    // drift flips the hash red. The exact leg is gate pricing only:
+    // at 100 TB the PRODUCT is the sketch (fixed bytes per window);
+    // the exact distinct exists to price it, the a05 pattern.
+    "st06_window_distinct_hll" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val exact = ev
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(col("w.start").as("window_start"), col("exact_users"))
+      EventStreams.windowUserSketch(ev)
+        .join(exact, Seq("window_start"))
+        .select(col("window_start"), col("n_events"), col("exact_users"),
+          when(abs(col("hll_users") - col("exact_users"))
+            .cast(org.apache.spark.sql.types.DoubleType)
+            <= col("exact_users") * 0.05 + lit(2.0), 1L)
+            .otherwise(0L).as("hll_ok"))
+        .orderBy("window_start")
+    })
   )
 
   // Oracle notes: Spark tumbling windows align to the epoch, exactly
@@ -95,6 +123,16 @@ object StreamingOps {
       SELECT user_id, COUNT(*) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
         epoch_ms(MAX(ts)) AS last_seen_ms
-      FROM events GROUP BY user_id ORDER BY user_id"""
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // st06: the exact per-window leg replays in SQL; the sketch's
+    // accuracy contract arrives as the independently-derived
+    // constant-1 hll_ok column
+    "st06_window_distinct_hll" -> """
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS exact_users,
+        CAST(1 AS BIGINT) AS hll_ok
+      FROM events GROUP BY 1 ORDER BY window_start"""
   )
 }

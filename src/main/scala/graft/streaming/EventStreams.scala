@@ -84,6 +84,27 @@ object EventStreams {
       .select(col("w.start").as("session_start"), col("user_id"),
         col("n_events"), col("last_ts"))
 
+  /** Tumbling 6-hour per-window DISTINCT-USER sketch: the mergeable
+    * HLL++ register set per window — the only distinct an unbounded
+    * 100 TB stream can afford. Exact per-window distinct needs
+    * per-window key state proportional to the user space; the sketch
+    * is FIXED-size per window, its partials merge across partitions
+    * and micro-batches by register-max (order-free, so the streaming
+    * estimate is BIT-IDENTICAL to the batch one — pinned in
+    * StreamingSpec), and the watermark lets the window's registers
+    * evict once closed. rsd 2%, the a01 sketch convention; the
+    * estimate-vs-exact error is gated in st06. */
+  def windowUserSketch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.02).as("hll_users"))
+      .select(col("w.start").as("window_start"), col("n_events"),
+        col("hll_users"))
+
+  def windowUserSketchStreaming(events: DataFrame): DataFrame =
+    windowUserSketch(events.withWatermark("ts", "2 hours"))
+
   /** Watermarked variant for true streaming runs: drop events >2 hours
     * late before windowing (append-mode compatible). */
   def tumblingCountsStreaming(events: DataFrame): DataFrame =

@@ -29,6 +29,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming per-window HLL user sketches are bit-identical to batch " +
+      "(register-max merge is order-free)") {
+    val stream = EventStreams.readEventStream(s, d)
+    val q = EventStreams.windowUserSketchStreaming(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.table("hll_out").orderBy("window_start").collect()
+      val batch = EventStreams.windowUserSketch(Tables.events(s, d))
+        .orderBy("window_start").collect()
+      assert(streamed.length === batch.length)
+      // EXACT equality including the estimates: the sketch is
+      // deterministic and merges order-free, so micro-batching must
+      // not move a single register
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("stateful flatMapGroupsWithState totals converge to the batch aggregate") {
     val stream = EventStreams.readEventStream(s, d)
     val q = EventStreams.userTotalsStreaming(stream)
