@@ -442,6 +442,81 @@ object Upsert {
         compacted.exceptAll(mor).limit(1).count() == 0 &&
         mor.exceptAll(compacted).limit(1).count() == 0
       cdcRollup(mor).withColumn("mor_upd_ok", lit(if (ok) 1L else 0L))
+    }),
+
+    // u11: PARTIAL-COLUMN MOR PATCHES — the column-sparse CDC shape
+    // (Hudi's partial-update payload): the feed knows only the
+    // CHANGED columns, so u10's full-replacement-row contract would
+    // force a read-modify-write upstream of every commit. A patch
+    // batch commits O(rows × patched columns) + one manifest (`p:`
+    // lines), ZERO data-file rewrites AND zero pre-reads; readers
+    // coalesce per column by sequence (readPatched): a patch older
+    // than the row-defining mutation is masked, a later delete
+    // retracts it, a later patch overrides column-by-column, and a
+    // patch never inserts. The interleave here drives every rule:
+    // patch(%9 priority, seq2) → full update(%18, seq3, masks p1) →
+    // delete(%27, seq4) → patch(%12 status+priority, seq5, rides
+    // OVER the update but not the delete), with the second patch
+    // shipped through the streaming twin (patchBatch) and replayed
+    // to prove txn idempotence. patch_ok pins the lifecycle: 2 patch
+    // + 1 update + 1 delete files before compaction, none after,
+    // compacted read ≡ patched read both ways, replay committed
+    // nothing, and the delete-overlay consumer path REFUSES the
+    // patch-carrying snapshot (readPatched/compact are the aware
+    // paths). At 100 TB: a 1000-row 2-column patch against a wide
+    // 100k-file table is one slim file + one manifest; the read tax
+    // is one broadcast join per patched column until compaction.
+    "u11_patch_columns" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val table = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
+        "graft_u11_table").toString
+      val orders = Tables.orders(s, d)
+      val base = orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      graft.streaming.CdcStream.seedTarget(s, table, base, "o_orderkey")
+      // seq 2: patch priority on %9 keys (one column)
+      SnapshotLog.patchMor(s, table,
+        base.filter(col("o_orderkey") % 9 === 0)
+          .select(col("o_orderkey"), lit("1-PATCH").as("o_orderpriority")),
+        "o_orderkey")
+      // seq 3: FULL update on %18 keys — masks the older patch there
+      SnapshotLog.updateMor(s, table,
+        base.filter(col("o_orderkey") % 18 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            lit("PU").as("o_orderstatus"),
+            (col("o_totalprice") + lit(300.0)).as("o_totalprice"),
+            col("o_orderdate"), lit("3-UPD").as("o_orderpriority")),
+        "o_orderkey")
+      // seq 4: delete %27 keys — retracts rows AND any later patch
+      SnapshotLog.deleteMor(s, table,
+        base.filter(col("o_orderkey") % 27 === 0).select("o_orderkey"),
+        "o_orderkey")
+      // seq 5: two-column patch on %12 keys via the STREAMING twin;
+      // rides over seq-3 updates, no-ops on seq-4 deletions
+      val p2 = base.filter(col("o_orderkey") % 12 === 0)
+        .select(col("o_orderkey"), lit("P2").as("o_orderstatus"),
+          lit("5-PATCH2").as("o_orderpriority"))
+      graft.streaming.CdcStream.patchBatch(s, table, p2, 0L, "o_orderkey")
+      val replay = graft.streaming.CdcStream.patchBatch(
+        s, table, p2, 0L, "o_orderkey")
+      val vP = SnapshotLog.currentVersion(s, table)
+      val m = SnapshotLog.readManifest(s, table, vP).get
+      val patched = SnapshotLog.readPatched(s, table, vP, "o_orderkey")
+      // consumer delete-overlay paths must refuse, not serve stale
+      SnapshotLog.tagSnapshot(s, table, "pre-compact", vP)
+      val consumerRefused = scala.util.Try(
+        SnapshotLog.readTagged(s, table, "pre-compact")).isFailure
+      val vC = SnapshotLog.compactMor(s, table, "o_orderkey")
+      val post = SnapshotLog.readManifest(s, table, vC).get
+      val compacted = SnapshotLog.readAt(s, table, vC)
+      val ok = replay == -1L && consumerRefused &&
+        m.patches.size == 2 && m.updates.size == 1 && m.deletes.size == 1 &&
+        post.patches.isEmpty && post.updates.isEmpty && post.deletes.isEmpty &&
+        compacted.exceptAll(patched).limit(1).count() == 0 &&
+        patched.exceptAll(compacted).limit(1).count() == 0
+      cdcRollup(patched).withColumn("patch_ok", lit(if (ok) 1L else 0L))
     })
   )
 
@@ -707,6 +782,31 @@ object Upsert {
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         CAST(1 AS BIGINT) AS mor_upd_ok
-      FROM final GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM final GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // u11: sequence-algebra replay in CASE form. Survivors = NOT %27
+    // (the seq-4 delete; the seq-5 patch never resurrects). Status:
+    // the %12 patch (seq 5) beats the %18 update (seq 3) beats base.
+    // Price: only the full update touches it. Priority: patch2 (%12)
+    // > update (%18) > patch1 (%9, applies only where no update
+    // masked it — %9∧¬%18) > base. patch_ok replays as the pinned
+    // lifecycle constant.
+    "u11_patch_columns" -> """
+      WITH f AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 12 = 0 THEN 'P2'
+               WHEN o_orderkey % 18 = 0 THEN 'PU'
+               ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 18 = 0 THEN o_totalprice + 300.0
+               ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderkey % 12 = 0 THEN '5-PATCH2'
+               WHEN o_orderkey % 18 = 0 THEN '3-UPD'
+               WHEN o_orderkey % 9 = 0 THEN '1-PATCH'
+               ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 27 <> 0)
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(1 AS BIGINT) AS patch_ok
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

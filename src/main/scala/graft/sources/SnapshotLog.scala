@@ -87,7 +87,20 @@ object SnapshotLog {
       updates: Seq[(String, Long)] = Nil,
       seqs: Map[String, Long] = Map.empty,
       schema: Option[String] = None,
-      ts: Long = 0L) // commit-time epoch millis (`ts:` line; 0 = legacy)
+      ts: Long = 0L, // commit-time epoch millis (`ts:` line; 0 = legacy)
+      // partial-column patch files (`p:` lines, u11): each carries
+      // (key + a SUBSET of columns); readers coalesce per column by
+      // sequence (readPatched). Prefix-filter parsing keeps older
+      // builds' manifests compatible (they simply have no p: lines).
+      patches: Seq[(String, Long)] = Nil)
+
+  /** Every on-disk file a manifest references — data, delete, update
+    * AND patch files. The single definition expire's reference
+    * counting and orphan listing share, so a new mutation-file type
+    * can never be reclaimed out from under a live snapshot by a
+    * cleanup path that predates it. */
+  private def refFiles(m: Manifest): Seq[(String, Long)] =
+    m.files ++ m.deletes ++ m.updates ++ m.patches
 
   /** Thrown in expected-parent mode when another writer committed
     * first — the caller re-reads table state and re-plans (the
@@ -243,6 +256,7 @@ object SnapshotLog {
       }
       val (dels, dSeqs) = mutLines("d:")
       val (upds, uSeqs) = mutLines("u:")
+      val (pats, pSeqs) = mutLines("p:")
       Manifest(ver, par, op,
         committed.filter(_.startsWith("f:")).map { l =>
           val Array(path, len) = l.drop(2).split("\t", 2)
@@ -258,9 +272,10 @@ object SnapshotLog {
           path -> b64
         }.toMap,
         upds,
-        dSeqs ++ uSeqs,
+        dSeqs ++ uSeqs ++ pSeqs,
         field("schema"),
-        field("ts").map(_.toLong).getOrElse(0L))
+        field("ts").map(_.toLong).getOrElse(0L),
+        patches = pats)
     }
   }
 
@@ -282,7 +297,8 @@ object SnapshotLog {
       m.files.flatMap { case (p, _) =>
         m.ndv.get(p).map(b64 => s"n:$p\t$b64") } ++
       m.deletes.map { case (p, l) => mutLine("d:")(p, l) } ++
-      m.updates.map { case (p, l) => mutLine("u:")(p, l) } :+ "end")
+      m.updates.map { case (p, l) => mutLine("u:")(p, l) } ++
+      m.patches.map { case (p, l) => mutLine("p:")(p, l) } :+ "end")
       .mkString("\n")
   }
 
@@ -324,13 +340,14 @@ object SnapshotLog {
       updates: Seq[(String, Long)] = Nil,
       seqs: Map[String, Long] = Map.empty,
       schema: Option[String] = None,
-      tsMillis: Option[Long] = None): Long = {
+      tsMillis: Option[Long] = None,
+      patches: Seq[(String, Long)] = Nil): Long = {
     // the manifest format is line/tab-delimited: an op or path
     // carrying those characters would write a manifest that parses
     // into the WRONG file list — reject loudly instead
     require(!op.exists(c => c == '\n' || c == '\r' || c == '\t'),
       s"op must be single-line, got: ${op.take(80)}")
-    (files ++ deletes ++ updates).foreach { case (p, _) =>
+    (files ++ deletes ++ updates ++ patches).foreach { case (p, _) =>
       require(!p.exists(c => c == '\n' || c == '\r' || c == '\t'),
         s"file path contains manifest delimiters: ${p.take(120)}") }
     // a non-positive seq would tie with the implicit data-row seq 0
@@ -369,7 +386,7 @@ object SnapshotLog {
       }
       val m = Manifest(attempt, attempt - 1, op, files, stats, deletes, ndv,
         updates, seqs, schema,
-        tsMillis.getOrElse(System.currentTimeMillis()))
+        tsMillis.getOrElse(System.currentTimeMillis()), patches)
       try {
         publishAtomic(s, vPath(table, attempt), render(m))
         writeCkptHint(s, table, attempt) // advisory; loss = no shortcut
@@ -490,6 +507,10 @@ object SnapshotLog {
     require(m.updates.isEmpty,
       s"snapshot v${m.version} carries MOR update files — read it through " +
         "readMor (or compactMor first); this path cannot overlay them")
+    require(m.patches.isEmpty,
+      s"snapshot v${m.version} carries partial-column patch files — read " +
+        "it through readPatched (or compactMor first); this path cannot " +
+        "coalesce them")
     if (m.deletes.isEmpty) base
     else {
       val dk = s.read.parquet(m.deletes.map(_._1): _*).distinct()
@@ -516,12 +537,13 @@ object SnapshotLog {
     val df = dataFiles(s, dir)
     // data files are untouched, so stats AND ndv blobs carry verbatim
     // (post-delete the blob NDV is an upper bound until compaction —
-    // advisory metadata, like stats under MOR); updates, seqs and the
-    // persisted schema carry too (the i25/r11 carry-forward lesson)
+    // advisory metadata, like stats under MOR); updates, patches,
+    // seqs and the persisted schema carry too (the i25/r11
+    // carry-forward lesson)
     commit(s, table, "mor-delete", m.files, Some(cur),
       m.stats, m.deletes ++ df, m.ndv,
       updates = m.updates, seqs = m.seqs ++ df.map(_._1 -> (cur + 1)),
-      schema = m.schema)
+      schema = m.schema, patches = m.patches)
   }
 
   /** Commit a MERGE-ON-READ equality UPDATE (u10, the Hudi MOR
@@ -587,7 +609,7 @@ object SnapshotLog {
     commit(s, table, op, m.files, Some(cur),
       m.stats, m.deletes, m.ndv,
       updates = m.updates ++ uf, seqs = m.seqs ++ uf.map(_._1 -> (cur + 1)),
-      schema = m.schema)
+      schema = m.schema, patches = m.patches)
   }
 
   /** The snapshot's data files as one scan, projected to the
@@ -662,7 +684,126 @@ object SnapshotLog {
       key: String): DataFrame = {
     val m = readManifest(s, table, v).getOrElse(throw new IllegalArgumentException(
       s"no committed snapshot v$v in $table"))
-    applyMutations(s, m, key, dataScan(s, m))
+    // a patch-carrying snapshot needs the per-column coalesce — this
+    // signature HAS the key, so delegate instead of refusing (the
+    // overlayDeletes paths, which lack it, refuse)
+    if (m.patches.nonEmpty) readPatched(s, table, v, key)
+    else applyMutations(s, m, key, dataScan(s, m))
+  }
+
+  /** Commit a PARTIAL-COLUMN patch (u11): `patch` carries the key
+    * plus a SUBSET of the table's columns; per key the named columns
+    * are overwritten, everything else keeps its current value — the
+    * Hudi partial-update payload / "patch file" shape. A batch
+    * commits O(batch rows × patched columns) + one manifest, ZERO
+    * data-file rewrites, where updateMor must ship FULL replacement
+    * rows (forcing the writer to read-modify-write upstream when the
+    * feed only knows the changed columns). Sequencing is the shared
+    * mutation contract: the patch takes the committing version's
+    * sequence; a later delete retracts it; a later full update masks
+    * it; a later patch overrides it column-by-column; patches never
+    * insert (a key absent from the resolved base is a no-op).
+    * Duplicate keys within a batch collapse value-maximally first
+    * (the updateMorAs rule, same replay-idempotence rationale). */
+  def patchMor(s: SparkSession, table: String, patch: DataFrame,
+      key: String, op: String = "mor-patch"): Long = {
+    val cur = currentVersion(s, table)
+    val m = readManifest(s, table, cur).getOrElse(throw new IllegalStateException(
+      s"MOR patch against unseeded $table"))
+    val others = patch.columns.filterNot(_ == key)
+    require(patch.columns.contains(key) && others.nonEmpty,
+      s"patch must carry the key '$key' plus at least one column")
+    // patched columns must exist in the table's schema — a typo'd
+    // column would otherwise ride the manifest forever and silently
+    // never apply. dataScan's schema honors the manifest-persisted
+    // one when present and falls back to the footer union on legacy
+    // tables (footer reads only, no data IO).
+    val tbl = dataScan(s, m).schema.fieldNames.toSet
+    val bad = others.filterNot(tbl)
+    require(bad.isEmpty, s"patch names columns absent from the table " +
+      s"schema: ${bad.mkString(", ")}")
+    val dir = s"$table/data/patches/${java.util.UUID.randomUUID}"
+    patch.where(col(key).isNotNull)
+      .groupBy(col(key))
+      .agg(max(struct(others.map(col).toSeq: _*)).as("__r"))
+      .select(col(key) +: others.toSeq.map(c => col(s"__r.$c").as(c)): _*)
+      .coalesce(1).write.parquet(dir)
+    val pf = dataFiles(s, dir)
+    commit(s, table, op, m.files, Some(cur),
+      m.stats, m.deletes, m.ndv,
+      updates = m.updates, seqs = m.seqs ++ pf.map(_._1 -> (cur + 1)),
+      schema = m.schema, patches = m.patches ++ pf)
+  }
+
+  /** Read snapshot `v` with deletes, full updates AND partial-column
+    * patches applied. Resolution is two steps of the same sequence
+    * algebra: (1) the ROW-DEFINING winner per key — data row (seq 0),
+    * latest full update, or delete — exactly [[readMor]]'s collapse,
+    * but keeping the winner's sequence as `__rseq`; (2) per patched
+    * COLUMN, the latest patch value per key applies iff its sequence
+    * beats `__rseq` (a patch older than the row it would modify is
+    * masked; the latest patch overall is the latest above `__rseq`
+    * whenever any is — sequences are unique per commit). Plan shape:
+    * the base scan + one broadcast probe (deletes/updates) + ONE slim
+    * broadcast join PER PATCHED COLUMN (patch relations are O(patch
+    * rows), never data-sized); patch-file schemas are read on the
+    * driver, bounded by the patch-file count (the fileStats class) —
+    * compaction keeps that count small by construction. */
+  def readPatched(s: SparkSession, table: String, v: Long,
+      key: String): DataFrame = {
+    val m = readManifest(s, table, v).getOrElse(throw new IllegalArgumentException(
+      s"no committed snapshot v$v in $table"))
+    val base0 = dataScan(s, m)
+    val del = mutationScan(s, m, m.deletes)
+    val upd = mutationScan(s, m, m.updates)
+    // row-defining winner per key, carrying its sequence out
+    val resolved: DataFrame = (del, upd) match {
+      case (None, None) => base0.withColumn("__rseq", lit(0L))
+      case _ =>
+        val muts = del.map(_.select(col(key), col("__seq"),
+            lit(0).as("__upd"))).toSeq ++
+          upd.map(_.select(col(key), col("__seq"), lit(1).as("__upd"))).toSeq
+        val all = muts.reduce(_.unionByName(_))
+        val win = all.groupBy(key)
+          .agg(max(struct(col("__seq"), col("__upd"))).as("w"))
+          .select(col(key), col("w.__seq").as("__seq"),
+            col("w.__upd").as("__upd"))
+        val untouched = base0
+          .join(broadcast(win.select(key)), Seq(key), "left_anti")
+          .withColumn("__rseq", lit(0L))
+        upd match {
+          case Some(u) =>
+            val liveUpd = u.join(
+              broadcast(win.filter(col("__upd") === 1).select(key, "__seq")),
+              Seq(key, "__seq"), "left_semi")
+              .withColumnRenamed("__seq", "__rseq")
+            untouched.unionByName(liveUpd, allowMissingColumns = true)
+          case None => untouched // pure deletes: winners are all drops
+        }
+    }
+    // per-column patch overlay
+    var out = resolved
+    if (m.patches.nonEmpty) {
+      // driver-side schema probe, patch-file-count bounded
+      val fileCols: Seq[(String, Seq[String])] = m.patches.map { case (p, _) =>
+        p -> s.read.parquet(p).schema.fieldNames.toSeq.filterNot(_ == key) }
+      val patchCols = fileCols.flatMap(_._2).distinct
+      for (c <- patchCols) {
+        val rel = fileCols.filter(_._2.contains(c)).map { case (p, _) =>
+          s.read.parquet(p)
+            .select(col(key), col(c), lit(m.seqs.getOrElse(p, 0L)).as("__pseq")) }
+          .reduce(_.unionByName(_))
+          .groupBy(key)
+          .agg(max(struct(col("__pseq"), col(c))).as("w"))
+          .select(col(key), col("w.__pseq").as(s"__pseq_$c"),
+            col(s"w.$c").as(s"__pval_$c"))
+        out = out.join(broadcast(rel), Seq(key), "left_outer")
+          .withColumn(c, when(col(s"__pseq_$c") > col("__rseq"),
+            col(s"__pval_$c")).otherwise(col(c)))
+          .drop(s"__pseq_$c", s"__pval_$c")
+      }
+    }
+    out.drop("__rseq")
   }
 
   /** Fold accumulated equality deletes and updates into the data
@@ -675,8 +816,10 @@ object SnapshotLog {
     val cur = currentVersion(s, table)
     val m = readManifest(s, table, cur).getOrElse(throw new IllegalStateException(
       s"MOR compaction against unseeded $table"))
-    if (m.deletes.isEmpty && m.updates.isEmpty) return cur
+    if (m.deletes.isEmpty && m.updates.isEmpty && m.patches.isEmpty) return cur
     val dir = s"$table/data/compact-v$cur"
+    // readMor is patch-aware (delegates to readPatched), so one
+    // compaction folds deletes, updates AND partial-column patches
     readMor(s, table, cur, key)
       .repartition(math.max(1, m.files.size)).write.parquet(dir)
     // carried stats/ndv would describe the REWRITTEN-AWAY files —
@@ -896,7 +1039,7 @@ object SnapshotLog {
       cutoff = cur - keepLast + 1 // retain [cutoff, cur]
       retained = (cutoff to cur)
         .flatMap(v => readManifest(s, table, v))
-        .flatMap(m => (m.files ++ m.deletes ++ m.updates).map(_._1)).toSet
+        .flatMap(m => refFiles(m).map(_._1)).toSet
       val recheck = currentVersion(s, table)
       if (recheck == cur) stable = true else cur = recheck
     }
@@ -906,19 +1049,19 @@ object SnapshotLog {
     val pub = publishedVersion(s, table)
     if (pub >= 1 && pub < cutoff)
       retained ++= readManifest(s, table, pub).toSeq
-        .flatMap(m => (m.files ++ m.deletes ++ m.updates).map(_._1))
+        .flatMap(m => refFiles(m).map(_._1))
     // tagged snapshots are retention-pinned by name (the Iceberg tag
     // contract): their manifests stay readable and their files stay
     // protected no matter how far they trail the cutoff
     val tagged = tags(s, table).values.toSet
     for (tv <- tagged if tv >= 1 && tv < cutoff)
       retained ++= readManifest(s, table, tv).toSeq
-        .flatMap(m => (m.files ++ m.deletes ++ m.updates).map(_._1))
+        .flatMap(m => refFiles(m).map(_._1))
     val expired = (1L until cutoff)
       .filter(v => v != pub && !tagged(v))
       .flatMap(v => readManifest(s, table, v).map(v -> _))
     val doomed = expired.flatMap(e =>
-      (e._2.files ++ e._2.deletes ++ e._2.updates).map(_._1))
+      refFiles(e._2).map(_._1))
       .distinct.filterNot(retained)
     // data first, manifests second: a crash between the two leaves
     // expired manifests pointing at deleted files — readManifest still
@@ -968,7 +1111,7 @@ object SnapshotLog {
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val referenced = (1L to currentVersion(s, table))
       .flatMap(v => readManifest(s, table, v))
-      .flatMap(m => (m.files ++ m.deletes ++ m.updates).map(_._1)).toSet
+      .flatMap(m => refFiles(m).map(_._1)).toSet
     val dataRoot = new org.apache.hadoop.fs.Path(s"$table/data")
     if (!fs.exists(dataRoot)) return Nil
     val it = fs.listFiles(dataRoot, true)

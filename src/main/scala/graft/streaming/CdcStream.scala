@@ -278,6 +278,15 @@ object CdcStream {
       val cur = SnapshotLog.currentVersion(s, table)
       val m = SnapshotLog.readManifest(s, table, cur).getOrElse(
         throw new IllegalStateException(s"CDC apply against unseeded $table"))
+      // partial-column patches are NOT carried by this path: the
+      // rewrite below folds mutation keys out of touched files, but a
+      // patch's per-column overlay cannot be carried forward per-file
+      // without re-deriving which columns each survivor row still
+      // owes — refuse loudly; compactMor folds patches in first (the
+      // patch→compact→CDC maintenance ordering)
+      require(m.patches.isEmpty,
+        s"CDC apply against a patch-carrying snapshot of $table — run " +
+          "compactMor first")
       // the manifest-persisted schema (when present) is the
       // authoritative column set — an evolveSchema widen recorded by
       // an earlier batch survives every later batch that never passes
@@ -506,7 +515,7 @@ object CdcStream {
     val v = SnapshotLog.commit(s, table, opName(appId, batchId), m.files,
       Some(cur), m.stats, m.deletes ++ df, m.ndv,
       updates = m.updates, seqs = m.seqs ++ df.map(_._1 -> (cur + 1)),
-      schema = m.schema)
+      schema = m.schema, patches = m.patches)
     writeTxn(s, table, appId, batchId, v)
     v
   }
@@ -554,5 +563,27 @@ object CdcStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         updateBatch(s, table, batch, id, key, appId, orderBy); ()
+      }
+
+  /** Wire a PARTIAL-COLUMN patch feed into [[SnapshotLog.patchMor]]:
+    * one O(batch rows × patched columns) commit per micro-batch, ZERO
+    * data-file rewrites — the column-sparse CDC shape (u11: the feed
+    * knows only the changed columns, so a full-row updateBatch would
+    * force a read-modify-write upstream). Same per-appId txn sidecar;
+    * returns the committed version or -1 when already applied. */
+  def patchBatch(s: SparkSession, table: String, rows: DataFrame,
+      batchId: Long, key: String, appId: String = "cdc-patch"): Long = {
+    if (alreadyApplied(s, table, appId, batchId)) return -1L
+    val v = SnapshotLog.patchMor(s, table, rows, key, opName(appId, batchId))
+    writeTxn(s, table, appId, batchId, v)
+    v
+  }
+
+  def patchStream(s: SparkSession, table: String, rows: DataFrame,
+      key: String, checkpoint: String, appId: String = "cdc-patch") =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        patchBatch(s, table, batch, id, key, appId); ()
       }
 }

@@ -551,6 +551,71 @@ class SnapshotLogSpec extends AnyFunSuite {
       "a tagged read resurrected MOR-deleted rows")
   }
 
+  test("MOR partial-column patches: per-column sequence coalesce, " +
+      "patch-never-inserts, cleanup paths count patch files as referenced") {
+    val table = freshTable()
+    seed(table, 0)
+    val base = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+    val keys9 = base.filter(col("o_orderkey") % 21 === 0)   // within %7
+    val keys21 = base.filter(col("o_orderkey") % 42 === 0)  // subset
+    // seq 2: patch priority on the wide set
+    SnapshotLog.patchMor(s, table,
+      keys9.select(col("o_orderkey"), lit("PA").as("o_orderpriority")),
+      "o_orderkey")
+    // seq 3: patch priority AND status on the subset — overrides seq 2
+    // column-by-column there
+    SnapshotLog.patchMor(s, table,
+      keys21.select(col("o_orderkey"), lit("PB").as("o_orderpriority"),
+        lit("SB").as("o_orderstatus")), "o_orderkey")
+    // a patch for an ABSENT key never inserts
+    SnapshotLog.patchMor(s, table,
+      keys9.limit(1).select((col("o_orderkey") + lit(90000000L)).as("o_orderkey"),
+        lit("GHOST").as("o_orderpriority")), "o_orderkey")
+    // a patch naming a column outside the persisted schema is refused
+    intercept[IllegalArgumentException] {
+      SnapshotLog.patchMor(s, table,
+        keys9.select(col("o_orderkey"), lit(1).as("no_such_col")), "o_orderkey")
+    }
+    val v = SnapshotLog.currentVersion(s, table)
+    val r = SnapshotLog.readPatched(s, table, v, "o_orderkey")
+    val n9 = keys9.count(); val n21 = keys21.count()
+    assert(r.filter(col("o_orderpriority") === "PB").count() === n21)
+    assert(r.filter(col("o_orderpriority") === "PA").count() === n9 - n21,
+      "seq-2 patch column survived where seq-3 should override / vice versa")
+    assert(r.filter(col("o_orderstatus") === "SB").count() === n21)
+    assert(r.filter(col("o_orderpriority") === "GHOST").count() === 0L,
+      "a patch inserted a row")
+    assert(r.count() === base.count(), "patching changed the row count")
+    // patch files are REFERENCED: never orphans even at grace 0
+    assert(SnapshotLog.orphanFiles(s, table, olderThanMillis = 0L).isEmpty)
+    // delete retracts a patched row; a still-later patch stays a no-op
+    SnapshotLog.deleteMor(s, table,
+      keys21.select("o_orderkey"), "o_orderkey")
+    SnapshotLog.patchMor(s, table,
+      keys21.select(col("o_orderkey"), lit("ZOMBIE").as("o_orderpriority")),
+      "o_orderkey")
+    val r2 = SnapshotLog.readPatched(s, table,
+      SnapshotLog.currentVersion(s, table), "o_orderkey")
+    assert(r2.filter(col("o_orderpriority").isin("PB", "ZOMBIE")).count() === 0L,
+      "a delete failed to retract patched/late-patched rows")
+    // materialize before expire — r2's plan reads the pre-compaction
+    // mutation files expire is about to reclaim
+    val n2 = r2.count()
+    // compaction folds everything; expire reclaims the old patch files
+    val vC = SnapshotLog.compactMor(s, table, "o_orderkey")
+    assert(SnapshotLog.readManifest(s, table, vC).get.patches.isEmpty)
+    val preFiles = (1L until vC).flatMap(
+      SnapshotLog.readManifest(s, table, _)).flatMap(_.patches.map(_._1))
+    assert(preFiles.nonEmpty)
+    SnapshotLog.expire(s, table, keepLast = 1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    preFiles.foreach(p => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(p)),
+      s"expired patch file survived: $p"))
+    assert(SnapshotLog.readAt(s, table, vC).count() === n2)
+  }
+
   test("MOR update orderBy: an ordered feed's per-key collapse keeps the " +
       "LATEST row, not the value-maximal one; bad orderBy columns refused") {
     val table = freshTable()
