@@ -518,6 +518,16 @@ object SnapshotLog {
     }
   }
 
+  /** Next mutation sequence for a commit derived from manifest `m`
+    * at version `cur`: strictly above BOTH the version counter and
+    * every carried sequence. The two can diverge — a fast-forwarded
+    * branch (i29) carries mutation sequences assigned in the BRANCH's
+    * version space, which may exceed the receiving table's counter;
+    * a writer that blindly used cur+1 would then reuse (or fall
+    * below) a live sequence and invert latest-wins. */
+  private[graft] def nextSeq(m: Manifest, cur: Long): Long =
+    math.max(cur, m.seqs.values.foldLeft(0L)(math.max)) + 1
+
   /** Commit a MERGE-ON-READ equality delete: `keys` (one column named
     * `key`) is written as a small delete file and the new snapshot
     * carries the SAME data files plus the delete file — O(deleted
@@ -542,7 +552,7 @@ object SnapshotLog {
     // carry-forward lesson)
     commit(s, table, "mor-delete", m.files, Some(cur),
       m.stats, m.deletes ++ df, m.ndv,
-      updates = m.updates, seqs = m.seqs ++ df.map(_._1 -> (cur + 1)),
+      updates = m.updates, seqs = m.seqs ++ df.map(_._1 -> nextSeq(m, cur)),
       schema = m.schema, patches = m.patches)
   }
 
@@ -608,7 +618,7 @@ object SnapshotLog {
     // the update REKEYS, which equality updates by definition do not)
     commit(s, table, op, m.files, Some(cur),
       m.stats, m.deletes, m.ndv,
-      updates = m.updates ++ uf, seqs = m.seqs ++ uf.map(_._1 -> (cur + 1)),
+      updates = m.updates ++ uf, seqs = m.seqs ++ uf.map(_._1 -> nextSeq(m, cur)),
       schema = m.schema, patches = m.patches)
   }
 
@@ -731,7 +741,7 @@ object SnapshotLog {
     val pf = dataFiles(s, dir)
     commit(s, table, op, m.files, Some(cur),
       m.stats, m.deletes, m.ndv,
-      updates = m.updates, seqs = m.seqs ++ pf.map(_._1 -> (cur + 1)),
+      updates = m.updates, seqs = m.seqs ++ pf.map(_._1 -> nextSeq(m, cur)),
       schema = m.schema, patches = m.patches ++ pf)
   }
 
@@ -1009,6 +1019,70 @@ object SnapshotLog {
       .toMap
   }
 
+  // -----------------------------------------------------------------
+  // Branches (i29) — the Iceberg/Nessie branch workflow: a named,
+  // WRITABLE line of development cut from a snapshot, isolated from
+  // main's readers, merged back by FAST-FORWARD when main hasn't
+  // moved. Zero-copy: the branch is its own snapshot log (under
+  // `$table/_branches/<name>`) whose first manifest REFERENCES the
+  // parent's data files verbatim — cutting a branch moves no data,
+  // and every existing writer (append/deleteMor/updateMor/patchMor/
+  // CDC apply) works on the branch path unchanged. The branch's base
+  // snapshot is pinned on the parent with an immutable tag
+  // (`branch-<name>`), so parent expire can never reclaim the shared
+  // files out from under the branch (the tag-retention contract i26
+  // pins). Fast-forward is conflict-checked: it lands only if main
+  // is still at the branch's base version — otherwise the histories
+  // diverged and the caller must rebase (SnapshotConflict, the
+  // optimistic-concurrency shape commit() already speaks).
+  // -----------------------------------------------------------------
+
+  private def branchPath(table: String, name: String): String = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"branch name must be a simple token: $name")
+    s"$table/_branches/$name"
+  }
+
+  /** Cut branch `name` from snapshot `v` of `table`. Returns the
+    * branch's table path — every SnapshotLog/CdcStream API accepts it
+    * as a table. One manifest write + one tag; zero data IO. */
+  def branch(s: SparkSession, table: String, name: String, v: Long): String = {
+    val m = readManifest(s, table, v).getOrElse(throw new IllegalArgumentException(
+      s"no committed snapshot v$v in $table to branch from"))
+    val bt = branchPath(table, name)
+    require(currentVersion(s, bt) == 0L, s"branch $name already exists")
+    // pin the shared base against parent expire BEFORE the branch
+    // becomes discoverable (tag first: a crash between the two leaves
+    // an unused tag, never an unpinned branch)
+    tagSnapshot(s, table, s"branch-$name", v)
+    commit(s, bt, s"branch-from-v$v", m.files, Some(0L), m.stats,
+      m.deletes, m.ndv, m.updates, m.seqs, m.schema, patches = m.patches)
+    bt
+  }
+
+  /** Merge branch `name` back by fast-forward: commit the branch
+    * HEAD's state (files + mutation overlay, verbatim) onto the
+    * parent — iff the parent is still at the branch's base version.
+    * Carried mutation sequences stay valid because every writer
+    * allocates via [[nextSeq]] (strictly above carried sequences, not
+    * just the version counter). Returns the new parent version. */
+  def fastForward(s: SparkSession, table: String, name: String): Long = {
+    val bt = branchPath(table, name)
+    val bv = currentVersion(s, bt)
+    require(bv >= 1, s"no branch $name on $table")
+    val bm = readManifest(s, bt, bv).getOrElse(
+      throw new IllegalStateException(s"branch $name head v$bv unreadable"))
+    val base = tagVersion(s, table, s"branch-$name")
+    val cur = currentVersion(s, table)
+    if (cur != base) throw new SnapshotConflict(
+      s"$table moved v$base -> v$cur since branch $name was cut; " +
+        "fast-forward impossible — rebase the branch")
+    commit(s, table, s"fast-forward-$name", bm.files, Some(cur), bm.stats,
+      bm.deletes, bm.ndv, bm.updates, bm.seqs, bm.schema,
+      patches = bm.patches)
+  }
+
   /** Expire all snapshots except the newest `keepLast`: delete their
     * manifests, then delete every data file referenced ONLY by expired
     * manifests (reference-count against the retained set — a file
@@ -1020,6 +1094,13 @@ object SnapshotLog {
     * Returns (expired versions, deleted data files). */
   def expire(s: SparkSession, table: String, keepLast: Int): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
+    // a branch's early snapshots reference files the PARENT (or, post
+    // fast-forward, the parent's head) still serves — reference
+    // counting inside the branch log alone cannot see those readers,
+    // so reclamation on a branch is forbidden (fold the branch back
+    // and expire the parent instead)
+    require(!table.contains("/_branches/"),
+      s"expire on a branch could reclaim files shared with its parent: $table")
     val fs = fsOf(s)
     // Concurrent-committer guard: a writer landing v(cur+1) AFTER the
     // retained set was computed may re-reference pre-cutoff files
@@ -1906,6 +1987,50 @@ object SnapshotLog {
         versionAsOf(s, table, 9999999999L) == 2L && preHistoryRefused
       statusRollup(readAsOf(s, table, 1500000L))
         .withColumn("asof_ok", lit(if (ok) 1L else 0L))
+    }),
+
+    // i29: BRANCH WRITES + FAST-FORWARD (the Iceberg/Nessie branch
+    // workflow) — an audit line of development cut ZERO-COPY from v1,
+    // takes a MOR delete (%31) and a MOR upsert (%17, re-inserting
+    // the %527 overlap — sequence algebra crosses the branch
+    // boundary intact), while main's readers stay bit-identically at
+    // v1; fast-forward then lands the branch head as main v2 in one
+    // conflict-checked commit. branch_ok pins the whole contract:
+    // isolation (main unmoved during branch writes), ff version,
+    // a STALE branch refused once main moved (the rebase-required
+    // conflict), expire-on-branch refused (shared-file safety), and
+    // the base pinned by the branch tag. The rollup reads main's
+    // post-ff head — a fast-forward that dropped a mutation file or
+    // resequenced the overlay moves every checksum. At 100 TB:
+    // cutting a branch is one manifest + one tag (no data IO), the
+    // audit pipeline runs against it with every existing writer
+    // unchanged, and merge-back is O(1) metadata.
+    "i29_branch_writes" -> ((s, d) => {
+      val table = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
+        "graft_i29_table").toString
+      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d),
+        "o_orderkey")
+      val orders = Tables.orders(s, d)
+      val bt = branch(s, table, "audit", 1L)
+      deleteMor(s, bt,
+        orders.filter(col("o_orderkey") % 31 === 0).select("o_orderkey"),
+        "o_orderkey")
+      updateMor(s, bt,
+        orders.filter(col("o_orderkey") % 17 === 0)
+          .select(col("o_orderkey"), lit("BR").as("o_orderstatus"),
+            (col("o_totalprice") + lit(75.0)).as("o_totalprice")),
+        "o_orderkey")
+      val isolated = currentVersion(s, table) == 1L &&
+        readAt(s, table, 1L).count() == orders.count()
+      val ffv = fastForward(s, table, "audit")
+      branch(s, table, "stale", 1L)
+      val staleRefused = scala.util.Try(fastForward(s, table, "stale")).isFailure
+      val expireRefused = scala.util.Try(expire(s, bt, 1)).isFailure
+      val pinned = tags(s, table).get("branch-audit").contains(1L)
+      val ok = isolated && ffv == 2L && staleRefused && expireRefused && pinned
+      statusRollup(readMor(s, table, ffv, "o_orderkey"))
+        .withColumn("branch_ok", lit(if (ok) 1L else 0L))
     })
   )
 
@@ -2053,6 +2178,22 @@ object SnapshotLog {
         (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'append-shard', CAST(5 AS BIGINT)))
         AS t(version, parent, op, n_files)
       ORDER BY version""",
+
+    // i29: the branch's two writes replayed over orders — survivors
+    // keep their base row unless the %17 upsert replaced them ('BR',
+    // +75, re-inserting the %31-deleted overlap); branch_ok replays
+    // as the pinned workflow constant
+    "i29_branch_writes" -> """
+      WITH f AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 31 <> 0 AND o_orderkey % 17 <> 0
+        UNION ALL
+        SELECT 'BR', o_totalprice + 75.0 FROM orders
+        WHERE o_orderkey % 17 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(1 AS BIGINT) AS branch_ok
+      FROM f GROUP BY 1 ORDER BY o_orderstatus""",
 
     // i19: read-after-restore ≡ the untouched base table; restored_ok
     // pins the history-preserving version bump

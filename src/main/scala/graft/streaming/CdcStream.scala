@@ -514,7 +514,7 @@ object CdcStream {
     // update on the same key
     val v = SnapshotLog.commit(s, table, opName(appId, batchId), m.files,
       Some(cur), m.stats, m.deletes ++ df, m.ndv,
-      updates = m.updates, seqs = m.seqs ++ df.map(_._1 -> (cur + 1)),
+      updates = m.updates, seqs = m.seqs ++ df.map(_._1 -> SnapshotLog.nextSeq(m, cur)),
       schema = m.schema, patches = m.patches)
     writeTxn(s, table, appId, batchId, v)
     v

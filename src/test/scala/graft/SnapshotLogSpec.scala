@@ -551,6 +551,54 @@ class SnapshotLogSpec extends AnyFunSuite {
       "a tagged read resurrected MOR-deleted rows")
   }
 
+  test("branches: zero-copy cut carries the mutation overlay; post-" +
+      "fast-forward writers sequence ABOVE carried branch mutations") {
+    val table = freshTable()
+    seed(table, 0)
+    val base = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+    // parent gains a MOR update BEFORE the cut — the branch must
+    // carry the overlay, not just the data files
+    SnapshotLog.updateMor(s, table,
+      base.filter(col("o_orderkey") % 21 === 0)
+        .select(col("o_orderkey"), lit("PRE").as("o_orderpriority")),
+      "o_orderkey")
+    val bt = SnapshotLog.branch(s, table, "b", 2L)
+    val bm1 = SnapshotLog.readManifest(s, bt, 1L).get
+    assert(bm1.updates.size === 1 && bm1.seqs.values.toSet === Set(2L),
+      "branch cut dropped the parent's mutation overlay")
+    // branch write: its sequence must rise above the CARRIED seq 2,
+    // not the branch's own version counter (1) — the collision that
+    // would invert latest-wins
+    SnapshotLog.updateMor(s, bt,
+      base.filter(col("o_orderkey") % 42 === 0)
+        .select(col("o_orderkey"), lit("BR2").as("o_orderpriority")),
+      "o_orderkey")
+    val bm2 = SnapshotLog.readManifest(s, bt, 2L).get
+    assert(bm2.seqs.values.max === 3L,
+      s"branch writer reused a carried sequence: ${bm2.seqs.values.toSet}")
+    val ffv = SnapshotLog.fastForward(s, table, "b")
+    // post-fast-forward: a parent delete must sequence above the
+    // branch's carried seq 3 (cur is 3 too, but that's coincidence —
+    // nextSeq takes the max of both)
+    SnapshotLog.deleteMor(s, table,
+      base.filter(col("o_orderkey") % 42 === 0).select("o_orderkey"),
+      "o_orderkey")
+    val mor = SnapshotLog.readMor(s, table,
+      SnapshotLog.currentVersion(s, table), "o_orderkey")
+    assert(mor.filter(col("o_orderkey") % 42 === 0).count() === 0L,
+      "a post-ff delete lost latest-wins to a carried branch update")
+    assert(mor.filter(col("o_orderpriority") === "PRE").count() ===
+      base.filter(col("o_orderkey") % 21 === 0
+        && col("o_orderkey") % 42 =!= 0).count())
+    // duplicate cut and bogus names are refused
+    intercept[IllegalArgumentException] {
+      SnapshotLog.branch(s, table, "b", ffv)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.branch(s, table, "../evil", ffv)
+    }
+  }
+
   test("MOR partial-column patches: per-column sequence coalesce, " +
       "patch-never-inserts, cleanup paths count patch files as referenced") {
     val table = freshTable()
