@@ -930,6 +930,75 @@ object Similarity {
           col("band.band_key").as("band_key"))
         .agg(count(lit(1)).as("n_vecs"))
         .orderBy("band_idx", "band_key")
+    }),
+
+    // s20: MMR DIVERSIFIED RE-RANKING (Carbonell & Goldstein 1998 —
+    // the de-dup step of every production retrieval stack): greedily
+    // pick 5 of the top-20 shortlist maximizing
+    // 0.7·relevance − 0.3·max-similarity-to-already-picked, so near-
+    // duplicate hits stop crowding out coverage. Determinism: rel and
+    // pairwise sims are the same raw cosines both engines compute
+    // bit-identically (the s01 precedent), the greedy argmax
+    // tie-breaks on doc_id, and only the OUTPUT rounds — every
+    // intermediate comparison sees identical doubles. Scale shape:
+    // one corpus scan builds the per-query top-20 heap; the pair
+    // relation is |queries| × 20² rows; the greedy is k=5 UNROLLED
+    // bounded joins (≤20 rows per query each) — after the scan,
+    // nothing is corpus-sized. The selection loop that looks
+    // inherently sequential is sequential only in k (a constant),
+    // never in the data.
+    "s20_mmr_diversify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDoubleVec(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val short = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rel", cosine(col("qv"), col("v")))
+        .groupBy("q_id")
+        .agg(graft.functions.TopKRows.topk(
+          struct((-col("rel")).as("ns"), col("vec_id").as("id"),
+            col("rel").as("r")), 20).as("tk"))
+        .select(col("q_id"), explode(col("tk")).as("e"))
+        .select(col("q_id"), col("e.id").as("doc_id"), col("e.r").as("rel"))
+        .join(emb.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+        .truncatedLazy // shortlist feeds the pair build + 5 greedy steps
+      val pair = short.select(col("q_id"), col("doc_id").as("a"), col("v").as("va"))
+        .join(short.select(col("q_id"), col("doc_id").as("b"), col("v").as("vb")),
+          Seq("q_id"))
+        .filter(col("a") =!= col("b"))
+        .withColumn("sim", cosine(col("va"), col("vb")))
+        .select("q_id", "a", "b", "sim")
+        .truncatedLazy // reused by 4 of the 5 steps
+      // greedy argmax with (score desc, doc_id asc) tie-break via
+      // max(struct(score, -doc))
+      def argmax(cand: DataFrame, score: Column): DataFrame =
+        cand.withColumn("__sc", score)
+          .groupBy("q_id")
+          .agg(max(struct(col("__sc"), (-col("doc_id")).as("nd"))).as("w"))
+          .select(col("q_id"), (-col("w.nd")).as("doc_id"),
+            col("w.__sc").as("score"))
+      val s1 = argmax(short.select(col("q_id"), col("doc_id"), col("rel")),
+        col("rel"))
+      val steps = (2 to 5).foldLeft(Seq(s1)) { (acc, _) =>
+        val selected = acc.map(_.select(col("q_id"), col("doc_id")))
+          .reduce(_.unionByName(_))
+        val ms = pair
+          .join(selected.select(col("q_id"), col("doc_id").as("b")),
+            Seq("q_id", "b"))
+          .groupBy(col("q_id"), col("a").as("doc_id"))
+          .agg(max(col("sim")).as("ms"))
+          .select(col("q_id"), col("doc_id"), col("ms"))
+        val cand = short.select(col("q_id"), col("doc_id"), col("rel"))
+          .join(selected, Seq("q_id", "doc_id"), "left_anti")
+          .join(ms, Seq("q_id", "doc_id"))
+        acc :+ argmax(cand, col("rel") * 0.7 - col("ms") * 0.3)
+      }
+      steps.zipWithIndex.map { case (df, i) =>
+        df.select(col("q_id"), lit(i + 1).as("rk"), col("doc_id"),
+          round(col("score"), 6).as("score")) }
+        .reduce(_.unionByName(_))
+        .orderBy("q_id", "rk")
     })
   )
 
@@ -1212,6 +1281,105 @@ object Similarity {
       SELECT band_idx, band_key, COUNT(*) AS n_vecs
       FROM keys GROUP BY band_idx, band_key
       ORDER BY band_idx, band_key""",
+
+    // s20: the greedy unrolled as 5 CTE steps — identical raw cosine
+    // operands, identical 0.7·rel − 0.3·maxsim arithmetic, doc_id
+    // tie-breaks; only the output rounds
+    "s20_mmr_diversify" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      short0 AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
+          list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+          (SQRT(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+           SQRT(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS rel
+        FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      short AS (
+        SELECT q_id, doc_id, rel FROM (
+          SELECT q_id, doc_id, rel,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY rel DESC, doc_id) AS rn
+          FROM short0) t WHERE rn <= 20),
+      pair AS (
+        SELECT s1.q_id, s1.doc_id AS a, s2.doc_id AS b,
+          list_sum(list_transform(range(1, len(ea.v) + 1), i -> ea.v[i] * eb.v[i])) /
+          (SQRT(list_sum(list_transform(range(1, len(ea.v) + 1), i -> ea.v[i] * ea.v[i]))) *
+           SQRT(list_sum(list_transform(range(1, len(eb.v) + 1), i -> eb.v[i] * eb.v[i])))) AS sim
+        FROM short s1
+        JOIN short s2 ON s2.q_id = s1.q_id AND s2.doc_id <> s1.doc_id
+        JOIN e ea ON ea.vec_id = s1.doc_id
+        JOIN e eb ON eb.vec_id = s2.doc_id),
+      sel1 AS (
+        SELECT q_id, doc_id, rel AS score FROM (
+          SELECT q_id, doc_id, rel, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY rel DESC, doc_id) AS rn FROM short) t WHERE rn = 1),
+      c2 AS (
+        SELECT sh.q_id, sh.doc_id, sh.rel, MAX(p.sim) AS ms
+        FROM short sh
+        JOIN pair p ON p.q_id = sh.q_id AND p.a = sh.doc_id
+        JOIN sel1 s ON s.q_id = p.q_id AND s.doc_id = p.b
+        WHERE NOT EXISTS (SELECT 1 FROM sel1 x
+          WHERE x.q_id = sh.q_id AND x.doc_id = sh.doc_id)
+        GROUP BY sh.q_id, sh.doc_id, sh.rel),
+      sel2 AS (
+        SELECT q_id, doc_id, rel * 0.7 - ms * 0.3 AS score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY rel * 0.7 - ms * 0.3 DESC, doc_id) AS rn FROM c2) t
+        WHERE rn = 1),
+      u2 AS (SELECT q_id, doc_id FROM sel1
+             UNION ALL SELECT q_id, doc_id FROM sel2),
+      c3 AS (
+        SELECT sh.q_id, sh.doc_id, sh.rel, MAX(p.sim) AS ms
+        FROM short sh
+        JOIN pair p ON p.q_id = sh.q_id AND p.a = sh.doc_id
+        JOIN u2 s ON s.q_id = p.q_id AND s.doc_id = p.b
+        WHERE NOT EXISTS (SELECT 1 FROM u2 x
+          WHERE x.q_id = sh.q_id AND x.doc_id = sh.doc_id)
+        GROUP BY sh.q_id, sh.doc_id, sh.rel),
+      sel3 AS (
+        SELECT q_id, doc_id, rel * 0.7 - ms * 0.3 AS score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY rel * 0.7 - ms * 0.3 DESC, doc_id) AS rn FROM c3) t
+        WHERE rn = 1),
+      u3 AS (SELECT q_id, doc_id FROM u2
+             UNION ALL SELECT q_id, doc_id FROM sel3),
+      c4 AS (
+        SELECT sh.q_id, sh.doc_id, sh.rel, MAX(p.sim) AS ms
+        FROM short sh
+        JOIN pair p ON p.q_id = sh.q_id AND p.a = sh.doc_id
+        JOIN u3 s ON s.q_id = p.q_id AND s.doc_id = p.b
+        WHERE NOT EXISTS (SELECT 1 FROM u3 x
+          WHERE x.q_id = sh.q_id AND x.doc_id = sh.doc_id)
+        GROUP BY sh.q_id, sh.doc_id, sh.rel),
+      sel4 AS (
+        SELECT q_id, doc_id, rel * 0.7 - ms * 0.3 AS score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY rel * 0.7 - ms * 0.3 DESC, doc_id) AS rn FROM c4) t
+        WHERE rn = 1),
+      u4 AS (SELECT q_id, doc_id FROM u3
+             UNION ALL SELECT q_id, doc_id FROM sel4),
+      c5 AS (
+        SELECT sh.q_id, sh.doc_id, sh.rel, MAX(p.sim) AS ms
+        FROM short sh
+        JOIN pair p ON p.q_id = sh.q_id AND p.a = sh.doc_id
+        JOIN u4 s ON s.q_id = p.q_id AND s.doc_id = p.b
+        WHERE NOT EXISTS (SELECT 1 FROM u4 x
+          WHERE x.q_id = sh.q_id AND x.doc_id = sh.doc_id)
+        GROUP BY sh.q_id, sh.doc_id, sh.rel),
+      sel5 AS (
+        SELECT q_id, doc_id, rel * 0.7 - ms * 0.3 AS score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY rel * 0.7 - ms * 0.3 DESC, doc_id) AS rn FROM c5) t
+        WHERE rn = 1)
+      SELECT q_id, CAST(rk AS INT) AS rk, doc_id, ROUND(score, 6) AS score
+      FROM (
+        SELECT q_id, 1 AS rk, doc_id, score FROM sel1
+        UNION ALL SELECT q_id, 2, doc_id, score FROM sel2
+        UNION ALL SELECT q_id, 3, doc_id, score FROM sel3
+        UNION ALL SELECT q_id, 4, doc_id, score FROM sel4
+        UNION ALL SELECT q_id, 5, doc_id, score FROM sel5) f
+      ORDER BY q_id, rk""",
 
     "s05_ivf_recall" -> """
       WITH e AS (
