@@ -304,7 +304,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "t16_zipf_heaps",
       // i25 joins two 1-row scalar aggregates on a literal key — the
       // a05 class
-      "i25_ndv_stats")
+      "i25_ndv_stats",
+      // s18's cosine leg scans the corpus against crossJoin(broadcast
+      // (≤50 probe vectors)) — the s01 class — and its BM25 leg rides
+      // c15's whitelisted 1-row corpus-stats crossJoin; s20's
+      // shortlist build is the same s01-class probe crossJoin
+      "s18_hybrid_rrf", "s20_mmr_diversify")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")
