@@ -718,23 +718,27 @@ object Corpus {
     // numbers a consumer reads BEFORE training on a source. One
     // relation, one row per source, everything integer or
     // 6dp-rounded-ratio so the DuckDB replay is hash-exact.
-    // Shapes at 100 TB: the corpus is scanned ONCE into four
-    // per-source aggregates that all ride the same source-hash
-    // partitioning — (a) counts/token mass/char min-max as map-side
-    // partials, (b) the vocabulary leg aggregates (source, term)
-    // pairs, Heaps-bounded (sub-linear in tokens) like c06/c20,
-    // (c) the language leg is |sources × langs| rows, (d) the median
-    // comes from the c19 device — a cumulative count over the
-    // per-source CHAR-LENGTH HISTOGRAM (value-domain-bounded, never
-    // row-sized) picking the smallest length with cum·2 ≥ n, pure
-    // integer. The four aggregates join on source: |sources|-row
-    // relations, broadcast by AQE — nothing global, nothing
-    // row-proportional past the scan.
+    // Shapes at 100 TB: the corpus text is scanned and tokenized
+    // ONCE — the projected (source, lang, n_chars, terms) relation is
+    // MATERIALIZED (truncatedLazy) and the four per-source aggregates
+    // read that skinny intermediate, not the corpus, so the dominant
+    // cost (scan + split) is paid once, not four times — (a) counts/
+    // token mass/char min-max as map-side partials, (b) the
+    // vocabulary leg aggregates (source, term) pairs, Heaps-bounded
+    // (sub-linear in tokens) like c06/c20, (c) the language leg is
+    // |sources × langs| rows, (d) the median comes from the c19
+    // device — a cumulative count over the per-source CHAR-LENGTH
+    // HISTOGRAM (value-domain-bounded, never row-sized) picking the
+    // smallest length with cum·2 ≥ n, pure integer. The four
+    // aggregates join on source: |sources|-row relations, broadcast
+    // by AQE — nothing global, nothing row-proportional past the
+    // scan.
     "c23_dataset_card" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
           split(lower(col("text")), "\\s+").as("terms"))
         .withColumn("toks", size(col("terms")).cast(LongType))
+        .truncatedLazy // one corpus scan + tokenize feeds all 4 legs
       val base = docs.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(col("toks")).as("total_tokens"),

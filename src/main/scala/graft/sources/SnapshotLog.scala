@@ -593,6 +593,10 @@ object SnapshotLog {
     val bad = orderBy.filter(c => c == key || !rows.columns.contains(c))
     require(bad.isEmpty,
       s"orderBy columns must be non-key columns of the batch: $bad")
+    // a duplicate would build a struct with twin field names and fail
+    // deep in the collapse as an opaque ambiguity error
+    require(orderBy.distinct.size == orderBy.size,
+      s"orderBy columns must be distinct: $orderBy")
     val dir = s"$table/data/updates/${java.util.UUID.randomUUID}"
     // PER-KEY COLLAPSE before the write: duplicate keys within one
     // batch would BOTH win the latest-wins overlay (same sequence)
@@ -723,15 +727,25 @@ object SnapshotLog {
     val others = patch.columns.filterNot(_ == key)
     require(patch.columns.contains(key) && others.nonEmpty,
       s"patch must carry the key '$key' plus at least one column")
-    // patched columns must exist in the table's schema — a typo'd
-    // column would otherwise ride the manifest forever and silently
-    // never apply. dataScan's schema honors the manifest-persisted
-    // one when present and falls back to the footer union on legacy
-    // tables (footer reads only, no data IO).
-    val tbl = dataScan(s, m).schema.fieldNames.toSet
-    val bad = others.filterNot(tbl)
-    require(bad.isEmpty, s"patch names columns absent from the table " +
-      s"schema: ${bad.mkString(", ")}")
+    // patched columns must exist in the table's schema WITH the same
+    // type — a typo'd column would ride the manifest forever and
+    // silently never apply; a type-mismatched one is worse: the
+    // per-column coalesce would coerce the whole column (and
+    // compaction would bake the coerced type into data files,
+    // diverging from the persisted schema) with no API to remove a
+    // committed patch. dataScan's schema honors the manifest-
+    // persisted one when present and falls back to the footer union
+    // on legacy tables (footer reads only, no data IO).
+    val tbl = dataScan(s, m).schema.map(f => f.name -> f.dataType).toMap
+    val missing = others.filterNot(tbl.contains)
+    require(missing.isEmpty, s"patch names columns absent from the table " +
+      s"schema: ${missing.mkString(", ")}")
+    val mistyped = patch.schema.filter(f => others.contains(f.name) &&
+      tbl(f.name) != f.dataType)
+    require(mistyped.isEmpty, "patch column types diverge from the table " +
+      s"schema: ${mistyped.map(f =>
+        s"${f.name} (patch ${f.dataType.simpleString} vs table " +
+        s"${tbl(f.name).simpleString})").mkString(", ")}")
     val dir = s"$table/data/patches/${java.util.UUID.randomUUID}"
     patch.where(col(key).isNotNull)
       .groupBy(col(key))
@@ -1044,9 +1058,47 @@ object SnapshotLog {
     s"$table/_branches/$name"
   }
 
+  private def branchBasePath(table: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"${logDir(table)}/_branchbase-$name")
+
+  /** The parent version branch `name` currently forks from — cut
+    * version at birth, ADVANCED by every successful [[fastForward]]
+    * (the tag, by contrast, is immutable: it pins the ORIGINAL base's
+    * files against parent expire forever). Fails closed on a torn
+    * pointer, like `_published`. */
+  def branchBase(s: SparkSession, table: String, name: String): Long = {
+    val fs = fsOf(s); val p = branchBasePath(table, name)
+    require(fs.exists(p), s"no branch $name on $table")
+    scala.util.Try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n").filter(_.nonEmpty)
+      require(lines.length == 2 && lines(1) == "end", "torn branch base")
+      lines(0).toLong
+    }.getOrElse(throw new java.io.IOException(
+      s"unreadable/torn branch base pointer for $table@$name — failing " +
+        "closed (restore or delete it explicitly)"))
+  }
+
+  private def writeBranchBase(s: SparkSession, table: String, name: String,
+      v: Long): Unit = {
+    val fs = fsOf(s)
+    val dst = branchBasePath(table, name)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dst.getParent, s"._branchbase.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$v\nend".getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"branch base rename lost for $table@$name v$v")
+  }
+
   /** Cut branch `name` from snapshot `v` of `table`. Returns the
     * branch's table path — every SnapshotLog/CdcStream API accepts it
-    * as a table. One manifest write + one tag; zero data IO. */
+    * as a table. One manifest write + one tag + one pointer; zero
+    * data IO. */
   def branch(s: SparkSession, table: String, name: String, v: Long): String = {
     val m = readManifest(s, table, v).getOrElse(throw new IllegalArgumentException(
       s"no committed snapshot v$v in $table to branch from"))
@@ -1054,8 +1106,10 @@ object SnapshotLog {
     require(currentVersion(s, bt) == 0L, s"branch $name already exists")
     // pin the shared base against parent expire BEFORE the branch
     // becomes discoverable (tag first: a crash between the two leaves
-    // an unused tag, never an unpinned branch)
+    // an unused tag, never an unpinned branch), then seed the mutable
+    // base pointer fastForward advances
     tagSnapshot(s, table, s"branch-$name", v)
+    writeBranchBase(s, table, name, v)
     commit(s, bt, s"branch-from-v$v", m.files, Some(0L), m.stats,
       m.deletes, m.ndv, m.updates, m.seqs, m.schema, patches = m.patches)
     bt
@@ -1066,21 +1120,30 @@ object SnapshotLog {
     * parent — iff the parent is still at the branch's base version.
     * Carried mutation sequences stay valid because every writer
     * allocates via [[nextSeq]] (strictly above carried sequences, not
-    * just the version counter). Returns the new parent version. */
+    * just the version counter). On success the branch BASE advances
+    * to the landed version, so write→fast-forward cycles repeat
+    * indefinitely: the new base's files are exactly the branch
+    * head's (original base files, pinned by the immutable branch
+    * tag, plus branch-dir files, which parent expire never reclaims)
+    * — no new retention pin is needed. Returns the new parent
+    * version. */
   def fastForward(s: SparkSession, table: String, name: String): Long = {
     val bt = branchPath(table, name)
     val bv = currentVersion(s, bt)
     require(bv >= 1, s"no branch $name on $table")
     val bm = readManifest(s, bt, bv).getOrElse(
       throw new IllegalStateException(s"branch $name head v$bv unreadable"))
-    val base = tagVersion(s, table, s"branch-$name")
+    val base = branchBase(s, table, name)
     val cur = currentVersion(s, table)
     if (cur != base) throw new SnapshotConflict(
       s"$table moved v$base -> v$cur since branch $name was cut; " +
-        "fast-forward impossible — rebase the branch")
-    commit(s, table, s"fast-forward-$name", bm.files, Some(cur), bm.stats,
-      bm.deletes, bm.ndv, bm.updates, bm.seqs, bm.schema,
+        "fast-forward impossible — cut a fresh branch from the current " +
+        "version and replay the work")
+    val ffv = commit(s, table, s"fast-forward-$name", bm.files, Some(cur),
+      bm.stats, bm.deletes, bm.ndv, bm.updates, bm.seqs, bm.schema,
       patches = bm.patches)
+    writeBranchBase(s, table, name, ffv)
+    ffv
   }
 
   /** Expire all snapshots except the newest `keepLast`: delete their
@@ -1144,6 +1207,16 @@ object SnapshotLog {
     val doomed = expired.flatMap(e =>
       refFiles(e._2).map(_._1))
       .distinct.filterNot(retained)
+      // Files under a branch directory are governed by the BRANCH's
+      // snapshot log, which this parent-side reference count cannot
+      // see: a fast-forwarded version references branch-written
+      // mutation files that the branch head still serves — deleting
+      // them here would break every read of the live branch. Parent
+      // expire therefore never reclaims branch-dir files; a folded
+      // branch's storage is reclaimed by deleting its directory once
+      // the branch is abandoned (and a parent compaction has rewritten
+      // its rows into parent-owned files).
+      .filterNot(_.contains("/_branches/"))
     // data first, manifests second: a crash between the two leaves
     // expired manifests pointing at deleted files — readManifest still
     // parses but readAt fails loudly, and a re-run completes the

@@ -577,9 +577,18 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(bm2.seqs.values.max === 3L,
       s"branch writer reused a carried sequence: ${bm2.seqs.values.toSet}")
     val ffv = SnapshotLog.fastForward(s, table, "b")
+    // the branch base ADVANCED with the fast-forward: a second
+    // write→ff cycle on the same branch lands (the one-shot trap —
+    // the parent has only moved by the branch's own merge)
+    SnapshotLog.updateMor(s, bt,
+      base.filter(col("o_orderkey") % 63 === 0)
+        .select(col("o_orderkey"), lit("BR3").as("o_orderpriority")),
+      "o_orderkey")
+    val ffv2 = SnapshotLog.fastForward(s, table, "b")
+    assert(ffv2 === ffv + 1, "second fast-forward did not land")
     // post-fast-forward: a parent delete must sequence above the
-    // branch's carried seq 3 (cur is 3 too, but that's coincidence —
-    // nextSeq takes the max of both)
+    // branch's carried seqs (nextSeq takes the max of version counter
+    // and carried sequences)
     SnapshotLog.deleteMor(s, table,
       base.filter(col("o_orderkey") % 42 === 0).select("o_orderkey"),
       "o_orderkey")
@@ -587,16 +596,31 @@ class SnapshotLogSpec extends AnyFunSuite {
       SnapshotLog.currentVersion(s, table), "o_orderkey")
     assert(mor.filter(col("o_orderkey") % 42 === 0).count() === 0L,
       "a post-ff delete lost latest-wins to a carried branch update")
+    assert(mor.filter(col("o_orderpriority") === "BR3").count() ===
+      base.filter(col("o_orderkey") % 63 === 0
+        && col("o_orderkey") % 42 =!= 0).count())
     assert(mor.filter(col("o_orderpriority") === "PRE").count() ===
       base.filter(col("o_orderkey") % 21 === 0
-        && col("o_orderkey") % 42 =!= 0).count())
+        && col("o_orderkey") % 42 =!= 0
+        && col("o_orderkey") % 63 =!= 0).count())
     // duplicate cut and bogus names are refused
     intercept[IllegalArgumentException] {
-      SnapshotLog.branch(s, table, "b", ffv)
+      SnapshotLog.branch(s, table, "b", ffv2)
     }
     intercept[IllegalArgumentException] {
-      SnapshotLog.branch(s, table, "../evil", ffv)
+      SnapshotLog.branch(s, table, "../evil", ffv2)
     }
+    // parent expire never reclaims branch-dir files (the live branch
+    // and the ff'd parent history both still reference them)
+    SnapshotLog.expire(s, table, keepLast = 1)
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    SnapshotLog.readManifest(s, bt,
+      SnapshotLog.currentVersion(s, bt)).get.updates.foreach { case (p, _) =>
+      assert(fs2.exists(new org.apache.hadoop.fs.Path(p)),
+        s"parent expire reclaimed a live branch file: $p") }
+    assert(SnapshotLog.readMor(s, table,
+      SnapshotLog.currentVersion(s, table), "o_orderkey").count() > 0)
   }
 
   test("MOR partial-column patches: per-column sequence coalesce, " +
@@ -623,6 +647,32 @@ class SnapshotLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SnapshotLog.patchMor(s, table,
         keys9.select(col("o_orderkey"), lit(1).as("no_such_col")), "o_orderkey")
+    }
+    // ... as is a right-named, WRONG-TYPED column (it would coerce the
+    // whole column at read time and compaction would bake it in)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.patchMor(s, table,
+        keys9.select(col("o_orderkey"), lit("oops").as("o_totalprice")),
+        "o_orderkey")
+    }
+    // consumer delete-overlay paths refuse a PATCHES-ONLY snapshot —
+    // on a SEPARATE table (no update files, so the refusal exercised
+    // is the patch guard itself, not the update guard; and the tag
+    // must not retention-pin THIS table's patch files, whose expiry
+    // is asserted below)
+    locally {
+      val t2 = freshTable()
+      seed(t2, 0)
+      SnapshotLog.patchMor(s, t2,
+        keys9.select(col("o_orderkey"), lit("PX").as("o_orderpriority")),
+        "o_orderkey")
+      SnapshotLog.tagSnapshot(s, t2, "patched",
+        SnapshotLog.currentVersion(s, t2))
+      val patchRefusal = intercept[IllegalArgumentException] {
+        SnapshotLog.readTagged(s, t2, "patched")
+      }
+      assert(patchRefusal.getMessage.contains("patch"),
+        s"refusal cited the wrong guard: ${patchRefusal.getMessage}")
     }
     val v = SnapshotLog.currentVersion(s, table)
     val r = SnapshotLog.readPatched(s, table, v, "o_orderkey")
