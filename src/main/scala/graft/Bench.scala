@@ -122,8 +122,11 @@ object Bench {
     "s12_knn_graph", "d12_incremental_dedup",
     // round-13: s18 fuses the WHOLE c15 BM25 pipeline (unigram
     // explode + postings) with an s01-class dense scan in one query —
-    // the d16 composite shape, seated at birth per the r10 rule
-    "s18_hybrid_rrf")
+    // the d16 composite shape, seated at birth per the r10 rule;
+    // m08 is a per-BYTE-position explode + md5-per-window pipeline —
+    // heavier than the whole rest of the m family combined, the
+    // d04/t06/t15 explode class, seated at birth per the r10 rule
+    "s18_hybrid_rrf", "m08_cdc_chunking")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name

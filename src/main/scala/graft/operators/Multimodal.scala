@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -301,6 +302,57 @@ object Multimodal {
         })
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // m08: CONTENT-DEFINED CHUNKING dedup (the Rabin/FastCDC family —
+    // THE binary-dedup primitive of backup systems and large-media
+    // training corpora): cut points are decided by payload CONTENT
+    // (here: an 8-byte window whose md5 leads with hex '0', P = 1/16
+    // → ~16-byte expected chunks on this fixture), so a local edit
+    // moves only nearby boundaries and identical regions across
+    // different payloads chunk identically — which fixed-offset
+    // blocking cannot do. The per-source rollup (total vs distinct
+    // chunk digests, dedup ratio) is exactly the storage-savings
+    // accounting a media-corpus pipeline runs before dedup. Both
+    // engines replay value-for-value: the payload is the ASCII text's
+    // UTF-8 bytes (the m06 convention), the window digest is
+    // md5-of-substring, the spans come from a per-doc lag window over
+    // the cut list. Scale shape: the per-position window hash is
+    // O(payload bytes) — the same asymptotic cost ANY rolling chunker
+    // pays — parallel across and within payloads (positions explode,
+    // the m06 class); spans are per-doc-bounded windows; the rollup
+    // is one hash aggregate on digests. Explode-heavy → Bench
+    // soloist at birth (the d04/t06 rule).
+    "m08_cdc_chunking" -> ((s, d) => {
+      val W = 8
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          length(col("text")).as("len"))
+        .filter(col("len") >= W)
+      val cuts = docs
+        .select(col("doc_id"), col("source"), col("text"), col("len"),
+          explode(sequence(lit(1), col("len") - lit(W - 1))).as("i"))
+        .filter(substring(md5(expr(s"substring(text, i, $W)")), 1, 1) === "0")
+        .select(col("doc_id"), col("source"), col("text"), col("len"),
+          (col("i") + lit(W - 1)).as("e"))
+      val ends = cuts
+        .unionByName(docs.select(col("doc_id"), col("source"), col("text"),
+          col("len"), col("len").as("e")))
+        .distinct() // a cut landing exactly at len merges with the tail
+      val wLag = Window.partitionBy("doc_id").orderBy("e")
+      val chunks = ends
+        .withColumn("start",
+          coalesce(lag(col("e"), 1).over(wLag) + lit(1), lit(1)))
+        .withColumn("digest", md5(expr("substring(text, start, e - start + 1)")))
+        .withColumn("clen", col("e") - col("start") + lit(1))
+      chunks.groupBy("source").agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_chunks"),
+          countDistinct(col("digest")).as("distinct_chunks"),
+          sum(col("clen")).as("total_bytes"),
+          round(countDistinct(col("digest")).cast(DoubleType) / count(lit(1)), 6)
+            .as("dedup_ratio"))
+        .orderBy("source")
     })
   )
 
@@ -416,6 +468,44 @@ object Multimodal {
         COALESCE(l.longest_silence, 0) AS longest_silence
       FROM agg a LEFT JOIN longest l USING (doc_id)
       ORDER BY a.doc_id""",
+
+    // m08: the full chunker replayed — same 8-byte window, same
+    // md5-leads-with-'0' cut rule, spans from the identical per-doc
+    // lag window, digests over the identical substrings (ASCII
+    // fixture: bytes ≡ chars, the m06 convention)
+    "m08_cdc_chunking" -> """
+      WITH doc AS (
+        SELECT doc_id, source, text, length(text) AS len
+        FROM documents WHERE length(text) >= 8),
+      pos AS (
+        SELECT doc_id, source, text, len,
+          unnest(range(1, len - 6)) AS i
+        FROM doc),
+      cuts AS (
+        SELECT doc_id, source, text, len, i + 7 AS e FROM pos
+        WHERE substring(md5(substr(text, CAST(i AS INT), 8)), 1, 1) = '0'),
+      ends AS (
+        SELECT DISTINCT doc_id, source, text, len, e FROM (
+          SELECT doc_id, source, text, len, e FROM cuts
+          UNION ALL
+          SELECT doc_id, source, text, len, len AS e FROM doc) u),
+      spans AS (
+        SELECT doc_id, source, e,
+          COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+            AS start, text
+        FROM ends),
+      chunks AS (
+        SELECT doc_id, source, e - start + 1 AS clen,
+          md5(substr(text, CAST(start AS INT), CAST(e - start + 1 AS INT)))
+            AS digest
+        FROM spans)
+      SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+        COUNT(*) AS total_chunks,
+        COUNT(DISTINCT digest) AS distinct_chunks,
+        CAST(SUM(clen) AS BIGINT) AS total_bytes,
+        ROUND(COUNT(DISTINCT digest) / CAST(COUNT(*) AS DOUBLE), 6)
+          AS dedup_ratio
+      FROM chunks GROUP BY source ORDER BY source""",
 
     // m06: byte counts replayed via ascii(substr) (the ASCII-fixture
     // convention — bytes ≡ chars); log2-entropy summed per doc
