@@ -102,6 +102,7 @@ object StreamBench {
         EventStreams.slidingCounts(stream().withWatermark("ts", "2 hours"))),
       "stb_session" -> (() => EventStreams.sessionStatsStreaming(stream())),
       "stb_dedup" -> (() => EventStreams.dedupedStream(stream())),
+      "stb_window_hll" -> (() => EventStreams.windowUserSketchStreaming(stream())),
       "stb_stream_join" -> (() => EventStreams.purchaseErrorJoinBatch(stream())),
       "stb_stateful" -> (() => EventStreams.userTotalsStreaming(stream()).toDF()))
 
@@ -222,9 +223,52 @@ object StreamBench {
       s""""stb_mor_update":{"rows":$rows,"batches":${lats.size},"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
     }
 
+    // ---- streaming PARTIAL-COLUMN patches (the u11 path): the same
+    // chunked-feed shape as stb_mor_update, but each micro-batch ships
+    // only (key + the one changed column) — the column-sparse CDC
+    // feed. Per-trigger cost is the slimmest of the three lake legs:
+    // one tiny patch file + one manifest, no pre-read, no rewrite.
+    val patchResult = {
+      import graft.streaming.CdcStream
+      val kChunks = math.min(chunks, 10)
+      val patchIn = new java.io.File(root, "patch_input"); patchIn.mkdirs()
+      val patchRows = Tables.orders(spark, sfDir)
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("S-PATCH").as("o_orderpriority"))
+      for (i <- 0 until kChunks) {
+        val d = new java.io.File(root, s"patch$i")
+        patchRows.filter(pmod((col("o_orderkey") / lit(5)).cast("long"),
+            lit(kChunks)) === i)
+          .coalesce(1).write.parquet(d.getPath)
+        val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(patchIn, f"patch-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(4000000L + i * 1000L)
+      }
+      val table = s"$stage/patch_table"
+      CdcStream.seedTarget(spark, table, Tables.orders(spark, sfDir))
+      val stream = spark.readStream.schema(patchRows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(patchIn.getPath)
+      val q = CdcStream.patchStream(spark, table, stream,
+        "o_orderkey", s"$stage/ck/stb_patch").start()
+      q.processAllAvailable()
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      q.stop()
+      require(progress.size == kChunks,
+        s"stb_patch: expected $kChunks data batches, saw ${progress.size}")
+      val lats = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
+      val rows = progress.map(_.numInputRows).sum
+      val med = lats(lats.size / 2); val mx = lats.last
+      val rps = if (lats.sum > 0) rows / (lats.sum / 1000.0) else 0.0
+      System.err.println(f"[streambench] stb_patch         rows=$rows%7d " +
+        f"batches=${lats.size}%3d med=${med}%5d ms max=${mx}%5d ms " +
+        f"rows/s=$rps%9.0f")
+      s""""stb_patch":{"rows":$rows,"batches":${lats.size},"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
+    }
+
     val qs = (results.map { case (n, (rows, nb, med, mx, rps)) =>
       s""""$n":{"rows":$rows,"batches":$nb,"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
-    } :+ cdcResult :+ morResult).mkString("{", ",", "}")
+    } :+ cdcResult :+ morResult :+ patchResult).mkString("{", ",", "}")
     println(s"""{"metric":"stream","chunks":$chunks,"total_rows":$totalRows,"ops":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
