@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
 
@@ -136,135 +136,71 @@ object StreamBench {
       name -> (rows, lats.size, med, mx, rps)
     }
 
-    // ---- streaming CDC apply (the u04 path): ops log staged as
-    // key-disjoint chunks, each micro-batch collapsed and merged into
-    // the snapshot-logged target at file granularity. Unlike the ops
-    // above the sink IS the operator (read touched files + rewrite +
-    // atomic commit), so per-batch latency here is the end-to-end
-    // apply cost a CDC pipeline budgets per trigger.
-    val cdcResult = {
-      import graft.streaming.CdcStream
-      val kChunks = math.min(chunks, 10)
-      val cdcIn = new java.io.File(root, "cdc_input"); cdcIn.mkdirs()
-      val opsLog = graft.operators.Upsert.cdcOpsLog(spark, sfDir)
-      for (i <- 0 until kChunks) {
-        val d = new java.io.File(root, s"cdc$i")
-        opsLog.filter(pmod(col("o_orderkey"), lit(kChunks)) === i)
-          .coalesce(1).write.parquet(d.getPath)
-        val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dest = new java.io.File(cdcIn, f"ops-$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(2000000L + i * 1000L)
-      }
-      val table = s"$stage/cdc_table"
-      CdcStream.seedTarget(spark, table, Tables.orders(spark, sfDir))
-      val stream = spark.readStream.schema(opsLog.schema)
-        .option("maxFilesPerTrigger", "1").parquet(cdcIn.getPath)
-      val q = CdcStream.applyStream(spark, table, stream,
-        "o_orderkey", s"$stage/ck/stb_cdc_apply").start()
-      q.processAllAvailable()
-      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-      q.stop()
-      require(progress.size == kChunks,
-        s"stb_cdc_apply: expected $kChunks data batches, saw ${progress.size}")
-      val lats = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
-      val rows = progress.map(_.numInputRows).sum
-      val med = lats(lats.size / 2); val mx = lats.last
-      val rps = if (lats.sum > 0) rows / (lats.sum / 1000.0) else 0.0
-      System.err.println(f"[streambench] stb_cdc_apply     rows=$rows%7d " +
-        f"batches=${lats.size}%3d med=${med}%5d ms max=${mx}%5d ms " +
-        f"rows/s=$rps%9.0f")
-      s""""stb_cdc_apply":{"rows":$rows,"batches":${lats.size},"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
-    }
-
-    // ---- streaming MOR updates (the u10 path): the same chunked-feed
-    // shape as stb_cdc_apply, but each micro-batch commits O(batch
-    // rows) — one update file + one manifest, ZERO data-file rewrites.
-    // The per-trigger latency contrast with stb_cdc_apply IS the
+    // ---- lake-path legs (u04 / u10 / u11): unlike the window ops
+    // above, the SINK is the operator — each trigger commits to the
+    // snapshot-logged target — so per-batch latency is the end-to-end
+    // cost a CDC pipeline budgets per trigger. One shared
+    // feeder/drain; the latency CONTRAST between the three is the
     // result: the CoW apply pays touched-file rewrites per trigger,
-    // the MOR path defers them to compaction.
-    val morResult = {
-      import graft.streaming.CdcStream
+    // the MOR update commits O(batch rows) and defers rewrites to
+    // compaction, and the partial-column patch additionally ships
+    // only (key + changed columns).
+    def lakeLeg(name: String, feed: DataFrame, chunkOf: Column,
+        mtimeBase: Long,
+        wire: (String, DataFrame, String) =>
+          org.apache.spark.sql.streaming.DataStreamWriter[
+            org.apache.spark.sql.Row]): String = {
       val kChunks = math.min(chunks, 10)
-      val updIn = new java.io.File(root, "mor_input"); updIn.mkdirs()
-      val updRows = Tables.orders(spark, sfDir)
-        .filter(col("o_orderkey") % 5 === 0)
-        .withColumn("o_orderpriority", lit("S-MOR"))
+      val in = new java.io.File(root, s"${name}_input"); in.mkdirs()
       for (i <- 0 until kChunks) {
-        val d = new java.io.File(root, s"mor$i")
-        // chunk on key/5: the %5 filter pins o_orderkey % 10 to {0,5},
-        // so chunking on the raw key would leave 8 of 10 chunks empty
-        updRows.filter(pmod((col("o_orderkey") / lit(5)).cast("long"),
-            lit(kChunks)) === i)
-          .coalesce(1).write.parquet(d.getPath)
+        val d = new java.io.File(root, s"$name$i")
+        feed.filter(chunkOf === i).coalesce(1).write.parquet(d.getPath)
         val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dest = new java.io.File(updIn, f"upd-$i%02d.parquet")
+        val dest = new java.io.File(in, f"$name-$i%02d.parquet")
         java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(3000000L + i * 1000L)
+        dest.setLastModified(mtimeBase + i * 1000L)
       }
-      val table = s"$stage/mor_table"
-      CdcStream.seedTarget(spark, table, Tables.orders(spark, sfDir))
-      val stream = spark.readStream.schema(updRows.schema)
-        .option("maxFilesPerTrigger", "1").parquet(updIn.getPath)
-      val q = CdcStream.updateStream(spark, table, stream,
-        "o_orderkey", s"$stage/ck/stb_mor_update").start()
+      val table = s"$stage/${name}_table"
+      graft.streaming.CdcStream.seedTarget(spark, table,
+        Tables.orders(spark, sfDir))
+      val stream = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.getPath)
+      val q = wire(table, stream, s"$stage/ck/$name").start()
       q.processAllAvailable()
       val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
       q.stop()
       require(progress.size == kChunks,
-        s"stb_mor_update: expected $kChunks data batches, saw ${progress.size}")
+        s"$name: expected $kChunks data batches, saw ${progress.size}")
       val lats = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
       val rows = progress.map(_.numInputRows).sum
       val med = lats(lats.size / 2); val mx = lats.last
       val rps = if (lats.sum > 0) rows / (lats.sum / 1000.0) else 0.0
-      System.err.println(f"[streambench] stb_mor_update    rows=$rows%7d " +
+      System.err.println(f"[streambench] $name%-17s rows=$rows%7d " +
         f"batches=${lats.size}%3d med=${med}%5d ms max=${mx}%5d ms " +
         f"rows/s=$rps%9.0f")
-      s""""stb_mor_update":{"rows":$rows,"batches":${lats.size},"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
+      s""""$name":{"rows":$rows,"batches":${lats.size},"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
     }
 
-    // ---- streaming PARTIAL-COLUMN patches (the u11 path): the same
-    // chunked-feed shape as stb_mor_update, but each micro-batch ships
-    // only (key + the one changed column) — the column-sparse CDC
-    // feed. Per-trigger cost is the slimmest of the three lake legs:
-    // one tiny patch file + one manifest, no pre-read, no rewrite.
-    val patchResult = {
-      import graft.streaming.CdcStream
-      val kChunks = math.min(chunks, 10)
-      val patchIn = new java.io.File(root, "patch_input"); patchIn.mkdirs()
-      val patchRows = Tables.orders(spark, sfDir)
-        .filter(col("o_orderkey") % 5 === 0)
-        .select(col("o_orderkey"), lit("S-PATCH").as("o_orderpriority"))
-      for (i <- 0 until kChunks) {
-        val d = new java.io.File(root, s"patch$i")
-        patchRows.filter(pmod((col("o_orderkey") / lit(5)).cast("long"),
-            lit(kChunks)) === i)
-          .coalesce(1).write.parquet(d.getPath)
-        val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dest = new java.io.File(patchIn, f"patch-$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(4000000L + i * 1000L)
-      }
-      val table = s"$stage/patch_table"
-      CdcStream.seedTarget(spark, table, Tables.orders(spark, sfDir))
-      val stream = spark.readStream.schema(patchRows.schema)
-        .option("maxFilesPerTrigger", "1").parquet(patchIn.getPath)
-      val q = CdcStream.patchStream(spark, table, stream,
-        "o_orderkey", s"$stage/ck/stb_patch").start()
-      q.processAllAvailable()
-      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-      q.stop()
-      require(progress.size == kChunks,
-        s"stb_patch: expected $kChunks data batches, saw ${progress.size}")
-      val lats = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
-      val rows = progress.map(_.numInputRows).sum
-      val med = lats(lats.size / 2); val mx = lats.last
-      val rps = if (lats.sum > 0) rows / (lats.sum / 1000.0) else 0.0
-      System.err.println(f"[streambench] stb_patch         rows=$rows%7d " +
-        f"batches=${lats.size}%3d med=${med}%5d ms max=${mx}%5d ms " +
-        f"rows/s=$rps%9.0f")
-      s""""stb_patch":{"rows":$rows,"batches":${lats.size},"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""
-    }
+    val kC = math.min(chunks, 10)
+    val cdcResult = lakeLeg("stb_cdc_apply",
+      graft.operators.Upsert.cdcOpsLog(spark, sfDir),
+      pmod(col("o_orderkey"), lit(kC)), 2000000L,
+      (t, st, ck) => graft.streaming.CdcStream.applyStream(
+        spark, t, st, "o_orderkey", ck))
+    // chunk on key/5: the %5 filter pins o_orderkey % 10 to {0,5}, so
+    // chunking on the raw key would leave 8 of 10 chunks empty
+    val morResult = lakeLeg("stb_mor_update",
+      Tables.orders(spark, sfDir).filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderpriority", lit("S-MOR")),
+      pmod((col("o_orderkey") / lit(5)).cast("long"), lit(kC)), 3000000L,
+      (t, st, ck) => graft.streaming.CdcStream.updateStream(
+        spark, t, st, "o_orderkey", ck))
+    val patchResult = lakeLeg("stb_patch",
+      Tables.orders(spark, sfDir).filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("S-PATCH").as("o_orderpriority")),
+      pmod((col("o_orderkey") / lit(5)).cast("long"), lit(kC)), 4000000L,
+      (t, st, ck) => graft.streaming.CdcStream.patchStream(
+        spark, t, st, "o_orderkey", ck))
 
     val qs = (results.map { case (n, (rows, nb, med, mx, rps)) =>
       s""""$n":{"rows":$rows,"batches":$nb,"med_ms":$med,"max_ms":$mx,"rows_per_s":${rps.round}}"""

@@ -328,21 +328,33 @@ object Multimodal {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("text"),
           length(col("text")).as("len"))
-        .filter(col("len") >= W)
-      val cuts = docs
-        .select(col("doc_id"), col("source"), col("text"), col("len"),
+        .filter(col("len") >= 1)
+      // SLIM cut positions: the window-hash explode projects down to
+      // (doc_id, e) BEFORE anything shuffles — the payload never
+      // rides a cut row through an exchange (a naive shape that
+      // carried text per cut row ships O(payload²/16) shuffle bytes
+      // per doc; this one ships O(cuts) ints, then rejoins the
+      // payload ONCE per doc). The per-doc cut array is
+      // payload/16-bounded — the same per-doc bound any per-payload
+      // aggregation has. Docs SHORTER than the window get no
+      // positions but keep their whole-payload tail chunk (a real
+      // chunker emits short payloads as one chunk — dropping them
+      // would undercount the savings accounting).
+      val cutList = docs.filter(col("len") >= W)
+        .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), col("len") - lit(W - 1))).as("i"))
         .filter(substring(md5(expr(s"substring(text, i, $W)")), 1, 1) === "0")
-        .select(col("doc_id"), col("source"), col("text"), col("len"),
-          (col("i") + lit(W - 1)).as("e"))
-      val ends = cuts
-        .unionByName(docs.select(col("doc_id"), col("source"), col("text"),
-          col("len"), col("len").as("e")))
-        .distinct() // a cut landing exactly at len merges with the tail
-      val wLag = Window.partitionBy("doc_id").orderBy("e")
-      val chunks = ends
-        .withColumn("start",
-          coalesce(lag(col("e"), 1).over(wLag) + lit(1), lit(1)))
+        .select(col("doc_id"), (col("i") + lit(W - 1)).as("e"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("e"))).as("es"))
+      val chunks = docs.join(cutList, Seq("doc_id"), "left_outer")
+        .withColumn("ends", array_sort(array_distinct(concat(
+          coalesce(col("es"), expr("array()").cast("array<int>")),
+          array(col("len").cast("int"))))))
+        .select(col("doc_id"), col("source"), col("text"), col("ends"),
+          posexplode(col("ends")).as(Seq("k", "e")))
+        .withColumn("start", when(col("k") === 0, lit(1))
+          .otherwise(expr("ends[k - 1] + 1")))
         .withColumn("digest", md5(expr("substring(text, start, e - start + 1)")))
         .withColumn("clen", col("e") - col("start") + lit(1))
       chunks.groupBy("source").agg(
@@ -476,11 +488,11 @@ object Multimodal {
     "m08_cdc_chunking" -> """
       WITH doc AS (
         SELECT doc_id, source, text, length(text) AS len
-        FROM documents WHERE length(text) >= 8),
+        FROM documents WHERE length(text) >= 1),
       pos AS (
         SELECT doc_id, source, text, len,
           unnest(range(1, len - 6)) AS i
-        FROM doc),
+        FROM doc WHERE len >= 8),
       cuts AS (
         SELECT doc_id, source, text, len, i + 7 AS e FROM pos
         WHERE substring(md5(substr(text, CAST(i AS INT), 8)), 1, 1) = '0'),

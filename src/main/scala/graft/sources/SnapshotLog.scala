@@ -518,6 +518,66 @@ object SnapshotLog {
     }
   }
 
+  /** Read a `$v\nend` version-pointer file: Some(v) when present and
+    * well-formed, None when ABSENT; present-but-torn throws (fail
+    * closed — a torn pointer mapped to "missing" would let expire
+    * reclaim a referenced snapshot or a monotonic guard accept a
+    * backwards move). One definition for the `_published`, `_tag-*`
+    * and `_branchbase-*` pointers so the fail-closed contract cannot
+    * drift per pointer type. */
+  private def readVersionPointer(s: SparkSession,
+      p: org.apache.hadoop.fs.Path, what: String): Option[Long] = {
+    val fs = fsOf(s)
+    if (!fs.exists(p)) return None
+    scala.util.Try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n").filter(_.nonEmpty)
+      require(lines.length == 2 && lines(1) == "end", s"torn $what")
+      Some(lines(0).toLong)
+    }.getOrElse(throw new java.io.IOException(
+      s"unreadable/torn $what — failing closed (restore or delete it " +
+        "explicitly)"))
+  }
+
+  /** Replace a version-pointer file via tmp-create + rename (the
+    * `_published` pattern). The delete/rename pair is not atomic on
+    * every filesystem — readers of a vanished pointer fall back per
+    * their own contract (publishedVersion → 0, branchBase → the
+    * branch tag), never to garbage, because a partially-written tmp
+    * never occupies the destination name. */
+  private def writeVersionPointer(s: SparkSession,
+      dst: org.apache.hadoop.fs.Path, v: Long, what: String): Unit = {
+    val fs = fsOf(s)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dst.getParent, s".${dst.getName}.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$v\nend".getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"$what rename lost (v$v)")
+  }
+
+  /** Mutation rows must not re-type a table column: a mutation file
+    * is committed irrevocably (no API removes one), and a diverged
+    * type either NULLs values through the read-side union coercion or
+    * throws on every read — then compaction bakes it into data files.
+    * Columns the mutation does not carry are fine (the documented
+    * subset/union contract); columns it carries must match the table
+    * type exactly. dataScan's schema (the caller-provided `tbl` map)
+    * honors the manifest-persisted schema and falls back to the
+    * footer union on legacy tables — footer reads only, no data IO. */
+  private def requireMutationTypes(tbl: Map[String, DataType],
+      rows: StructType, what: String): Unit = {
+    val mistyped = rows.filter(f =>
+      tbl.contains(f.name) && tbl(f.name) != f.dataType)
+    require(mistyped.isEmpty, s"$what column types diverge from the table " +
+      s"schema: ${mistyped.map(f =>
+        s"${f.name} ($what ${f.dataType.simpleString} vs table " +
+        s"${tbl(f.name).simpleString})").mkString(", ")}")
+  }
+
   /** Next mutation sequence for a commit derived from manifest `m`
     * at version `cur`: strictly above BOTH the version counter and
     * every carried sequence. The two can diverge — a fast-forwarded
@@ -597,6 +657,12 @@ object SnapshotLog {
     // deep in the collapse as an opaque ambiguity error
     require(orderBy.distinct.size == orderBy.size,
       s"orderBy columns must be distinct: $orderBy")
+    // same irrevocable-commit hazard as patchMor: a re-typed column in
+    // an update file would NULL/throw through the read union and bake
+    // in at compaction
+    requireMutationTypes(
+      dataScan(s, m).schema.map(f => f.name -> f.dataType).toMap,
+      rows.schema, "update")
     val dir = s"$table/data/updates/${java.util.UUID.randomUUID}"
     // PER-KEY COLLAPSE before the write: duplicate keys within one
     // batch would BOTH win the latest-wins overlay (same sequence)
@@ -733,19 +799,13 @@ object SnapshotLog {
     // per-column coalesce would coerce the whole column (and
     // compaction would bake the coerced type into data files,
     // diverging from the persisted schema) with no API to remove a
-    // committed patch. dataScan's schema honors the manifest-
-    // persisted one when present and falls back to the footer union
-    // on legacy tables (footer reads only, no data IO).
+    // committed patch. The KEY column is checked too (a mistyped key
+    // never matches and the patch silently no-ops forever).
     val tbl = dataScan(s, m).schema.map(f => f.name -> f.dataType).toMap
     val missing = others.filterNot(tbl.contains)
     require(missing.isEmpty, s"patch names columns absent from the table " +
       s"schema: ${missing.mkString(", ")}")
-    val mistyped = patch.schema.filter(f => others.contains(f.name) &&
-      tbl(f.name) != f.dataType)
-    require(mistyped.isEmpty, "patch column types diverge from the table " +
-      s"schema: ${mistyped.map(f =>
-        s"${f.name} (patch ${f.dataType.simpleString} vs table " +
-        s"${tbl(f.name).simpleString})").mkString(", ")}")
+    requireMutationTypes(tbl, patch.schema, "patch")
     val dir = s"$table/data/patches/${java.util.UUID.randomUUID}"
     patch.where(col(key).isNotNull)
       .groupBy(col(key))
@@ -877,25 +937,13 @@ object SnapshotLog {
     * `_last_checkpoint`, so a torn write must fail closed, and the
     * temp+rename publish below makes torn states near-impossible on
     * rename-atomic filesystems). */
-  def publishedVersion(s: SparkSession, table: String): Long = {
-    val fs = fsOf(s); val p = pubPath(table)
-    if (!fs.exists(p)) return 0L
-    scala.util.Try {
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val lines = text.split("\n").filter(_.nonEmpty)
-      require(lines.length == 2 && lines(1) == "end", "torn publish pointer")
-      lines(0).toLong
-    }.getOrElse(
-      // missing means "nothing published" (0 above); UNREADABLE must
-      // fail CLOSED — mapping a torn pointer to 0 would let expire()
-      // delete the published snapshot's files out from under consumers
-      // and let publish()'s monotonic guard accept a backwards move
-      throw new java.io.IOException(
-        s"unreadable/torn _published pointer for $table — failing closed " +
-          "(restore it or delete it explicitly before expire/publish)"))
-  }
+  def publishedVersion(s: SparkSession, table: String): Long =
+    // missing means "nothing published"; readVersionPointer fails
+    // CLOSED on a torn file — mapping it to 0 would let expire()
+    // delete the published snapshot's files out from under consumers
+    // and let publish()'s monotonic guard accept a backwards move
+    readVersionPointer(s, pubPath(table),
+      s"_published pointer for $table").getOrElse(0L)
 
   /** Atomically advance the publish pointer to committed version `v`
     * (monotonic: publishing backwards is refused — that's a restore,
@@ -905,15 +953,7 @@ object SnapshotLog {
       s"cannot publish uncommitted v$v of $table")
     val prev = publishedVersion(s, table)
     require(v >= prev, s"publish would move backwards: v$v < published v$prev")
-    val fs = fsOf(s)
-    val dst = pubPath(table)
-    val tmp = new org.apache.hadoop.fs.Path(
-      dst.getParent, s"._published.tmp-${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, false)
-    try out.write(s"$v\nend".getBytes("UTF-8")) finally out.close()
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"publish rename lost for $table v$v")
+    writeVersionPointer(s, pubPath(table), v, s"publish for $table")
   }
 
   /** The consumer read path: the latest PUBLISHED snapshot, never a
@@ -967,19 +1007,10 @@ object SnapshotLog {
     * authoritative ref (the fail-closed `_published` discipline): a
     * reader silently falling back past a torn tag would read the
     * wrong snapshot. */
-  def tagVersion(s: SparkSession, table: String, name: String): Long = {
-    val fs = fsOf(s); val p = tagPath(table, name)
-    require(fs.exists(p), s"no tag $name in $table")
-    scala.util.Try {
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val lines = text.split("\n").filter(_.nonEmpty)
-      require(lines.length == 2 && lines(1) == "end", "torn tag")
-      lines(0).toLong
-    }.getOrElse(throw new java.io.IOException(
-      s"unreadable/torn tag $name for $table — failing closed"))
-  }
+  def tagVersion(s: SparkSession, table: String, name: String): Long =
+    readVersionPointer(s, tagPath(table, name), s"tag $name for $table")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no tag $name in $table"))
 
   /** Read the snapshot a tag names — a CONSUMER path: MOR deletes are
     * overlaid and update-carrying snapshots refused (resolve the tag
@@ -1064,36 +1095,21 @@ object SnapshotLog {
   /** The parent version branch `name` currently forks from — cut
     * version at birth, ADVANCED by every successful [[fastForward]]
     * (the tag, by contrast, is immutable: it pins the ORIGINAL base's
-    * files against parent expire forever). Fails closed on a torn
-    * pointer, like `_published`. */
-  def branchBase(s: SparkSession, table: String, name: String): Long = {
-    val fs = fsOf(s); val p = branchBasePath(table, name)
-    require(fs.exists(p), s"no branch $name on $table")
-    scala.util.Try {
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val lines = text.split("\n").filter(_.nonEmpty)
-      require(lines.length == 2 && lines(1) == "end", "torn branch base")
-      lines(0).toLong
-    }.getOrElse(throw new java.io.IOException(
-      s"unreadable/torn branch base pointer for $table@$name — failing " +
-        "closed (restore or delete it explicitly)"))
-  }
+    * files against parent expire forever). A MISSING pointer falls
+    * back to the immutable tag — that serves branches cut by builds
+    * that predate the pointer AND the crash window where the pointer
+    * write was lost (fastForward's self-heal then re-derives the
+    * advanced base). A PRESENT-but-torn pointer still fails closed,
+    * like `_published`. */
+  def branchBase(s: SparkSession, table: String, name: String): Long =
+    readVersionPointer(s, branchBasePath(table, name),
+      s"branch base pointer for $table@$name")
+      .getOrElse(tagVersion(s, table, s"branch-$name"))
 
   private def writeBranchBase(s: SparkSession, table: String, name: String,
-      v: Long): Unit = {
-    val fs = fsOf(s)
-    val dst = branchBasePath(table, name)
-    val tmp = new org.apache.hadoop.fs.Path(
-      dst.getParent, s"._branchbase.tmp-${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, false)
-    try out.write(s"$v\nend".getBytes("UTF-8")) finally out.close()
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(
-        s"branch base rename lost for $table@$name v$v")
-  }
+      v: Long): Unit =
+    writeVersionPointer(s, branchBasePath(table, name), v,
+      s"branch base for $table@$name")
 
   /** Cut branch `name` from snapshot `v` of `table`. Returns the
     * branch's table path — every SnapshotLog/CdcStream API accepts it
@@ -1135,10 +1151,24 @@ object SnapshotLog {
       throw new IllegalStateException(s"branch $name head v$bv unreadable"))
     val base = branchBase(s, table, name)
     val cur = currentVersion(s, table)
-    if (cur != base) throw new SnapshotConflict(
-      s"$table moved v$base -> v$cur since branch $name was cut; " +
-        "fast-forward impossible — cut a fresh branch from the current " +
-        "version and replay the work")
+    if (cur != base) {
+      // crash-window self-heal (the txn-sidecar pattern): if the
+      // parent HEAD already IS this branch's fast-forward of the
+      // SAME head state, the merge landed and only the pointer
+      // advance was lost — re-advance it and report the landed
+      // version instead of sending the caller to replay landed work
+      val cm = readManifest(s, table, cur)
+      if (cm.exists(c => c.op == s"fast-forward-$name" &&
+          c.files == bm.files && c.deletes == bm.deletes &&
+          c.updates == bm.updates && c.patches == bm.patches)) {
+        writeBranchBase(s, table, name, cur)
+        return cur
+      }
+      throw new SnapshotConflict(
+        s"$table moved v$base -> v$cur since branch $name was cut; " +
+          "fast-forward impossible — cut a fresh branch from the current " +
+          "version and replay the work")
+    }
     val ffv = commit(s, table, s"fast-forward-$name", bm.files, Some(cur),
       bm.stats, bm.deletes, bm.ndv, bm.updates, bm.seqs, bm.schema,
       patches = bm.patches)

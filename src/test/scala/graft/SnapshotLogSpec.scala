@@ -610,8 +610,13 @@ class SnapshotLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SnapshotLog.branch(s, table, "../evil", ffv2)
     }
-    // parent expire never reclaims branch-dir files (the live branch
-    // and the ff'd parent history both still reference them)
+    // parent expire never reclaims branch-dir files. Compact FIRST so
+    // the parent HEAD references only compact-dir files — branch-dir
+    // files are then referenced solely by EXPIRED parent manifests
+    // and the live branch, which makes the _branches/ exclusion
+    // load-bearing: without it this expire would delete them out
+    // from under the branch head
+    SnapshotLog.compactMor(s, table, "o_orderkey")
     SnapshotLog.expire(s, table, keepLast = 1)
     val fs2 = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
