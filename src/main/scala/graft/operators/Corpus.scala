@@ -403,27 +403,47 @@ object Corpus {
     // doc must be flagged (n_false_neg pinned 0 in the gate row), and
     // per-gram false positives are bounded by fpp — the doc-level FP
     // rate (1 - (1-fpp)^grams ≈ grams·fpp ≈ 1–2%) is asserted ≤ 5%.
-    // The sketch probe is a closure over the driver-built filter —
-    // the one place a UDF is the right tool (no Catalyst builtin
-    // evaluates a BloomFilter; the sketch itself is the a06-class
-    // bounded driver object, constant-size in corpus rows). Gate-row
+    // The sketch is built and probed entirely inside Catalyst
+    // (Spark 4.1 ships `BloomFilterAggregate` /
+    // `BloomFilterMightContain` — the runtime-filter-join pair; they
+    // are not SQL-registered in OSS Spark, so they ride the
+    // ColumnBridge wrapper like graft's own native expressions): the
+    // aggregate folds the bench grams into ONE binary row on the
+    // executors, that row feeds the probe as a scalar subquery (the
+    // filter operand of might_contain must be a constant or scalar
+    // subquery — the same wiring InjectRuntimeFilter emits), and the
+    // probe is a codegen'd expression over xxhash64(gram) — the
+    // sketch never materializes on the driver, and both sides hash
+    // through the same XxHash64, so the no-false-negative contract
+    // holds verbatim. Gate-row
     // oracle in the d06 style: the exact legs come from SQL, the
     // sketch-dependent legs are structural constants (0 false
     // negatives by the filter's contract, fp bound by geometry).
     "c14_bloom_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.spark.util.sketch.BloomFilter
       val grams = distinctTrigrams(s, d).truncatedLazy // bench + corpus legs
       // truncated (eager): three consumers — the count, the
       // bloomFilter aggregation, and the exact-leg broadcast — would
       // otherwise each re-run the filter+distinct over the gram rows
       val bench = grams.filter(col("doc_id") % 97 === 0)
         .select("gram").distinct().truncated
-      val nBench = bench.count()
-      val bf = bench.stat.bloomFilter("gram", math.max(1000L, nBench), 1e-4)
-      val mightContain = udf((g: String) => bf.mightContain(g))
+      val nBench = bench.count() // geometry scalar only, never the data
+      val nItems = math.max(1000L, nBench)
+      val nBits = BloomFilter.optimalNumOfBits(nItems, 1e-4)
+      val bfAgg = new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("gram"))),
+        Literal(nItems), Literal(nBits)).toAggregateExpression()
+      val bfRow = bench.agg(ColumnBridge.column(bfAgg).as("bf"))
       val corp = grams.filter(col("doc_id") % 97 =!= 0)
+      val probed = ColumnBridge.column(BloomFilterMightContain(
+        ScalarSubquery(bfRow.queryExecution.analyzed),
+        ColumnBridge.expression(xxhash64(col("gram")))))
       val flagged = corp
         .groupBy("doc_id")
-        .agg(max(when(mightContain(col("gram")), 1L).otherwise(0L)).as("bloom_hit"))
+        .agg(max(when(probed, 1L).otherwise(0L)).as("bloom_hit"))
       val exact = corp.join(broadcast(bench.withColumn("hit", lit(1L))),
           Seq("gram"), "left_outer")
         .groupBy("doc_id")

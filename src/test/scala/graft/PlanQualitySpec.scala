@@ -318,4 +318,15 @@ class PlanQualitySpec extends AnyFunSuite {
           s"$q plans BroadcastNestedLoopJoin")
     }
   }
+
+  test("c14's Bloom probe is a native Catalyst expression, not a Scala UDF") {
+    // r13 verdict item 3: the sketch must be built by
+    // BloomFilterAggregate on the executors and probed by the
+    // codegen'd BloomFilterMightContain — a ScalaUDF node would mean
+    // the probe regressed to a driver-built closure.
+    val p = plan("c14_bloom_decontaminate")
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("pythonudf"),
+      s"c14 plans a UDF probe:\n$p")
+    assert(p.contains("might_contain"), s"c14 lost the native Bloom probe:\n$p")
+  }
 }
