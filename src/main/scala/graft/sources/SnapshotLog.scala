@@ -541,12 +541,17 @@ object SnapshotLog {
         "explicitly)"))
   }
 
-  /** Replace a version-pointer file via tmp-create + rename (the
-    * `_published` pattern). The delete/rename pair is not atomic on
-    * every filesystem — readers of a vanished pointer fall back per
-    * their own contract (publishedVersion → 0, branchBase → the
-    * branch tag), never to garbage, because a partially-written tmp
-    * never occupies the destination name. */
+  /** Replace a version-pointer file via tmp-create + OVERWRITING
+    * rename (the `_published` pattern). Where the filesystem exposes
+    * `FileContext` (local fs, HDFS) the swap is a single overwriting
+    * rename — no window where the pointer reads as absent, so an
+    * `expire` racing a `publish` can never observe publishedVersion=0
+    * and skip the published-snapshot pin. Filesystems without an
+    * AbstractFileSystem binding fall back to delete-then-rename;
+    * there readers of a vanished pointer still fall back per their
+    * own contract (publishedVersion → 0, branchBase → the branch
+    * tag), never to garbage, because a partially-written tmp never
+    * occupies the destination name. */
   private def writeVersionPointer(s: SparkSession,
       dst: org.apache.hadoop.fs.Path, v: Long, what: String): Unit = {
     val fs = fsOf(s)
@@ -554,9 +559,17 @@ object SnapshotLog {
       dst.getParent, s".${dst.getName}.tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(s"$v\nend".getBytes("UTF-8")) finally out.close()
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"$what rename lost (v$v)")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, s.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"$what rename lost (v$v)")
+    }
   }
 
   /** Mutation rows must not re-type a table column: a mutation file
@@ -660,9 +673,7 @@ object SnapshotLog {
     // same irrevocable-commit hazard as patchMor: a re-typed column in
     // an update file would NULL/throw through the read union and bake
     // in at compaction
-    requireMutationTypes(
-      dataScan(s, m).schema.map(f => f.name -> f.dataType).toMap,
-      rows.schema, "update")
+    requireMutationTypes(tableTypes(s, m), rows.schema, "update")
     val dir = s"$table/data/updates/${java.util.UUID.randomUUID}"
     // PER-KEY COLLAPSE before the write: duplicate keys within one
     // batch would BOTH win the latest-wins overlay (same sequence)
@@ -691,6 +702,20 @@ object SnapshotLog {
       updates = m.updates ++ uf, seqs = m.seqs ++ uf.map(_._1 -> nextSeq(m, cur)),
       schema = m.schema, patches = m.patches)
   }
+
+  /** The table's column→type map for the mutation-write type guards.
+    * When the manifest persists a schema that IS the table schema
+    * (the Delta read-through-log contract) — parse it directly rather
+    * than paying dataScan's mergeSchema footer union over ALL data
+    * files on every O(batch)-cost mutation commit (dataScan would
+    * project to the persisted schema anyway, so the footer union is
+    * pure overhead there). Legacy schema-less tables fall back to the
+    * footer-derived scan schema. */
+  private def tableTypes(s: SparkSession, m: Manifest): Map[String, DataType] =
+    (m.schema match {
+      case Some(js) => DataType.fromJson(js).asInstanceOf[StructType]
+      case None => dataScan(s, m).schema
+    }).map(f => f.name -> f.dataType).toMap
 
   /** The snapshot's data files as one scan, projected to the
     * PERSISTED table schema when the manifest carries one (mergeSchema
@@ -801,7 +826,7 @@ object SnapshotLog {
     // diverging from the persisted schema) with no API to remove a
     // committed patch. The KEY column is checked too (a mistyped key
     // never matches and the patch silently no-ops forever).
-    val tbl = dataScan(s, m).schema.map(f => f.name -> f.dataType).toMap
+    val tbl = tableTypes(s, m)
     val missing = others.filterNot(tbl.contains)
     require(missing.isEmpty, s"patch names columns absent from the table " +
       s"schema: ${missing.mkString(", ")}")
@@ -1151,24 +1176,28 @@ object SnapshotLog {
       throw new IllegalStateException(s"branch $name head v$bv unreadable"))
     val base = branchBase(s, table, name)
     val cur = currentVersion(s, table)
-    if (cur != base) {
-      // crash-window self-heal (the txn-sidecar pattern): if the
-      // parent HEAD already IS this branch's fast-forward of the
-      // SAME head state, the merge landed and only the pointer
-      // advance was lost — re-advance it and report the landed
-      // version instead of sending the caller to replay landed work
-      val cm = readManifest(s, table, cur)
-      if (cm.exists(c => c.op == s"fast-forward-$name" &&
-          c.files == bm.files && c.deletes == bm.deletes &&
-          c.updates == bm.updates && c.patches == bm.patches)) {
-        writeBranchBase(s, table, name, cur)
-        return cur
-      }
+    val cm = readManifest(s, table, cur)
+    def sameState(c: Manifest): Boolean =
+      c.files == bm.files && c.deletes == bm.deletes &&
+        c.updates == bm.updates && c.patches == bm.patches
+    // Idempotency + crash-window self-heal (the txn-sidecar pattern):
+    // if the parent HEAD already carries EXACTLY the branch head's
+    // state, the merge is landed — whether the base pointer advanced
+    // (a straight re-call: cur == base and the head state matches) or
+    // was lost in the crash window (cur != base but the head is our
+    // own fast-forward commit). Either way (re)advance the pointer
+    // and report the landed version instead of committing a duplicate
+    // identical snapshot or sending the caller to replay landed work.
+    if (cm.exists(c => sameState(c) &&
+        (cur == base || c.op == s"fast-forward-$name"))) {
+      writeBranchBase(s, table, name, cur)
+      return cur
+    }
+    if (cur != base)
       throw new SnapshotConflict(
         s"$table moved v$base -> v$cur since branch $name was cut; " +
           "fast-forward impossible — cut a fresh branch from the current " +
           "version and replay the work")
-    }
     val ffv = commit(s, table, s"fast-forward-$name", bm.files, Some(cur),
       bm.stats, bm.deletes, bm.ndv, bm.updates, bm.seqs, bm.schema,
       patches = bm.patches)

@@ -586,6 +586,14 @@ class SnapshotLogSpec extends AnyFunSuite {
       "o_orderkey")
     val ffv2 = SnapshotLog.fastForward(s, table, "b")
     assert(ffv2 === ffv + 1, "second fast-forward did not land")
+    // fast-forward is idempotent in the SUCCESS case: with no new
+    // branch work, a re-call recognizes the parent head already
+    // carries the branch state and returns it WITHOUT committing a
+    // duplicate identical snapshot (the r13 ADVICE finding)
+    assert(SnapshotLog.fastForward(s, table, "b") === ffv2,
+      "re-called fast-forward did not return the landed version")
+    assert(SnapshotLog.currentVersion(s, table) === ffv2,
+      "re-called fast-forward committed a duplicate snapshot")
     // post-fast-forward: a parent delete must sequence above the
     // branch's carried seqs (nextSeq takes the max of version counter
     // and carried sequences)
