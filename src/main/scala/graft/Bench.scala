@@ -126,7 +126,15 @@ object Bench {
     // m08 is a per-BYTE-position explode + md5-per-window pipeline —
     // heavier than the whole rest of the m family combined, the
     // d04/t06/t15 explode class, seated at birth per the r10 rule
-    "s18_hybrid_rrf", "m08_cdc_chunking")
+    "s18_hybrid_rrf", "m08_cdc_chunking",
+    // round-14 (r13 verdict item 2): s20 was the suite's single most
+    // expensive query while NOT seated — 6.75 s with a 15.55 s worst
+    // in-family draw (2.3×) vs 4.08 s fresh-JVM solo best-of-3
+    // (draws 6.31/5.03/4.08 at sf0.1); it builds an s01-class
+    // probe-scan shortlist AND unrolls the greedy MMR re-rank over
+    // it, the composite/JIT-lottery profile of every prior sweep
+    // victim (s13/d16/t15)
+    "s20_mmr_diversify")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name
