@@ -69,6 +69,36 @@ object StreamingOps {
             <= col("exact_users") * 0.05 + lit(2.0), 1L)
             .otherwise(0L).as("hll_ok"))
         .orderBy("window_start")
+    }),
+
+    // st07: WATERMARK LATE-DATA DROP, batch-modeled (r13 verdict item
+    // 1) — the one streaming behavior a bounded in-order fixture can
+    // never exercise by itself. EventStreams.lateOnTime/lateArrivals
+    // define a deterministic out-of-order replay of the events
+    // fixture; lateSurvivors reproduces, µs-exactly, which late rows
+    // a 2-h watermark admits into the 1-h tumbling aggregation
+    // (ms-floored max event time − 2 h, judged per WINDOW END — see
+    // the EventStreams scaladoc). The output is st01's window rows
+    // over the surviving set plus the 1-row kept/dropped accounting
+    // (c06-class broadcast crossJoin): a drop model that admits one
+    // extra row or drops one admissible row moves window counts AND
+    // the accounting, so the DuckDB replay — which re-derives the
+    // watermark arithmetic independently in SQL — flips hash-red.
+    // StreamingSpec closes the loop by pinning a REAL two-trigger
+    // stream to this same model (and fails if the watermark is
+    // removed, because the late rows would then all be counted).
+    "st07_late_data_drop" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val surv = EventStreams.lateSurvivors(ev)
+      val nOnTime = EventStreams.lateOnTime(ev).count() // bounded scalars:
+      val nLate = EventStreams.lateArrivals(ev).count() // feed geometry only
+      val acct = broadcast(surv
+        .agg((count(lit(1)) - nOnTime).as("n_late_kept"))
+        .select(col("n_late_kept"),
+          (lit(nLate) - col("n_late_kept")).as("n_late_dropped")))
+      EventStreams.tumblingCounts(surv)
+        .crossJoin(acct)
+        .orderBy("window_start", "event_type")
     })
   )
 
@@ -133,6 +163,43 @@ object StreamingOps {
         COUNT(*) AS n_events,
         COUNT(DISTINCT user_id) AS exact_users,
         CAST(1 AS BIGINT) AS hll_ok
-      FROM events GROUP BY 1 ORDER BY window_start"""
+      FROM events GROUP BY 1 ORDER BY window_start""",
+
+    // st07: the watermark drop model re-derived independently —
+    // wm_µs = (ms-floor of the on-time max event time − 2 h) × 1000,
+    // a late row survives iff its epoch-aligned 1-h window END
+    // exceeds wm (Spark judges lateness per window, not per row; the
+    // engine tracks max event time in MILLIS). `//` is integer
+    // division (the µs arithmetic must floor, not round).
+    "st07_late_data_drop" -> """
+      WITH on_time AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+               event_type, value, props
+        FROM events WHERE event_id % 11 <> 0),
+      mx AS (SELECT max(ts) AS mts FROM on_time),
+      late AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+               event_type, value, props
+        FROM events WHERE event_id % 11 = 0
+        UNION ALL
+        SELECT event_id, (SELECT mts FROM mx) AS ts, user_id,
+               event_type, value, props
+        FROM events WHERE event_id % 17 = 3),
+      kept AS (
+        SELECT l.* FROM late l
+        WHERE (epoch_us(l.ts) // 3600000000 + 1) * 3600000000
+            > (epoch_us((SELECT mts FROM mx)) // 1000 - 7200000) * 1000),
+      survivors AS (
+        SELECT * FROM on_time UNION ALL SELECT * FROM kept),
+      acct AS (
+        SELECT (SELECT COUNT(*) FROM kept) AS n_late_kept,
+               (SELECT COUNT(*) FROM late) - (SELECT COUNT(*) FROM kept)
+                 AS n_late_dropped)
+      SELECT time_bucket(INTERVAL '1 hour', s.ts) AS window_start,
+        s.event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(s.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        (SELECT n_late_kept FROM acct) AS n_late_kept,
+        (SELECT n_late_dropped FROM acct) AS n_late_dropped
+      FROM survivors s GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

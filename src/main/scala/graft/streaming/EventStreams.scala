@@ -59,6 +59,16 @@ object EventStreams {
       .parquet(sfDir))
   }
 
+  /** Stream a directory of already-NORMALIZED event files (written by
+    * the late-feed tests from Tables.events output, so ts is µs
+    * TimestampType) one file per trigger, oldest mtime first — the
+    * replay harness for out-of-order arrival, where trigger order is
+    * the test's control variable. */
+  def readEventFeed(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema(TimestampType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
   /** Tumbling 1-hour counts/sums per event type. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
@@ -112,6 +122,94 @@ object EventStreams {
 
   def sessionStatsStreaming(events: DataFrame): DataFrame =
     sessionStats(events.withWatermark("ts", "2 hours"))
+
+  // -------------------------------------------------------------------
+  // Late-data decomposition (st07) — the load-bearing watermark path.
+  // The events fixture arrives in exact ts order, so every watermark
+  // test that streams it verbatim is vacuous: no row is ever late and
+  // the suite stays green with the watermark deleted (the r13 verdict
+  // finding). These helpers define a DETERMINISTIC late-arrival replay
+  // of the same fixture — the on-time rows (the full ts span) are
+  // delivered first, the late set replays in a LATER trigger, after
+  // the watermark has advanced to (max on-time ts − 2 h) — and the
+  // drop model below reproduces, µs-exactly, which late rows Spark
+  // admits: the engine floors the tracked max event time to MILLIS
+  // (EventTimeStats accumulates ms), subtracts the 2 h delay, and
+  // drops a row iff its 1-hour WINDOW END (exclusive, epoch-aligned)
+  // is ≤ that watermark — lateness is judged per window, not per row.
+  // StreamingSpec pins the real stream to this model (and fails if
+  // the watermark is removed: the late rows would then be counted);
+  // st07's DuckDB oracle replays the model arithmetic independently.
+  //
+  // One engine subtlety the feed must respect: since Spark 3.4 the
+  // late-record filter uses the PREVIOUS batch's watermark while
+  // state eviction uses the current one (the StateStoreSave operator
+  // prints both), so a watermark advanced by batch N only starts
+  // DROPPING in batch N+2. The replay therefore runs three triggers:
+  // the on-time span (advances the watermark), a small on-time nudge
+  // batch (lets the advance become the late-filter's watermark), then
+  // the late set — which is filtered against (max on-time ts − 2 h)
+  // exactly as the model assumes. The nudge rows are chosen strictly
+  // below the on-time max, so they advance nothing themselves.
+  // -------------------------------------------------------------------
+
+  /** The on-time feed: every event outside the %11 late class. Spans
+    * the fixture's whole ts range, so processing it as trigger 1
+    * advances the watermark to (its max ts − 2 h). */
+  def lateOnTime(events: DataFrame): DataFrame =
+    events.filter(col("event_id") % 11 =!= 0)
+
+  /** Trigger-2 nudge: a deterministic on-time subset (%19 ≡ 7, ≥6 h
+    * below the on-time max so it can never raise the watermark or be
+    * filtered itself — its own batch's late-filter watermark is still
+    * the initial 0). Its only job is to let trigger 1's watermark
+    * advance become the late filter for trigger 3. */
+  def lateNudge(events: DataFrame): DataFrame = {
+    val onTimeMaxTs = lateOnTime(events)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    lateOnTime(events).filter(col("event_id") % 19 === 7 &&
+      col("ts") < lit(onTimeMaxTs) - expr("INTERVAL 6 HOURS"))
+  }
+
+  /** Trigger 1 = the on-time rows minus the nudge batch (predicate
+    * complement, no join). Contains the on-time max ts row by
+    * construction (the nudge excludes the last 6 h), so the watermark
+    * after trigger 1 is (max on-time ts − 2 h). */
+  def lateMain(events: DataFrame): DataFrame = {
+    val onTimeMaxTs = lateOnTime(events)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    lateOnTime(events).filter(!(col("event_id") % 19 === 7 &&
+      col("ts") < lit(onTimeMaxTs) - expr("INTERVAL 6 HOURS")))
+  }
+
+  /** The late feed, delivered as trigger 2: the %11 class replayed at
+    * its ORIGINAL timestamps (spread over 30 days — almost all of it
+    * far below the watermark and droppable) plus a fresh-arrival twin
+    * class (%17 ≡ 3) re-stamped AT the on-time max ts — inside the
+    * 2 h horizon by construction, so the keep side of the boundary is
+    * exercised at every SF (the natural last-2-hours tail is near
+    * empty at sf0.001). */
+  def lateArrivals(events: DataFrame): DataFrame = {
+    val onTimeMaxTs = lateOnTime(events)
+      .agg(max(col("ts"))).head().getTimestamp(0) // bounded: 1 scalar
+    events.filter(col("event_id") % 11 === 0)
+      .unionByName(events.filter(col("event_id") % 17 === 3)
+        .withColumn("ts", lit(onTimeMaxTs)))
+  }
+
+  /** The rows a 2-h-watermarked 1-h tumbling aggregation admits when
+    * [[lateArrivals]] replays after [[lateOnTime]] — Spark's exact
+    * arithmetic: wm_µs = (floor(max_on_time_µs / 1000) − 7 200 000) ×
+    * 1000; a late row survives iff its window end (exclusive) exceeds
+    * wm. */
+  def lateSurvivors(events: DataFrame): DataFrame = {
+    val a = lateOnTime(events)
+    val maxUs = a.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = (maxUs / 1000L - 7200000L) * 1000L
+    a.unionByName(lateArrivals(events)
+      .filter((expr("unix_micros(ts) div 3600000000") + 1L) * 3600000000L
+        > wmUs))
+  }
 
   /** Custom arbitrary state: per-user running totals via
     * flatMapGroupsWithState — the escape hatch for stateful logic the

@@ -309,7 +309,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // (≤50 probe vectors)) — the s01 class — and its BM25 leg rides
       // c15's whitelisted 1-row corpus-stats crossJoin; s20's
       // shortlist build is the same s01-class probe crossJoin
-      "s18_hybrid_rrf", "s20_mmr_diversify")
+      "s18_hybrid_rrf", "s20_mmr_diversify",
+      // st07 attaches its 1-row late-kept/dropped accounting via
+      // explicit broadcast crossJoin — bounded by construction, the
+      // c06 class
+      "st07_late_data_drop")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans CartesianProduct")

@@ -92,6 +92,122 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Land a one-file parquet batch into a feed dir with an explicit
+    * mtime — the file source replays feed files oldest-mtime-first,
+    * one per trigger, so mtime order IS trigger order. */
+  private def landBatch(dir: String, df: org.apache.spark.sql.DataFrame,
+      name: String, mtime: Long): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir/_stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.globStatus(new Path(s"$tmp/part-*.parquet")).head.getPath
+    val dst = new Path(s"$dir/$name.parquet")
+    fs.rename(part, dst)
+    fs.delete(new Path(tmp), true)
+    fs.setTimes(dst, mtime, -1)
+  }
+
+  /** Write the three-trigger late-arrival feed: trigger 1 = the
+    * on-time rows (full ts span — advances the watermark), trigger 2
+    * = the on-time nudge (the late filter runs one batch behind the
+    * eviction watermark since Spark 3.4, so the advance needs a batch
+    * to take effect), trigger 3 = the late set, filtered against
+    * (max on-time ts − 2 h). Returns the feed dir. */
+  private def writeLateFeed(): String = {
+    val events = Tables.events(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_feed").toString
+    landBatch(dir, EventStreams.lateMain(events), "0_main", 1000000L)
+    landBatch(dir, EventStreams.lateNudge(events), "1_nudge", 2000000L)
+    landBatch(dir, EventStreams.lateArrivals(events), "2_late", 3000000L)
+    dir
+  }
+
+  test("watermark DROPS late rows: a two-trigger out-of-order replay equals " +
+      "the drop model, not the full input (fails if withWatermark is removed)") {
+    // The r13 verdict finding: every watermark test streamed the
+    // fixture in exact ts order, so nothing was ever late and the
+    // suite stayed green with the watermark deleted. This feed makes
+    // the watermark load-bearing: trigger 1 spans the whole ts range
+    // (advancing the watermark to max−2h), trigger 2 is the nudge
+    // that turns the advance into the late filter (the filter runs
+    // one batch behind eviction), trigger 3 replays rows below it.
+    // In update mode the aggregation must admit exactly the
+    // lateSurvivors model — with the watermark removed every late row
+    // would be counted and BOTH asserts below fail.
+    val events = Tables.events(s, d)
+    val dir = writeLateFeed()
+    val q = EventStreams.tumblingCountsStreaming(EventStreams.readEventFeed(s, dir))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("late_tumbling_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // update-mode sink appends one row per updated key per batch;
+      // counts only grow, so max per key is the final value
+      val got = s.table("late_tumbling_out")
+        .groupBy("window_start", "event_type")
+        .agg(max(struct(col("n_events"), col("sum_value"))).as("f"))
+        .select(col("window_start"), col("event_type"),
+          col("f.n_events"), col("f.sum_value"))
+        .orderBy("window_start", "event_type").collect()
+      val model = EventStreams.tumblingCounts(EventStreams.lateSurvivors(events))
+        .orderBy("window_start", "event_type").collect()
+      assert(got.map(_.toSeq).toSeq === model.map(_.toSeq).toSeq,
+        "stream diverged from the µs-exact watermark drop model")
+      // and the drop is REAL: the no-drop aggregation (all rows kept)
+      // differs from what the stream produced
+      val noDrop = EventStreams.tumblingCounts(
+          EventStreams.lateOnTime(events)
+            .unionByName(EventStreams.lateArrivals(events)))
+        .orderBy("window_start", "event_type").collect()
+      assert(got.map(_.toSeq).toSeq !== noDrop.map(_.toSeq).toSeq,
+        "feed produced no droppable late rows — the test is vacuous")
+      // both sides of the boundary are exercised at every SF
+      val kept = EventStreams.lateSurvivors(events).count() -
+        EventStreams.lateOnTime(events).count()
+      val dropped = EventStreams.lateArrivals(events).count() - kept
+      assert(kept > 0, "no late row was admitted — keep side untested")
+      assert(dropped > 0, "no late row was dropped — drop side untested")
+    } finally q.stop()
+  }
+
+  test("watermarked stream dedup DROPS late duplicate rows instead of " +
+      "re-emitting them after state eviction") {
+    // Trigger 1 delivers every event (watermark advances to max−2h);
+    // trigger 2 is a nudge (a duplicate of the max-ts row — dedup
+    // suppresses it against live state) that turns the advance into
+    // the late filter; trigger 3 replays exact duplicates of rows
+    // ≥4h older than the max ts — below the late-filter watermark AND
+    // beyond state eviction. The late filter must drop them at the
+    // door: output cardinality stays at the original count. Without
+    // the watermark the dedup operator does not even analyze
+    // (dropDuplicatesWithinWatermark requires one), and a dedup that
+    // only evicted state without late-filtering would RE-EMIT the
+    // evicted-key duplicates — both failure modes break the count.
+    val events = Tables.events(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_dup").toString
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val lateDups = events.filter(
+      col("ts") <= lit(maxTs) - expr("INTERVAL 4 HOURS"))
+    assert(lateDups.count() > 0, "fixture has no rows ≥4h before max ts")
+    landBatch(dir, events, "0_all", 1000000L)
+    landBatch(dir, events.filter(col("ts") === lit(maxTs)), "1_nudge", 2000000L)
+    landBatch(dir, lateDups, "2_dups", 3000000L)
+    val q = EventStreams.dedupedStream(EventStreams.readEventFeed(s, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val total = events.count()
+      assert(s.table("late_dedup_out").count() === total,
+        "late duplicates were re-emitted (or on-time rows were lost)")
+      assert(s.table("late_dedup_out").select("event_id").distinct().count()
+        === total)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates with bounded state") {
     // Self-union doubles every event; dedup must restore the original
     // cardinality (all fixture events fall inside one watermark span).
