@@ -290,9 +290,11 @@ object SnapshotLog {
       (if (m.ts > 0L) Seq(s"ts:${m.ts}") else Nil) ++
       m.schema.map(js => s"schema:$js").toSeq ++
       m.files.map { case (p, l) => s"f:$p\t$l" } ++
-      // stats only for files this manifest names (sorted: render is
-      // deterministic so identical commits are byte-identical)
-      m.files.flatMap { case (p, _) =>
+      // stats only for files this manifest names — data AND mutation
+      // files (merge proves disjointness from mutation-file ranges);
+      // emission follows the manifest's own file order, so render is
+      // deterministic and identical commits are byte-identical
+      (m.files ++ m.deletes ++ m.updates ++ m.patches).flatMap { case (p, _) =>
         m.stats.get(p).map { case (mn, mx) => s"s:$p\t$mn\t$mx" } } ++
       m.files.flatMap { case (p, _) =>
         m.ndv.get(p).map(b64 => s"n:$p\t$b64") } ++
@@ -610,6 +612,29 @@ object SnapshotLog {
     * gets the next commit's SEQUENCE, so it beats any earlier update
     * file on the same key (and loses to a later one) — the Iceberg
     * sequence-number contract. */
+  /** Min/max of an integral key column over one just-written mutation
+    * file — the `s:` range a merge uses to prove two sides touched
+    * disjoint keys. One footer + one tiny file scan (mutation files
+    * are batch-sized by construction). None for empty files or
+    * non-integral keys (a failed cast nulls out) — callers simply
+    * record no range. */
+  private def keyRange(s: SparkSession, path: String,
+      key: String): Option[(Long, Long)] = {
+    val r = s.read.parquet(path)
+      .agg(min(col(key).cast(LongType)), max(col(key).cast(LongType))).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) None
+    else Some((r.getLong(0), r.getLong(1)))
+  }
+
+  /** `stats` entries for freshly-written mutation files: each file's
+    * key range, keyed by its path — riding the same manifest `s:`
+    * lines as data-file ranges (memory: stats that belong to a
+    * snapshot ride the manifest). Advisory like all stats; [[merge]]
+    * is the consumer. */
+  private def mutationStats(s: SparkSession, files: Seq[(String, Long)],
+      key: String): Map[String, (Long, Long)] =
+    files.flatMap { case (p, _) => keyRange(s, p, key).map(p -> _) }.toMap
+
   def deleteMor(s: SparkSession, table: String, keys: DataFrame,
       key: String): Long = {
     val cur = currentVersion(s, table)
@@ -622,9 +647,10 @@ object SnapshotLog {
     // (post-delete the blob NDV is an upper bound until compaction —
     // advisory metadata, like stats under MOR); updates, patches,
     // seqs and the persisted schema carry too (the i25/r11
-    // carry-forward lesson)
+    // carry-forward lesson). The delete file itself contributes its
+    // key range so a later merge can prove disjointness.
     commit(s, table, "mor-delete", m.files, Some(cur),
-      m.stats, m.deletes ++ df, m.ndv,
+      m.stats ++ mutationStats(s, df, key), m.deletes ++ df, m.ndv,
       updates = m.updates, seqs = m.seqs ++ df.map(_._1 -> nextSeq(m, cur)),
       schema = m.schema, patches = m.patches)
   }
@@ -696,9 +722,10 @@ object SnapshotLog {
     val uf = dataFiles(s, dir)
     // data files untouched: stats/ndv carry (advisory under MOR —
     // updated rows may drift outside a file's recorded range only if
-    // the update REKEYS, which equality updates by definition do not)
+    // the update REKEYS, which equality updates by definition do not);
+    // the update file contributes its own key range for merge
     commit(s, table, op, m.files, Some(cur),
-      m.stats, m.deletes, m.ndv,
+      m.stats ++ mutationStats(s, uf, key), m.deletes, m.ndv,
       updates = m.updates ++ uf, seqs = m.seqs ++ uf.map(_._1 -> nextSeq(m, cur)),
       schema = m.schema, patches = m.patches)
   }
@@ -839,7 +866,7 @@ object SnapshotLog {
       .coalesce(1).write.parquet(dir)
     val pf = dataFiles(s, dir)
     commit(s, table, op, m.files, Some(cur),
-      m.stats, m.deletes, m.ndv,
+      m.stats ++ mutationStats(s, pf, key), m.deletes, m.ndv,
       updates = m.updates, seqs = m.seqs ++ pf.map(_._1 -> nextSeq(m, cur)),
       schema = m.schema, patches = m.patches ++ pf)
   }
@@ -1203,6 +1230,95 @@ object SnapshotLog {
       patches = bm.patches)
     writeBranchBase(s, table, name, ffv)
     ffv
+  }
+
+  /** Three-way MERGE of branch `name` into a DIVERGED parent (i30) —
+    * the case [[fastForward]] refuses. The branch's new MOR mutation
+    * files replay onto the parent's head when the two sides provably
+    * touched DISJOINT key ranges; otherwise [[SnapshotConflict]]
+    * (rebase: cut a fresh branch and replay). The proof is metadata:
+    * every MOR writer records its mutation file's key range as a
+    * manifest `s:` stat, so the conflict check is an O(changed-files²)
+    * driver loop over ranges — zero data IO on the stats path (legacy
+    * stat-less files fall back to one tiny per-file scan). The replay
+    * is also metadata-only: the branch's new delete/update/patch
+    * files are added to the parent head's manifest verbatim (no file
+    * rewrite), RE-SEQUENCED above the parent's highest sequence in
+    * branch-commit order, so latest-wins stays correct on both sides
+    * — cross-side order is immaterial precisely because the ranges
+    * are disjoint. One commit, one manifest; at 100 TB a merge costs
+    * the same as any MOR commit.
+    *
+    * Scope guards (each refused with SnapshotConflict, not silently
+    * mis-merged): both sides' DATA files and persisted schema must be
+    * unchanged since the cut — a compaction, CDC apply or schema
+    * evolution on either side folds or re-types state the replay
+    * cannot reason about. Idempotent: already-merged files (present
+    * on the parent) are skipped; a re-call with nothing new returns
+    * the current version and commits nothing. A merged branch is
+    * CONSUMED: the base pointer deliberately does not advance, so a
+    * later fastForward of the same branch refuses instead of
+    * clobbering the parent's divergent history. */
+  def merge(s: SparkSession, table: String, name: String, key: String): Long = {
+    val bt = branchPath(table, name)
+    val bv = currentVersion(s, bt)
+    require(bv >= 1, s"no branch $name on $table")
+    val bm = readManifest(s, bt, bv).getOrElse(
+      throw new IllegalStateException(s"branch $name head v$bv unreadable"))
+    val base = branchBase(s, table, name)
+    val cur = currentVersion(s, table)
+    if (cur == base) return fastForward(s, table, name) // degenerate merge
+    val cm = readManifest(s, table, cur).getOrElse(
+      throw new IllegalStateException(s"parent head v$cur unreadable"))
+    val baseM = readManifest(s, table, base).getOrElse(
+      throw new IllegalStateException(
+        s"branch base v$base of $table unreadable — expired without its " +
+          "branch tag pin?"))
+    if (bm.files != baseM.files) throw new SnapshotConflict(
+      s"branch $name rewrote data files since the cut (compaction/CDC " +
+        "apply); merge replays mutation-only branches — fold differently " +
+        "or cut a fresh branch")
+    if (cm.files != baseM.files) throw new SnapshotConflict(
+      s"$table rewrote data files since branch $name was cut; the branch's " +
+        "mutations may target folded state — cut a fresh branch from " +
+        s"v$cur and replay")
+    if (bm.schema != baseM.schema || cm.schema != baseM.schema)
+      throw new SnapshotConflict(
+        s"schema diverged since branch $name was cut; merge refuses to " +
+          "re-type mutation state")
+    val baseRefs = refFiles(baseM).map(_._1).toSet
+    val curRefs = refFiles(cm).map(_._1).toSet
+    def freshOnBranch(entries: Seq[(String, Long)]) =
+      entries.filterNot(e => baseRefs(e._1) || curRefs(e._1))
+    val newDel = freshOnBranch(bm.deletes)
+    val newUpd = freshOnBranch(bm.updates)
+    val newPat = freshOnBranch(bm.patches)
+    val branchNew = newDel ++ newUpd ++ newPat
+    if (branchNew.isEmpty) return cur // nothing new / already merged
+    val mainNew = refFiles(cm).filterNot(e => baseRefs(e._1))
+    def range(m: Manifest, p: String): (Long, Long) =
+      m.stats.getOrElse(p, keyRange(s, p, key).getOrElse(
+        throw new SnapshotConflict(
+          s"no key range derivable for $p (empty file or non-integral " +
+            "key) — cannot prove disjointness, merge refused")))
+    val bRanges = branchNew.map(e => e._1 -> range(bm, e._1))
+    val mRanges = mainNew.map(e => e._1 -> range(cm, e._1))
+    for ((bp, (bmn, bmx)) <- bRanges; (mp, (mmn, mmx)) <- mRanges)
+      if (bmn <= mmx && mmn <= bmx) throw new SnapshotConflict(
+        s"merge of branch $name touches keys the parent also touched: " +
+          s"branch file $bp [$bmn,$bmx] overlaps parent file $mp " +
+          s"[$mmn,$mmx] — rebase required")
+    // replay: branch-relative mutation order preserved, re-sequenced
+    // above every sequence the parent has ever assigned
+    val ordered = branchNew.sortBy(e => bm.seqs.getOrElse(e._1, 0L))
+    var seq = nextSeq(cm, cur)
+    val newSeqs = ordered.map { e =>
+      val q = seq; seq += 1; e._1 -> q }.toMap
+    commit(s, table, s"merge-$name", cm.files, Some(cur),
+      cm.stats ++ bRanges.toMap, cm.deletes ++ newDel, cm.ndv,
+      updates = cm.updates ++ newUpd,
+      seqs = cm.seqs ++ newSeqs,
+      schema = cm.schema, patches = cm.patches ++ newPat)
   }
 
   /** Expire all snapshots except the newest `keepLast`: delete their
@@ -2163,6 +2279,69 @@ object SnapshotLog {
       val ok = isolated && ffv == 2L && staleRefused && expireRefused && pinned
       statusRollup(readMor(s, table, ffv, "o_orderkey"))
         .withColumn("branch_ok", lit(if (ok) 1L else 0L))
+    }),
+
+    // i30: THREE-WAY BRANCH MERGE WITH CONFLICT DETECTION — the case
+    // i29's fast-forward refuses: parent AND branch both moved since
+    // the cut. The branch fixes LOW keys (< 750: a MOR delete then a
+    // MOR upsert) while main independently fixes HIGH keys (≥ 750) —
+    // the manifest-carried key ranges prove the two sides disjoint,
+    // so merge() replays the branch's mutation files onto main's head
+    // re-sequenced above main's history, one metadata-only commit.
+    // merge_ok pins the contract: the merged version number, replay
+    // idempotence (a re-merge commits nothing), overlap REFUSAL (a
+    // second branch touching main's high keys is thrown out with
+    // SnapshotConflict, main unmoved), and consumed-branch safety (a
+    // post-merge fastForward of the merged branch refuses rather than
+    // clobbering main's divergent history). The rollup reads main's
+    // merged head — a replay that dropped a mutation file, inverted a
+    // sequence, or let one side's keys leak into the other moves
+    // every checksum. At 100 TB: the conflict proof is a driver loop
+    // over manifest ranges and the merge is one manifest write — no
+    // data IO at any table size.
+    "i30_branch_merge" -> ((s, d) => {
+      val table = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.LocalScratch.scratchDir),
+        "graft_i30_table").toString
+      graft.streaming.CdcStream.seedTarget(s, table, Tables.orders(s, d),
+        "o_orderkey")
+      val orders = Tables.orders(s, d)
+      val low = col("o_orderkey") < 750
+      val bt = branch(s, table, "fix", 1L)
+      deleteMor(s, bt,
+        orders.filter(low && col("o_orderkey") % 31 === 0).select("o_orderkey"),
+        "o_orderkey")
+      updateMor(s, bt,
+        orders.filter(low && col("o_orderkey") % 17 === 0)
+          .select(col("o_orderkey"), lit("BR").as("o_orderstatus"),
+            (col("o_totalprice") + lit(75.0)).as("o_totalprice")),
+        "o_orderkey")
+      deleteMor(s, table,
+        orders.filter(!low && col("o_orderkey") % 29 === 0).select("o_orderkey"),
+        "o_orderkey")
+      updateMor(s, table,
+        orders.filter(!low && col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"), lit("BM").as("o_orderstatus"),
+            (col("o_totalprice") + lit(50.0)).as("o_totalprice")),
+        "o_orderkey")
+      val ffRefused = scala.util.Try(fastForward(s, table, "fix")).isFailure
+      val mv = merge(s, table, "fix", "o_orderkey")
+      val remerge = merge(s, table, "fix", "o_orderkey") // idempotent
+      val consumed = scala.util.Try(fastForward(s, table, "fix")).isFailure
+      val bt2 = branch(s, table, "clash", mv)
+      deleteMor(s, bt2,
+        orders.filter(!low && col("o_orderkey") % 23 === 0).select("o_orderkey"),
+        "o_orderkey")
+      deleteMor(s, table,
+        orders.filter(!low && col("o_orderkey") % 19 === 0).select("o_orderkey"),
+        "o_orderkey")
+      val preClash = currentVersion(s, table)
+      val clashRefused = scala.util.Try(
+        merge(s, table, "clash", "o_orderkey")).isFailure
+      val ok = ffRefused && mv == 4L && remerge == mv && consumed &&
+        clashRefused && currentVersion(s, table) == preClash
+      statusRollup(readMor(s, table, mv, "o_orderkey"))
+        .withColumn("merge_ok", lit(if (ok) 1L else 0L))
     })
   )
 
@@ -2325,6 +2504,28 @@ object SnapshotLog {
       SELECT o_orderstatus, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
         CAST(1 AS BIGINT) AS branch_ok
+      FROM f GROUP BY 1 ORDER BY o_orderstatus""",
+
+    // i30: the merged head = branch's low-key fixes + main's high-key
+    // fixes, each side's later upsert re-inserting its own deleted
+    // overlap (sequence order preserved through the re-sequenced
+    // replay); merge_ok replays as the pinned lifecycle constant
+    "i30_branch_merge" -> """
+      WITH f AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE (o_orderkey < 750
+               AND o_orderkey % 31 <> 0 AND o_orderkey % 17 <> 0)
+           OR (o_orderkey >= 750
+               AND o_orderkey % 29 <> 0 AND o_orderkey % 13 <> 0)
+        UNION ALL
+        SELECT 'BR', o_totalprice + 75.0 FROM orders
+        WHERE o_orderkey < 750 AND o_orderkey % 17 = 0
+        UNION ALL
+        SELECT 'BM', o_totalprice + 50.0 FROM orders
+        WHERE o_orderkey >= 750 AND o_orderkey % 13 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(1 AS BIGINT) AS merge_ok
       FROM f GROUP BY 1 ORDER BY o_orderstatus""",
 
     // i19: read-after-restore ≡ the untouched base table; restored_ok

@@ -636,6 +636,79 @@ class SnapshotLogSpec extends AnyFunSuite {
       SnapshotLog.currentVersion(s, table), "o_orderkey").count() > 0)
   }
 
+  test("merge: disjoint-range branch mutations replay onto a diverged " +
+      "parent; overlapping ranges refuse; merged files survive expire") {
+    val table = freshTable()
+    seed(table, 0)
+    val base = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+    val low = col("o_orderkey") < 750
+    val bt = SnapshotLog.branch(s, table, "m", 1L)
+    // branch deletes LOW keys, parent updates HIGH keys — provably
+    // disjoint through the mutation files' manifest-carried ranges
+    SnapshotLog.deleteMor(s, bt,
+      base.filter(low && col("o_orderkey") % 21 === 0).select("o_orderkey"),
+      "o_orderkey")
+    SnapshotLog.updateMor(s, table,
+      base.filter(!low && col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey"), lit("HI").as("o_orderpriority")),
+      "o_orderkey")
+    // diverged: fast-forward refuses, merge lands
+    intercept[SnapshotLog.SnapshotConflict] {
+      SnapshotLog.fastForward(s, table, "m")
+    }
+    val mv = SnapshotLog.merge(s, table, "m", "o_orderkey")
+    val mm = SnapshotLog.readManifest(s, table, mv).get
+    // the branch's delete file rides the merged manifest with a
+    // sequence ABOVE the parent's update (2 = parent update, 3 =
+    // replayed delete), and its key range entered the parent's stats
+    assert(mm.deletes.size === 1)
+    val (delFile, _) = mm.deletes.head
+    assert(mm.seqs(delFile) === 3L,
+      s"replayed delete not re-sequenced above parent history: ${mm.seqs}")
+    assert(mm.stats.contains(delFile), "merged mutation file lost its range")
+    val merged = SnapshotLog.readMor(s, table, mv, "o_orderkey")
+    assert(merged.filter(low && col("o_orderkey") % 21 === 0).count() === 0L,
+      "merge dropped the branch's delete")
+    assert(merged.filter(col("o_orderpriority") === "HI").count() ===
+      base.filter(!low && col("o_orderkey") % 14 === 0).count(),
+      "merge lost the parent's divergent update")
+    // re-merge: idempotent, no new version
+    assert(SnapshotLog.merge(s, table, "m", "o_orderkey") === mv)
+    assert(SnapshotLog.currentVersion(s, table) === mv)
+    // overlap: a second branch touching the parent's HIGH keys refuses
+    val bt2 = SnapshotLog.branch(s, table, "clash", mv)
+    SnapshotLog.deleteMor(s, bt2,
+      base.filter(!low && col("o_orderkey") % 28 === 0).select("o_orderkey"),
+      "o_orderkey")
+    SnapshotLog.updateMor(s, table,
+      base.filter(!low && col("o_orderkey") % 35 === 0)
+        .select(col("o_orderkey"), lit("HI2").as("o_orderpriority")),
+      "o_orderkey")
+    val preClash = SnapshotLog.currentVersion(s, table)
+    intercept[SnapshotLog.SnapshotConflict] {
+      SnapshotLog.merge(s, table, "clash", "o_orderkey")
+    }
+    assert(SnapshotLog.currentVersion(s, table) === preClash,
+      "refused merge still committed")
+    // a parent-side data rewrite (compaction) makes any later merge
+    // refuse — the branch's mutations may target folded state
+    SnapshotLog.compactMor(s, table, "o_orderkey")
+    intercept[SnapshotLog.SnapshotConflict] {
+      SnapshotLog.merge(s, table, "clash", "o_orderkey")
+    }
+    // expire on the parent keeps the merged-in branch-dir file alive:
+    // it is referenced through refFiles of a LIVE parent manifest
+    // (here the pre-compaction head is expired, so only refFiles
+    // protects it for time-travel reads of mv... after compaction the
+    // head no longer references it; the _branches/ exclusion keeps it
+    // for the branch itself)
+    SnapshotLog.expire(s, table, keepLast = 1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(delFile)),
+      "expire reclaimed a branch-dir mutation file out from under the branch")
+  }
+
   test("MOR partial-column patches: per-column sequence coalesce, " +
       "patch-never-inserts, cleanup paths count patch files as referenced") {
     val table = freshTable()
