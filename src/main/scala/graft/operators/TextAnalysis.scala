@@ -255,12 +255,13 @@ object TextAnalysis {
 
     // t10: tokenizer APPLY — the subword-vocab application pass every
     // LLM pipeline runs to size its corpus (per-doc token count, OOV
-    // rate) under a trained vocab. The merge table is trained from
-    // the corpus itself, deterministically: the top-50 whitespace
-    // words (len ≥ 3) by frequency, ties broken by word. Apply =
-    // greedy longest-prefix match per word with single-char fallback,
-    // each fallback counting as one OOV token — the WordPiece
-    // greedy-match shape.
+    // rate) under a trained vocab. The vocab is the REAL trained
+    // merge table: the 10 subword symbols t17's iterative BPE loop
+    // produces (r13 verdict item 5 — previously a frequency-ranked
+    // word list no actual BPE emits). Apply = greedy longest-prefix
+    // match per word with single-char fallback, each fallback
+    // counting as one OOV token — the WordPiece greedy-match shape
+    // over BPE-trained symbols.
     //
     // Scale shape: segmentation runs once per DISTINCT word (Heaps'-
     // law bounded — the distinct-word table grows ~√corpus, not with
@@ -280,15 +281,13 @@ object TextAnalysis {
           explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      // trained merge table: bounded driver-side read (50 rows — the
-      // a06 sketch-consumption class), broadcast to every executor.
-      // Longest-first order makes the FIRST prefix hit the longest
-      // (two same-length distinct strings can't both prefix one rest).
-      val vocab = wc.filter(length(col("word")) >= 3)
-        .groupBy("word").agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("word")).limit(50)
-        .select("word").as[String].collect()
-        .sortBy(t => (-t.length, t))
+      // trained merge table: the 10 BPE symbols from t17's trainer
+      // (bounded driver list — the a06 class), broadcast to every
+      // executor. Longest-first order makes the FIRST prefix hit the
+      // longest (two same-length distinct strings can't both prefix
+      // one rest).
+      val vocab = bpeMerges(s, d).map(_._2.replace(" ", "")).distinct
+        .sortBy(t => (-t.length, t)).toArray
       val bc = s.sparkContext.broadcast(vocab)
       val seg = wc.select("word").distinct().as[String]
         .mapPartitions { it =>
@@ -618,8 +617,85 @@ object TextAnalysis {
       fit(heapsPts, "heaps_trigram")
         .unionByName(fit(zipfPts, "zipf_unigram"))
         .orderBy("metric")
+    }),
+
+    // t17: ITERATIVE BPE TRAINER (r13 verdict item 5) — the real
+    // Sennrich loop, not one round's statistic: 10 unrolled merge
+    // rounds (the s20 constant-N greedy precedent), each taking the
+    // weighted argmax adjacent-symbol pair over the Heaps-bounded
+    // distinct-word table, rewriting every word's symbol sequence,
+    // and recounting — t12 is exactly round 1's pair table; this is
+    // the trainer that PRODUCES a merge list (and t10 now applies
+    // it). Output: the 10 merges in training order with their counts.
+    // See [[trainBpe]] for the shape and the cross-engine rewrite
+    // convention; the DuckDB oracle replays all 10 rounds as an
+    // unrolled CTE chain (the t10 recursive-CTE convention), argmax
+    // and rewrite re-derived independently in SQL.
+    "t17_bpe_trainer" -> ((s, d) => {
+      import s.implicits._
+      bpeMerges(s, d).toDF("merge_rank", "pair", "n_pair")
+        .orderBy("merge_rank")
     })
   )
+
+  /** Memoized 10-round BPE training per fixture dir — t17 emits it,
+    * t10 applies it; one training pays for both. */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, Long)]]()
+
+  private[graft] def bpeMerges(s: SparkSession, d: String): Seq[(Long, String, Long)] =
+    bpeMemo.computeIfAbsent(d, _ => trainBpe(s, d))
+
+  /** The 10-round iterative BPE merge loop (Sennrich et al. 2016,
+    * arXiv:1508.07909 — the algorithm every LLM tokenizer pipeline
+    * trains with). State: each distinct word as a symbol sequence,
+    * encoded as a single-space-separated, space-padded string
+    * (" h e l l o "); per round the weighted pair table is one
+    * explode + hash aggregate over the distinct-word table (Heaps'
+    * law: vocabulary-sized, never token-stream-sized — the t10/t12
+    * scale argument), the argmax is a 1-row driver read (count desc,
+    * pair asc — deterministic), and the rewrite is 6 chained
+    * codegen'd `replace(s, " a b ", " ab ")` passes. SIX because one
+    * leftmost-resume pass misses every other occurrence in an
+    * overlapping chain ("a b a b": the match consumes the next
+    * occurrence's leading space); each pass at least halves the
+    * remaining chain, and fixture words are far shorter than 2^6 —
+    * the fixed count keeps the computation engine-replayable (the
+    * DuckDB oracle applies the same 6 passes, so both engines reach
+    * the same fixed point by the same route). The per-round
+    * `.truncated` keeps the 10-round plan flat instead of 60 nested
+    * replaces deep. At 100 TB the pair table and rewrite shuffle the
+    * vocabulary, not the corpus: the corpus is scanned ONCE to build
+    * word counts. */
+  private def trainBpe(s: SparkSession, d: String): Seq[(Long, String, Long)] = {
+    import graft.Checkpoint.TruncateOps
+    val wn = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    var syms = wn.withColumn("s",
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))).truncated
+    val out = Seq.newBuilder[(Long, String, Long)]
+    for (k <- 1 to 10) {
+      val nPairs = size(col("arr")) - 1
+      val best = syms
+        .withColumn("arr", split(trim(col("s")), " "))
+        .select(col("n"), explode(arrays_zip(
+          slice(col("arr"), lit(1), nPairs),
+          slice(col("arr"), lit(2), nPairs))).as("p"))
+        .select(col("n"),
+          concat(col("p.0"), lit(" "), col("p.1")).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("np"))
+        .orderBy(col("np").desc, col("pair")).limit(1).head()
+      val pair = best.getString(0)
+      out += ((k.toLong, pair, best.getLong(1)))
+      var c: Column = col("s")
+      for (_ <- 1 to 6)
+        c = replace(c, lit(s" $pair "), lit(s" ${pair.replace(" ", "")} "))
+      syms = syms.withColumn("s", c).truncated
+    }
+    out.result()
+  }
 
   /** Per-doc mean bigram log-probability (the t08 body, unsorted —
     * shared by t08 and the t09 quality filter).
@@ -665,6 +741,33 @@ object TextAnalysis {
     }.mkString(", ")
     val zhScoreCol = ZhMarkers.map(m =>
       s"(length(text) - length(replace(text, '$m', '')))").mkString(" + ")
+    // t17's unrolled replay: 10 rounds of (adjacent-pair count →
+    // argmax → 6-pass padded-string rewrite), each round its own CTE
+    // trio (p/b/s), re-deriving in SQL exactly what trainBpe computes
+    // — the argmax is data-dependent, so the oracle computes it too
+    // rather than receiving literals. Assumes `wn(word, n)` in scope.
+    val bpeChain: String = {
+      def rep(e: String): String =
+        s"replace($e, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')"
+      val rounds = (1 to 10).map { k =>
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        val r6 = (1 to 6).foldLeft("t.s")((e, _) => rep(e))
+        s"""p$k AS (
+          SELECT pair, SUM(n) AS np FROM (
+            SELECT n, unnest(list_transform(range(1, len(arr)),
+              i -> arr[i] || ' ' || arr[i + 1])) AS pair
+            FROM (SELECT n, string_split(trim(s), ' ') AS arr FROM $prev))
+          GROUP BY 1),
+        b$k AS (SELECT pair, np FROM p$k ORDER BY np DESC, pair LIMIT 1),
+        s$k AS (SELECT t.word, t.n, $r6 AS s FROM $prev t, b$k b)"""
+      }.mkString(",\n        ")
+      s"""s0 AS (SELECT word, n,
+          ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM wn),
+        $rounds"""
+    }
+    val bpeRanks = (1 to 10).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, pair, " +
+        s"CAST(np AS BIGINT) AS n_pair FROM b$k").mkString("\n          UNION ALL ")
     Map(
       "t01_langid" -> s"""
         WITH t AS (
@@ -816,19 +919,22 @@ object TextAnalysis {
       // match — per step, the longest vocab prefix of `rest` (unique:
       // two distinct same-length strings can't both prefix one rest)
       // is consumed, else one char falls back as OOV; terminal rows
-      // (rest = '') carry each distinct word's segmentation
-      "t10_tokenizer_apply" -> """
+      // (rest = '') carry each distinct word's segmentation. The
+      // vocab is the 10 BPE symbols from the t17 replay chain —
+      // re-trained in SQL, not received as literals.
+      "t10_tokenizer_apply" -> s"""
         WITH RECURSIVE
         words AS (
           SELECT doc_id, w AS word FROM (
-            SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+            SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
             FROM documents)
           WHERE w <> ''),
         wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+        wn AS (SELECT word, SUM(cnt) AS n FROM wc GROUP BY 1),
+        $bpeChain,
         vocab AS (
-          SELECT word AS tok FROM (
-            SELECT word, SUM(cnt) AS n FROM wc WHERE length(word) >= 3
-            GROUP BY 1 ORDER BY n DESC, word LIMIT 50)),
+          SELECT DISTINCT replace(pair, ' ', '') AS tok FROM (
+            ${(1 to 10).map(k => s"SELECT pair FROM b$k").mkString(" UNION ALL ")})),
         dw AS (SELECT DISTINCT word FROM wc),
         r AS (
           SELECT word, word AS rest,
@@ -1034,7 +1140,21 @@ object TextAnalysis {
           ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
             ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
         FROM fz
-        ORDER BY metric"""
+        ORDER BY metric""",
+
+      // t17: the full 10-round trainer replayed as the unrolled CTE
+      // chain (argmax and 6-pass rewrite re-derived per round)
+      "t17_bpe_trainer" -> s"""
+        WITH words AS (
+          SELECT w AS word FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents)
+          WHERE w <> ''),
+        wn AS (SELECT word, COUNT(*) AS n FROM words GROUP BY 1),
+        $bpeChain
+        SELECT merge_rank, pair, n_pair FROM (
+          $bpeRanks)
+        ORDER BY merge_rank"""
     )
   }
 }

@@ -216,6 +216,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t17 BPE trainer: 10 ranked merges, argmax counts non-increasing, " +
+      "later rounds consume earlier merged symbols") {
+    val rows = TextAnalysis.queries("t17_bpe_trainer")(s, d)
+      .orderBy("merge_rank").collect()
+    assert(rows.map(_.getAs[Long]("merge_rank")).toSeq === (1L to 10L))
+    val counts = rows.map(_.getAs[Long]("n_pair"))
+    assert(counts.forall(_ > 0L))
+    // each round's argmax is bounded by the previous round's (new
+    // pairs inherit at most the merged pair's count; survivors kept
+    // theirs) — a shuffled or re-counted-from-scratch trainer breaks
+    // this
+    counts.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"argmax counts not non-increasing: $a then $b") }
+    // the loop is REALLY iterative: some later merge pairs a
+    // multi-char symbol only an earlier round can have produced —
+    // round 1 pairs are single chars by construction, so this fails
+    // if the trainer degrades to one round's statistic
+    val halves = rows.flatMap(_.getAs[String]("pair").split(" ", 2))
+    assert(halves.exists(_.length > 1),
+      s"no merge consumed an earlier merged symbol: ${rows.map(_.getString(1)).mkString(", ")}")
+  }
+
   test("t11 quality classifier: held-out AUC gate passes with headroom") {
     val r = TextAnalysis.queries("t11_quality_classifier")(s, d).head()
     assert(r.getAs[Long]("n_test") > 0L)
