@@ -133,8 +133,10 @@ object Bench {
     // (draws 6.31/5.03/4.08 at sf0.1); it builds an s01-class
     // probe-scan shortlist AND unrolls the greedy MMR re-rank over
     // it, the composite/JIT-lottery profile of every prior sweep
-    // victim (s13/d16/t15)
-    "s20_mmr_diversify")
+    // victim (s13/d16/t15); s21 re-runs exact s01 inside its recall
+    // gate — the s17/s04 queries("...")-composite class, seated at
+    // birth per the r10 rule (BenchSoloistSpec enforces)
+    "s20_mmr_diversify", "s21_ann_rebalance")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name

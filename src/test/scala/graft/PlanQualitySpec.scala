@@ -167,6 +167,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"registered s16 lost the persisted index:\n$full")
   }
 
+  test("s21: the rebalance pass and the rebalanced serving path read only " +
+      "index parquet, never base embeddings; no Lloyd training anywhere") {
+    // The maintenance contract: cell means come from the ACCUMULATED
+    // index members and re-assignment runs against the re-centered
+    // codebook — one aggregate + one assignment pass over index
+    // parquet. A plan that scans embeddings.parquet would mean the
+    // maintenance regressed to a corpus rebuild.
+    import org.apache.spark.sql.functions._
+    val rb = graft.operators.Similarity.rebalancedIndexDir(s, d)
+    val cents = TestSpark.spark.read.parquet(s"$rb/cents")
+    val cells = TestSpark.spark.read.parquet(s"$rb/cells")
+    // the un-truncated drift pipeline — the same definition
+    // driftedCentroids checkpoints — exposes the full lineage
+    val p = graft.operators.Similarity.cellDrift(cents, cells)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("embeddings.parquet"),
+      s"rebalance rescans base embeddings:\n$p")
+    assert(p.contains("graft_ivf_idx_"),
+      s"rebalance does not read the persisted index:\n$p")
+    // serving from the rebalanced index: lineage-independent fake
+    // query (the s16 pin's trick) — only index scans may remain
+    val dims = cents.select(size(col("cv"))).head().getInt(0)
+    val fakeQ = s.range(1).select(
+      (col("id") + 9100000L).as("vec_id"),
+      array((0 until dims).map(i => lit((i % 5 + 1).toDouble)): _*).as("v"))
+    val sp = graft.operators.Similarity.indexTopK(s, rb, fakeQ)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("embeddings.parquet"),
+      s"rebalanced serving path rescans base embeddings:\n$sp")
+    assert(sp.contains("graft_ivf_idx_"),
+      s"rebalanced serving path does not read the persisted index:\n$sp")
+  }
+
   test("s11 filtered search pre-filters via a broadcast HASH join on label") {
     // the label constraint must plan as an equality hash join against
     // the broadcast query set — pre-filter semantics with no
@@ -279,8 +312,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "s14_radius_search", "c17_source_prior",
       // s16 assigns the shard and the queries to the FROZEN centroids
       // via crossJoin(broadcast(16 centroid rows)) — the s03/d13
-      // class; s17 is the s04-class recall row on top of it
-      "s16_ann_incremental", "s17_incremental_recall",
+      // class; s17 is the s04-class recall row on top of it; s21
+      // probes the rebalanced codebook the same way and embeds the
+      // s01-class exact leg
+      "s16_ann_incremental", "s17_incremental_recall", "s21_ann_rebalance",
       // q54 joins three 1-row step counts on a literal key — the a05
       // two-1-row-aggregates class
       "q54_event_funnel",
