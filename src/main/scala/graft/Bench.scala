@@ -135,8 +135,11 @@ object Bench {
     // it, the composite/JIT-lottery profile of every prior sweep
     // victim (s13/d16/t15); s21 re-runs exact s01 inside its recall
     // gate — the s17/s04 queries("...")-composite class, seated at
-    // birth per the r10 rule (BenchSoloistSpec enforces)
-    "s20_mmr_diversify", "s21_ann_rebalance")
+    // birth per the r10 rule (BenchSoloistSpec enforces); m09 runs
+    // the whole m08 per-byte-position chunker AND lands two
+    // SnapshotLog tables inside its timing — the m08 explode class
+    // plus write-path weight, seated at birth
+    "s20_mmr_diversify", "s21_ann_rebalance", "m09_chunk_store")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name
