@@ -50,6 +50,41 @@ object Tables {
     }
   }
 
+  /** Fan a too-few-splits table out to the session's parallelism.
+    *
+    * The text/embedding operators put their heaviest work — gram
+    * explodes, per-position digests, cosine scans — on the MAP side of
+    * their first exchange, so their parallelism is the SCAN's split
+    * count. Spark packs files into splits of
+    * min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism)),
+    * which floors at openCost (4 MB default): a sub-4-MB table arrives
+    * as ONE split and serializes every per-row digest/explode on a
+    * single core (measured: t15's whole 2.7 M-bigram build ran as a
+    * 1-task 6.3 s stage while 31 cores idled). Fan out ONLY when the
+    * natural split count cannot fill the cores; a table that already
+    * scans at session parallelism passes through untouched — at
+    * 100 TB the repartition branch never fires, because adding a full
+    * shuffle of a large table to "gain" parallelism it already has
+    * would be pure loss (guide §2.4). Hash-keyed, not round-robin:
+    * deterministic row→partition assignment under task retries
+    * (SPARK-38388 class), and no sort-before-repartition pass. */
+  private def fannedOut(s: SparkSession, d: String, name: String,
+      key: String): DataFrame = {
+    val df = table(s, d, name)
+    val cores = s.sparkContext.defaultParallelism
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Exception => Long.MaxValue } // unknowable → assume big
+    val splitBytes = math.min(conf.filesMaxPartitionBytes,
+      math.max(conf.filesOpenCostInBytes, bytes / math.max(1, cores)))
+    val estSplits = math.max(1L, (bytes + splitBytes - 1) / splitBytes)
+    if (estSplits < cores) df.repartition(cores, col(key)) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
@@ -58,6 +93,8 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame    = eventsNormalized(s, d)
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    fannedOut(s, d, "documents", "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fannedOut(s, d, "embeddings", "vec_id")
 }

@@ -1048,8 +1048,17 @@ object Similarity {
           md5(concat(lit(s"s19:$p:"), col("dim").cast(StringType))), 1, 1)
         when(hex1.isin((0 to 7).map(_.toString): _*), 1L).otherwise(-1L)
       }
-      val projs = (0 until 16).map(p => sum(col("q") * sign(p)).as(s"proj$p"))
-      val bits = rows.groupBy("vec_id").agg(projs.head, projs.tail: _*)
+      // the sign depends only on (plane, dim): evaluate the 16 md5s on
+      // the dims-sized distinct relation and broadcast it back, instead
+      // of 16 md5 digests per exploded (vec_id, dim) row — the md5 cost
+      // drops from O(vectors × dims × 16) to O(dims × 16)
+      val dimSigns = rows.select(col("dim")).distinct()
+        .select(col("dim") +:
+          (0 until 16).map(p => sign(p).as(s"sgn$p")): _*)
+      val projs = (0 until 16).map(p =>
+        sum(col("q") * col(s"sgn$p")).as(s"proj$p"))
+      val bits = rows.join(broadcast(dimSigns), Seq("dim"))
+        .groupBy("vec_id").agg(projs.head, projs.tail: _*)
         .select(col("vec_id") +: (0 until 16).map(p =>
           when(col(s"proj$p") >= 0, lit("1")).otherwise(lit("0"))
             .as(s"bit$p")): _*)
@@ -1111,8 +1120,15 @@ object Similarity {
           .agg(max(struct(col("__sc"), (-col("doc_id")).as("nd"))).as("w"))
           .select(col("q_id"), (-col("w.nd")).as("doc_id"),
             col("w.__sc").as("score"))
+      // EVERY step is lineage-cut: step k's `selected` references all
+      // earlier steps, and each earlier step references the ones before
+      // it — un-truncated, the executed plan embeds ~2^k argmax
+      // subtrees (s1 alone re-ran 16 times; the explained plan was
+      // 509 KB with 644 Exchanges). The cut keeps each ≤10-row step a
+      // shared LogicalRDD computed once; lazy, so the blocks pin inside
+      // the final action's own job — no dedicated per-step job.
       val s1 = argmax(short.select(col("q_id"), col("doc_id"), col("rel")),
-        col("rel"))
+        col("rel")).truncatedLazy
       val steps = (2 to 5).foldLeft(Seq(s1)) { (acc, _) =>
         val selected = acc.map(_.select(col("q_id"), col("doc_id")))
           .reduce(_.unionByName(_))
@@ -1125,7 +1141,7 @@ object Similarity {
         val cand = short.select(col("q_id"), col("doc_id"), col("rel"))
           .join(selected, Seq("q_id", "doc_id"), "left_anti")
           .join(ms, Seq("q_id", "doc_id"))
-        acc :+ argmax(cand, col("rel") * 0.7 - col("ms") * 0.3)
+        acc :+ argmax(cand, col("rel") * 0.7 - col("ms") * 0.3).truncatedLazy
       }
       steps.zipWithIndex.map { case (df, i) =>
         df.select(col("q_id"), lit(i + 1).as("rk"), col("doc_id"),

@@ -638,13 +638,14 @@ object TextAnalysis {
     })
   )
 
-  /** Memoized 10-round BPE training per fixture dir — t17 emits it,
-    * t10 applies it; one training pays for both. */
-  private val bpeMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, Long)]]()
-
+  /** 10-round BPE training per call — t17 emits it, t10 applies it.
+    * Deliberately NOT memoized: a module-level result cache keyed on
+    * the fixture dir would make repeat bench draws (and any second
+    * caller in one JVM) measure a map lookup instead of the
+    * computation — every invocation must compute from the parquet
+    * inputs. */
   private[graft] def bpeMerges(s: SparkSession, d: String): Seq[(Long, String, Long)] =
-    bpeMemo.computeIfAbsent(d, _ => trainBpe(s, d))
+    trainBpe(s, d)
 
   /** The 10-round iterative BPE merge loop (Sennrich et al. 2016,
     * arXiv:1508.07909 — the algorithm every LLM tokenizer pipeline

@@ -336,13 +336,17 @@ object Upsert {
         orders.filter(col("o_custkey") % 31 === 0).select("o_orderkey"),
         "o_orderkey")
       val vMor = SnapshotLog.currentVersion(s, table)
-      val mor = SnapshotLog.readMor(s, table, vMor, "o_orderkey")
+      import graft.Checkpoint.TruncateOps
+      // pinned once: the equivalence gate + rollup consume `mor` three
+      // times and `compacted` twice — unpinned, each consumer re-runs
+      // the whole overlay read / compacted scan
+      val mor = SnapshotLog.readMor(s, table, vMor, "o_orderkey").truncatedLazy
       val vC = SnapshotLog.compactMor(s, table, "o_orderkey")
-      val compacted = SnapshotLog.readAt(s, table, vC)
+      val compacted = SnapshotLog.readAt(s, table, vC).truncatedLazy
       val ok = SnapshotLog.readManifest(s, table, vMor).get.deletes.size == 2 &&
         SnapshotLog.readManifest(s, table, vC).get.deletes.isEmpty &&
-        compacted.exceptAll(mor).limit(1).count() == 0 &&
-        mor.exceptAll(compacted).limit(1).count() == 0
+        compacted.exceptAll(mor).union(mor.exceptAll(compacted))
+          .limit(1).count() == 0
       cdcRollup(mor).withColumn("mor_ok", lit(if (ok) 1L else 0L))
     }),
 
@@ -432,15 +436,17 @@ object Upsert {
       SnapshotLog.updateMor(s, table, u2.unionByName(ins), "o_orderkey")
       val vMor = SnapshotLog.currentVersion(s, table)
       val m = SnapshotLog.readManifest(s, table, vMor).get
-      val mor = SnapshotLog.readMor(s, table, vMor, "o_orderkey")
+      import graft.Checkpoint.TruncateOps
+      // pinned once: three consumers of `mor`, two of `compacted` (u08)
+      val mor = SnapshotLog.readMor(s, table, vMor, "o_orderkey").truncatedLazy
       val vC = SnapshotLog.compactMor(s, table, "o_orderkey")
       val post = SnapshotLog.readManifest(s, table, vC).get
-      val compacted = SnapshotLog.readAt(s, table, vC)
+      val compacted = SnapshotLog.readAt(s, table, vC).truncatedLazy
       val ok = m.updates.size == 2 && m.deletes.size == 1 &&
         m.seqs.values.forall(_ >= 1) &&
         post.updates.isEmpty && post.deletes.isEmpty &&
-        compacted.exceptAll(mor).limit(1).count() == 0 &&
-        mor.exceptAll(compacted).limit(1).count() == 0
+        compacted.exceptAll(mor).union(mor.exceptAll(compacted))
+          .limit(1).count() == 0
       cdcRollup(mor).withColumn("mor_upd_ok", lit(if (ok) 1L else 0L))
     }),
 
@@ -503,19 +509,24 @@ object Upsert {
         s, table, p2, 0L, "o_orderkey")
       val vP = SnapshotLog.currentVersion(s, table)
       val m = SnapshotLog.readManifest(s, table, vP).get
+      import graft.Checkpoint.TruncateOps
+      // pinned once: three consumers of `patched`, two of `compacted`
+      // (the u08 rationale; the patched read is the costliest overlay —
+      // one broadcast join per patched column on top of the MOR resolve)
       val patched = SnapshotLog.readPatched(s, table, vP, "o_orderkey")
+        .truncatedLazy
       // consumer delete-overlay paths must refuse, not serve stale
       SnapshotLog.tagSnapshot(s, table, "pre-compact", vP)
       val consumerRefused = scala.util.Try(
         SnapshotLog.readTagged(s, table, "pre-compact")).isFailure
       val vC = SnapshotLog.compactMor(s, table, "o_orderkey")
       val post = SnapshotLog.readManifest(s, table, vC).get
-      val compacted = SnapshotLog.readAt(s, table, vC)
+      val compacted = SnapshotLog.readAt(s, table, vC).truncatedLazy
       val ok = replay == -1L && consumerRefused &&
         m.patches.size == 2 && m.updates.size == 1 && m.deletes.size == 1 &&
         post.patches.isEmpty && post.updates.isEmpty && post.deletes.isEmpty &&
-        compacted.exceptAll(patched).limit(1).count() == 0 &&
-        patched.exceptAll(compacted).limit(1).count() == 0
+        compacted.exceptAll(patched).union(patched.exceptAll(compacted))
+          .limit(1).count() == 0
       cdcRollup(patched).withColumn("patch_ok", lit(if (ok) 1L else 0L))
     })
   )
