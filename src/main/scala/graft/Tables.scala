@@ -65,9 +65,13 @@ object Tables {
     * scans at session parallelism passes through untouched — at
     * 100 TB the repartition branch never fires, because adding a full
     * shuffle of a large table to "gain" parallelism it already has
-    * would be pure loss (guide §2.4). Hash-keyed, not round-robin:
-    * deterministic row→partition assignment under task retries
-    * (SPARK-38388 class), and no sort-before-repartition pass. */
+    * would be pure loss (guide §2.4).
+    *
+    * Hash-keyed on the table's id column, not round-robin: downstream
+    * work overwhelmingly groups/joins on that key (so the exchange is
+    * reusable), the assignment is retry-deterministic (SPARK-38388
+    * class) without the sort-before-repartition pass, and the id is a
+    * column those consumers read anyway. */
   private def fannedOut(s: SparkSession, d: String, name: String,
       key: String): DataFrame = {
     val df = table(s, d, name)
@@ -90,8 +94,19 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  // orders/lineitem deliberately do NOT fan out here: their heavy
+  // consumers are the lake-layer lifecycle queries, which re-execute
+  // the scan once per commit action (seed + N mutation batches) — a
+  // blanket fan-out re-pays its shuffle on every one of those actions
+  // (measured: u04 4.1→6.5 s, i30 3.6→5.9 s, i29 2.4→4.1 s). The two
+  // single-action aggregate queries that DO win from it (q18, a07)
+  // take [[ordersFanned]]/[[lineitemFanned]] at the query site.
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  private[graft] def ordersFanned(s: SparkSession, d: String): DataFrame =
+    fannedOut(s, d, "orders", "o_orderkey")
+  private[graft] def lineitemFanned(s: SparkSession, d: String): DataFrame =
+    fannedOut(s, d, "lineitem", "l_orderkey")
   def events(s: SparkSession, d: String): DataFrame    = eventsNormalized(s, d)
   def documents(s: SparkSession, d: String): DataFrame =
     fannedOut(s, d, "documents", "doc_id")

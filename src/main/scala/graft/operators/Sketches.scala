@@ -142,7 +142,10 @@ object Sketches {
     "a07_histogram_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val price = col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType)
-      val o = Tables.orders(s, d)
+      // fanned: both passes (GK sketch build, bin counting) are pure
+      // map-side CPU over the scan — on the tiny table's single split
+      // they ran one-core (1.9 s → 1.2 s at sf0.1)
+      val o = Tables.ordersFanned(s, d)
         .select(price.as("x"), pmod(col("o_orderkey"), lit(8)).as("shard"))
       // The within_ok gate compares at ONE-BIN-WIDTH resolution, so
       // the reference quantiles use the distributed GK sketch
