@@ -139,7 +139,18 @@ object Bench {
     // the whole m08 per-byte-position chunker AND lands two
     // SnapshotLog tables inside its timing — the m08 explode class
     // plus write-path weight, seated at birth
-    "s20_mmr_diversify", "s21_ann_rebalance", "m09_chunk_store")
+    "s20_mmr_diversify", "s21_ann_rebalance", "m09_chunk_store",
+    // round-14 optimization: with the t17 BPE-result memo removed
+    // (every invocation must compute from the parquet inputs), t10
+    // and t17 each run the full 10-round iterative trainer — 10
+    // argmax jobs plus a 60-replace rewrite chain of generated code
+    // per draw. Packed into text_b that plan population crushed the
+    // family (closing sweep: t10 drew 5.52 s min / 22.98 s max
+    // in-family and t11 — which gained no code — went 2.7 → 5.4 s
+    // beside it; solo best-of-3 measured t10 2.40 s, t17 2.11 s).
+    // Both are queries("...")-composites in spirit — t10 runs the
+    // WHOLE t17 training inside — the r10 seat-at-birth class.
+    "t10_tokenizer_apply", "t17_bpe_trainer")
 
   private def family(name: String): String = {
     if (Soloists(name)) return "solo_" + name

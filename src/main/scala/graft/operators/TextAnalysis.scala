@@ -674,8 +674,13 @@ object TextAnalysis {
       .select(explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
+    // LAZY truncation (the connectedComponents one-job-per-round
+    // precedent): each round's argmax job scans every partition of
+    // `syms` anyway, so the blocks pin inside that job instead of a
+    // dedicated materialization job per round — and the final round's
+    // rewrite, which no job ever reads, is never materialized at all
     var syms = wn.withColumn("s",
-      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))).truncated
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))).truncatedLazy
     val out = Seq.newBuilder[(Long, String, Long)]
     for (k <- 1 to 10) {
       val nPairs = size(col("arr")) - 1
@@ -693,7 +698,7 @@ object TextAnalysis {
       var c: Column = col("s")
       for (_ <- 1 to 6)
         c = replace(c, lit(s" $pair "), lit(s" ${pair.replace(" ", "")} "))
-      syms = syms.withColumn("s", c).truncated
+      syms = syms.withColumn("s", c).truncatedLazy
     }
     out.result()
   }
